@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access for the driver-provided parquet test tables
+  * (TESTDATA.md). Mirrors the reference's table registration step
+  * (reference: lakehouse_op/tpch_all_runner.py:143-165 registers each
+  * materialized table as a temp view) but against plain parquet dirs.
+  *
+  * Scale note: `spark.read.parquet` on a directory of files scales to
+  * arbitrarily many files; nothing here collects to the driver.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extra: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extra
+
+  /** The events table's `ts` column is parquet TIMESTAMP(NANOS), which
+    * Spark only reads as LongType behind the legacy flag. We convert to
+    * microsecond TimestampType (truncating) so SQL date functions work.
+    */
+  private def normalizeEvents(df: DataFrame): DataFrame = {
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(col("ts") / 1000L cast "long"))
+      case _ => df
+    }
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEvents(spark.read.parquet(s"$sfDir/events.parquet"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every table as a temp view (tpch_all_runner.py:143-165). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
