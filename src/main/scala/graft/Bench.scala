@@ -26,7 +26,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try { fn(spark, sfDir).count() } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup (discarded)

@@ -24,7 +24,10 @@ object Tables {
   private def normalizeEvents(df: DataFrame): DataFrame = {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(col("ts") / 1000L cast "long"))
+        // Exact integer division (`div`), not double `/`: at ~1.77e18 ns a
+        // double ulp is ~256ns, so float division could shift a boundary
+        // timestamp by 1µs and flip a date_trunc bucket.
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => df
     }
   }

@@ -179,6 +179,10 @@ object RelationalQueries {
 
     // W1 ntile batch split (build_tpch_update_batches.py:62-63), made
     // deterministic by ordering on the key instead of rand(seed).
+    // Scale note: a global (unpartitioned) ntile window funnels all rows
+    // through one task — acceptable here only because the reference's
+    // batch splitter is itself a one-shot global shuffle; the scalable
+    // path for big tables is graft.table.BatchBuilder (range-based).
     "q16_ntile" -> ((s, d) => {
       val w = Window.orderBy(col("o_orderkey"))
       T(s, d, "orders")
