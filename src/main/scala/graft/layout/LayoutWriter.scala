@@ -1,0 +1,134 @@
+package graft.layout
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.curve.{Curves, CurveExpressions}
+
+/** Physical-layout writer — the reference's L1–L8 operator family
+  * (reference: lakehouse_op/delta_write_layout.py:165-280,
+  * hudi_write_layout.py:111-228, iceberg_write_layout.py:68-265) on plain
+  * parquet + our zone-map manifest.
+  *
+  * Layouts:
+  *  - `baseline`: write as-loaded (delta_write_layout.py:107,253)
+  *  - `linear`:   repartitionByRange + sortWithinPartitions on the layout
+  *                columns (delta_write_layout.py:165-181)
+  *  - `zorder`:   Morton curve key; repartitionByRange + sort on the key
+  *                (delegated in the reference: delta OPTIMIZE ZORDER BY)
+  *  - `hilbert`:  Hilbert curve key (Hudi-only in the reference)
+  *
+  * The curve key is a codegen'd Catalyst expression over normalized
+  * coordinates, so the pre-write sort stays inside whole-stage codegen.
+  * Range-partitioning by the key gives near-global curve order with
+  * bounded per-task memory — the multi-executor-safe equivalent of a
+  * global sort, which is exactly how the engines implement clustering.
+  */
+object LayoutWriter {
+
+  case class LayoutSpec(
+      layout: String, // baseline | linear | zorder | hilbert
+      cols: Seq[String] = Nil,
+      bits: Option[Int] = None,
+      numFiles: Option[Int] = None, // None → leave input partitioning
+      recordKey: Option[String] = None,
+      precombineCol: Option[String] = None)
+
+  /** Columns the manifest keeps stats for: layout cols always; callers can
+    * pass extras (e.g. partition-ish columns queried with equality).
+    */
+  def write(
+      df: DataFrame,
+      dir: String,
+      spec: LayoutSpec,
+      extraStatsCols: Seq[String] = Nil): TableManifest = {
+    val spark = df.sparkSession
+    require(
+      Seq("baseline", "linear", "zorder", "hilbert").contains(spec.layout),
+      s"unknown layout ${spec.layout}")
+    val missing = spec.cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"layout columns not in schema: $missing")
+
+    val bits = spec.bits.getOrElse(Curves.bitsFor(spec.cols.length))
+    val arranged = spec.layout match {
+      case "baseline" =>
+        spec.numFiles.map(df.repartition).getOrElse(df)
+      case "linear" =>
+        val cs = spec.cols.map(col)
+        val parted = spec.numFiles
+          .map(n => df.repartitionByRange(n, cs: _*))
+          .getOrElse(df.repartitionByRange(cs: _*))
+        parted.sortWithinPartitions(cs: _*)
+      case curve @ ("zorder" | "hilbert") =>
+        val key = curveKey(df, spec.cols, bits, curve)
+        val parted = spec.numFiles
+          .map(n => df.repartitionByRange(n, key))
+          .getOrElse(df.repartitionByRange(key))
+        parted.sortWithinPartitions(key)
+    }
+    arranged.write.mode("overwrite").parquet(dir)
+
+    val statsCols = (spec.cols ++ extraStatsCols).distinct
+    val files = ZoneMap.collectStats(spark, dir, statsCols)
+    val manifest = TableManifest(
+      layout = spec.layout,
+      layoutCols = spec.cols,
+      bits = bits,
+      statsCols = statsCols,
+      recordKey = spec.recordKey,
+      precombineCol = spec.precombineCol,
+      files = files)
+    ZoneMap.write(dir, manifest)
+    manifest
+  }
+
+  /** Curve-key expression: normalize each layout column to [0, 2^bits)
+    * using its global min/max (one small agg — 2 doubles per column), then
+    * interleave. Null coordinates sort to the curve origin.
+    */
+  def curveKey(df: DataFrame, cols: Seq[String], bits: Int, curve: String): Column = {
+    val bounds = colBounds(df, cols)
+    val norms = cols.map { c =>
+      val (lo, hi) = bounds(c)
+      CurveExpressions.normalizedCol(doubleView(df, c), lo, hi, bits)
+    }
+    if (curve == "hilbert") CurveExpressions.hilbertvalue(bits, norms: _*)
+    else CurveExpressions.zvalue(bits, norms: _*)
+  }
+
+  /** Double view of a column for normalization (dates → days, timestamps →
+    * epoch seconds, strings → a lexicographic prefix code so string
+    * columns can participate in curve keys).
+    */
+  private def doubleView(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case _: NumericType => col(c).cast(DoubleType)
+      case DateType => datediff(col(c), lit("1970-01-01").cast(DateType)).cast(DoubleType)
+      case TimestampType | TimestampNTZType =>
+        // NTZ values are interpreted in the (UTC) session zone — only the
+        // ordering matters for curve coordinates.
+        unix_timestamp(col(c).cast(TimestampType)).cast(DoubleType)
+      case StringType => stringPrefixCode(col(c))
+      case dt => throw new IllegalArgumentException(s"cannot curve-order $c: $dt")
+    }
+
+  /** Order-preserving 4-byte prefix code for strings (byte0*2^24 + ...). */
+  private def stringPrefixCode(c: Column): Column = {
+    val b = (i: Int) =>
+      coalesce(ascii(substring(c, i + 1, 1)), lit(0)).cast(DoubleType)
+    b(0) * lit(16777216d) + b(1) * lit(65536d) + b(2) * lit(256d) + b(3)
+  }
+
+  private def colBounds(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
+    val aggs = cols.flatMap { c =>
+      val d = doubleView(df, c)
+      Seq(min(d).as(s"__lo_$c"), max(d).as(s"__hi_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.map { c =>
+      val lo = Option(r.getAs[java.lang.Double](s"__lo_$c")).map(_.doubleValue).getOrElse(0d)
+      val hi = Option(r.getAs[java.lang.Double](s"__hi_$c")).map(_.doubleValue).getOrElse(0d)
+      c -> (lo, hi)
+    }.toMap
+  }
+}

@@ -1,0 +1,34 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level data skipping from the zone-map manifest — the capability
+  * the reference buys from Delta/Hudi/Iceberg metadata and then measures
+  * (files_scanned / bytes_scanned, lakehouse_op/run_queries.py:165-248).
+  *
+  * v1 strategy ("manual pruning", SURVEY.md §4.3): filter manifest entries
+  * against the query's conjunctive range predicates on the driver, then
+  * hand Spark only the surviving files. Catalyst still applies the full
+  * predicate row-by-row (pruning is an optimization, never a correctness
+  * dependency), plus parquet row-group pushdown within kept files.
+  *
+  * Driver cost is O(#files) with no Spark job — at 100 TB / 128 MB files
+  * that is ~800k cheap in-memory checks.
+  */
+object PrunedScan {
+
+  case class ScanResult(df: DataFrame, filesKept: Int, filesTotal: Int, rowsKeptBound: Long)
+
+  /** Read `dir` keeping only files whose zones may match `preds`.
+    * An empty survivor set yields an empty DataFrame with the right schema.
+    */
+  def read(spark: SparkSession, dir: String, preds: Seq[ZonePredicate]): ScanResult = {
+    val manifest = ZoneMap.read(dir)
+    val kept = manifest.prune(preds)
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(kept.map(_.path): _*)
+    ScanResult(df, kept.length, manifest.files.length, kept.map(_.rows).sum)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Per-file zone-map manifest — our stand-in for the table-format metadata
+  * the reference gets from Delta/Hudi/Iceberg (file-level min/max stats
+  * driving data skipping; reference measures exactly this as
+  * `files_scanned`/`bytes_scanned`, lakehouse_op/run_queries.py:165-248).
+  *
+  * Stored as `_graft_manifest.json` inside the table directory. Numeric,
+  * date and timestamp columns are normalized to a double (`days` /
+  * `epoch seconds`); strings keep lexicographic min/max. `allNull` marks a
+  * file whose every value of that column is NULL (range predicates can
+  * then prune it soundly).
+  *
+  * Scale note: the manifest is one JSON object per *file* (~128 MB of
+  * data each), so at 100 TB it is ~800k entries — fine for driver-side
+  * pruning, and the stats job that builds it is a distributed
+  * `groupBy(input_file_name())`.
+  */
+case class ColRange(
+    min: Option[Double],
+    max: Option[Double],
+    minStr: Option[String],
+    maxStr: Option[String],
+    allNull: Boolean)
+
+case class FileEntry(path: String, rows: Long, ranges: Map[String, ColRange])
+
+case class TableManifest(
+    layout: String,
+    layoutCols: Seq[String],
+    bits: Int,
+    statsCols: Seq[String],
+    recordKey: Option[String],
+    precombineCol: Option[String],
+    files: Seq[FileEntry]) {
+
+  def totalRows: Long = files.map(_.rows).sum
+
+  /** Files whose zone intersects every predicate in `preds` (conjunction).
+    * Sound: never drops a file that could contain a matching row — unknown
+    * stats keep the file; an all-null zone cannot satisfy a range.
+    */
+  def prune(preds: Seq[ZonePredicate]): Seq[FileEntry] =
+    files.filter(f => preds.forall(_.mayMatch(f)))
+}
+
+/** A file-prunable conjunct over one layout/stats column. */
+sealed trait ZonePredicate { def col: String; def mayMatch(f: FileEntry): Boolean }
+
+/** value BETWEEN lo AND hi on a numeric/date/timestamp column (double repr). */
+case class NumBetween(col: String, lo: Double, hi: Double) extends ZonePredicate {
+  def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
+    case None => true // no stats for this column — keep
+    case Some(r) if r.allNull => false // NULL never matches a range
+    case Some(r) =>
+      r.min.forall(_ <= hi) && r.max.forall(_ >= lo)
+  }
+}
+
+/** value BETWEEN lo AND hi (lexicographic) on a string column. */
+case class StrBetween(col: String, lo: String, hi: String) extends ZonePredicate {
+  def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
+    case None => true
+    case Some(r) if r.allNull => false
+    case Some(r) =>
+      r.minStr.forall(_ <= hi) && r.maxStr.forall(_ >= lo)
+  }
+}
+
+/** value IN (set) on a string column — prunes on [min,max] containment. */
+case class StrIn(col: String, values: Seq[String]) extends ZonePredicate {
+  def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
+    case None => true
+    case Some(r) if r.allNull => false
+    case Some(r) =>
+      values.exists(v => r.minStr.forall(_ <= v) && r.maxStr.forall(_ >= v))
+  }
+}
+
+object ZoneMap {
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+  val ManifestName = "_graft_manifest.json"
+
+  /** Double representation of a column for zone stats: dates → epoch days,
+    * timestamps → epoch seconds, numerics → value. Strings return None.
+    */
+  private def numericizer(dt: DataType, c: String): Option[org.apache.spark.sql.Column] =
+    dt match {
+      case _: NumericType => Some(col(c).cast(DoubleType))
+      case DateType => Some(datediff(col(c), lit("1970-01-01").cast(DateType)).cast(DoubleType))
+      case TimestampType | TimestampNTZType =>
+        Some(unix_timestamp(col(c).cast(TimestampType)).cast(DoubleType))
+      case _ => None
+    }
+
+  /** One distributed pass over a written table dir computing per-file
+    * min/max for `statsCols` (groupBy input_file_name — scales with files).
+    */
+  def collectStats(
+      spark: SparkSession,
+      dir: String,
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val df = spark.read.parquet(dir)
+    val schema = df.schema
+    val aggs = statsCols.flatMap { c =>
+      val dt = schema(c).dataType
+      numericizer(dt, c) match {
+        case Some(num) =>
+          Seq(min(num).as(s"__min_$c"), max(num).as(s"__max_$c"),
+            count(col(c)).as(s"__cnt_$c"))
+        case None =>
+          Seq(min(col(c).cast(StringType)).as(s"__mins_$c"),
+            max(col(c).cast(StringType)).as(s"__maxs_$c"),
+            count(col(c)).as(s"__cnt_$c"))
+      }
+    }
+    val rows = df
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+    rows.toSeq.map { r =>
+      val ranges = statsCols.map { c =>
+        val nonNull = r.getAs[Long](s"__cnt_$c")
+        val isStr = r.schema.fieldNames.contains(s"__mins_$c")
+        val cr =
+          if (isStr)
+            ColRange(None, None,
+              Option(r.getAs[String](s"__mins_$c")),
+              Option(r.getAs[String](s"__maxs_$c")),
+              allNull = nonNull == 0L)
+          else
+            ColRange(
+              Option(r.getAs[java.lang.Double](s"__min_$c")).map(_.doubleValue),
+              Option(r.getAs[java.lang.Double](s"__max_$c")).map(_.doubleValue),
+              None, None, allNull = nonNull == 0L)
+        c -> cr
+      }.toMap
+      FileEntry(r.getAs[String]("__file"), r.getAs[Long]("__rows"), ranges)
+    }
+  }
+
+  def write(dir: String, m: TableManifest): Unit = {
+    val json = Serialization.writePretty(m)
+    Files.write(
+      Paths.get(dir, ManifestName), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def read(dir: String): TableManifest = {
+    val json = new String(
+      Files.readAllBytes(Paths.get(dir, ManifestName)), StandardCharsets.UTF_8)
+    Serialization.read[TableManifest](json)
+  }
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, ManifestName))
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.layout._
+import graft.layout.LayoutWriter.LayoutSpec
+
+/** End-to-end layout pipeline as oracle-checked queries: write the table
+  * under a physical layout (L1–L4), prune the scan with the zone-map
+  * manifest, run the query on the survivors. The DuckDB oracle runs the
+  * same logical query on the *original* table — matching results prove
+  * the layout write is content-preserving AND the pruning is sound.
+  * (reference pipeline: lakehouse_op/delta_write_layout.py:165-280 +
+  * run_queries.py scan metrics; our SURVEY.md §7.2 step 4 slice.)
+  */
+object LayoutQueries {
+
+  // One layout write per (sfDir, layout) per JVM — queries then measure
+  // query time, not write time (mirrors the reference, which lays out
+  // once and queries many times).
+  private val cache = scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  private def layoutDir(
+      spark: SparkSession, sfDir: String, table: String,
+      layout: String, cols: Seq[String]): String =
+    cache.getOrElseUpdate((sfDir + "/" + table, layout), {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_layout_${layout}_").toString
+      LayoutWriter.write(
+        Tables.load(spark, sfDir, table), dir,
+        LayoutSpec(layout, cols, numFiles = Some(16)))
+      dir
+    })
+
+  // Shared predicate constants (also baked into the oracle SQL below).
+  private val dLo = "1994-01-01 00:00:00"
+  private val dHi = "1994-06-30 23:59:59"
+  private def epochSec(s: String): Long =
+    java.time.LocalDateTime
+      .parse(s.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order on (l_shipdate, l_quantity); 2-D box query via pruned scan.
+    "q21_zorder_prune" -> ((s, d) => {
+      val dir = layoutDir(s, d, "lineitem", "zorder", Seq("l_shipdate", "l_quantity"))
+      val scan = PrunedScan.read(s, dir, Seq(
+        NumBetween("l_shipdate", epochSec(dLo), epochSec(dHi)),
+        NumBetween("l_quantity", 10.0, 20.0)))
+      scan.df
+        .filter(col("l_shipdate").between(lit(dLo).cast("timestamp"), lit(dHi).cast("timestamp"))
+          && col("l_quantity").between(10.0, 20.0))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+    }),
+
+    // Hilbert on (l_partkey, l_suppkey); box on both key dims + group-by.
+    "q22_hilbert_prune" -> ((s, d) => {
+      val dir = layoutDir(s, d, "lineitem", "hilbert", Seq("l_partkey", "l_suppkey"))
+      val scan = PrunedScan.read(s, dir, Seq(
+        NumBetween("l_partkey", 1, 200), NumBetween("l_suppkey", 1, 50)))
+      scan.df
+        .filter(col("l_partkey").between(1, 200) && col("l_suppkey").between(1, 50))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Linear layout on l_shipdate; 1-D range (reference demo q2 shape).
+    "q23_linear_prune" -> ((s, d) => {
+      val dir = layoutDir(s, d, "lineitem", "linear", Seq("l_shipdate"))
+      val scan = PrunedScan.read(s, dir, Seq(
+        NumBetween("l_shipdate", epochSec(dLo), epochSec(dHi))))
+      scan.df
+        .filter(col("l_shipdate").between(lit(dLo).cast("timestamp"), lit(dHi).cast("timestamp")))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_zorder_prune" ->
+      s"""SELECT count(*) AS cnt, round(sum(l_extendedprice),2) AS sum_price,
+         | round(avg(l_discount),6) AS avg_disc
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'
+         |  AND l_quantity BETWEEN 10.0 AND 20.0""".stripMargin,
+    "q22_hilbert_prune" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 50
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q23_linear_prune" ->
+      s"""SELECT count(*) AS cnt,
+         | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'""".stripMargin
+  )
+}

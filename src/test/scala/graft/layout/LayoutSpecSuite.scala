@@ -1,0 +1,146 @@
+package graft.layout
+
+import graft.SparkTestBase
+import graft.curve.{Curves, CurveExpressions}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class LayoutSpecSuite extends SparkTestBase {
+
+  import LayoutWriter.LayoutSpec
+
+  private lazy val data = {
+    val rnd = new Random(7)
+    val rows = (1 to 20000).map { i =>
+      (i.toLong, rnd.nextInt(1000), rnd.nextDouble() * 100.0,
+        f"cat${rnd.nextInt(20)}%02d", rnd.nextInt(365))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("id", "x", "y", "cat", "day")
+  }
+
+  test("curve expressions match the kernels (interpreted + codegen paths)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0 until 2000).map(i => (i.toLong % 64, (i / 64).toLong % 64)).toDF("a", "b")
+    val bits = 6
+    val got = df
+      .select(col("a"), col("b"),
+        CurveExpressions.zvalue(bits, col("a"), col("b")).as("z"),
+        CurveExpressions.hilbertvalue(bits, col("a"), col("b")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val p = Array(r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == Curves.zValue(p, bits))
+      assert(r.getLong(3) == Curves.hilbertValue(p, bits))
+    }
+  }
+
+  test("SQL registration: graft_zvalue / graft_hilbertvalue usable from SQL") {
+    CurveExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_zvalue(4, CAST(3 AS BIGINT), CAST(1 AS BIGINT)) AS z, " +
+        "graft_hilbertvalue(4, CAST(5 AS BIGINT), CAST(9 AS BIGINT)) AS h")
+      .collect()(0)
+    assert(r.getLong(0) == Curves.zValue(Array(3L, 1L), 4))
+    assert(r.getLong(1) == Curves.hilbertValue(Array(5L, 9L), 4))
+  }
+
+  test("layout write preserves content exactly (all four layouts)") {
+    val expected = data.agg(
+      count(lit(1)), sum("id"), sum("x"), round(sum("y"), 4)).collect()(0).toSeq
+    for (layout <- Seq("baseline", "linear", "zorder", "hilbert")) {
+      val dir = tmpDir(s"graft_$layout")
+      val m = LayoutWriter.write(
+        data, dir, LayoutSpec(layout, Seq("x", "y"), numFiles = Some(8)))
+      assert(m.files.length == 8, s"$layout file count")
+      assert(m.totalRows == 20000L, s"$layout manifest rows")
+      val back = spark.read.parquet(dir)
+      val got = back.agg(
+        count(lit(1)), sum("id"), sum("x"), round(sum("y"), 4)).collect()(0).toSeq
+      assert(got == expected, s"$layout content mismatch")
+    }
+  }
+
+  test("pruning soundness: pruned scan == full scan for random range queries") {
+    val dir = tmpDir("graft_sound")
+    LayoutWriter.write(
+      data, dir, LayoutSpec("zorder", Seq("x", "y"), numFiles = Some(16)),
+      extraStatsCols = Seq("cat"))
+    val rnd = new Random(11)
+    for (_ <- 1 to 25) {
+      val xlo = rnd.nextInt(1000); val xhi = xlo + rnd.nextInt(1000 - xlo)
+      val ylo = rnd.nextDouble() * 100; val yhi = ylo + rnd.nextDouble() * (100 - ylo)
+      val preds = Seq(
+        NumBetween("x", xlo, xhi), NumBetween("y", ylo, yhi))
+      val scan = PrunedScan.read(spark, dir, preds)
+      val prunedCnt = scan.df
+        .filter(col("x").between(xlo, xhi) && col("y").between(ylo, yhi)).count()
+      val fullCnt = spark.read.parquet(dir)
+        .filter(col("x").between(xlo, xhi) && col("y").between(ylo, yhi)).count()
+      assert(prunedCnt == fullCnt, s"lost rows for x[$xlo,$xhi] y[$ylo,$yhi]")
+    }
+  }
+
+  test("string zone predicates prune soundly") {
+    val dir = tmpDir("graft_strsound")
+    LayoutWriter.write(
+      data, dir, LayoutSpec("linear", Seq("cat"), numFiles = Some(10)))
+    val scan = PrunedScan.read(spark, dir, Seq(StrBetween("cat", "cat03", "cat05")))
+    val prunedCnt = scan.df.filter(col("cat").between("cat03", "cat05")).count()
+    val fullCnt = data.filter(col("cat").between("cat03", "cat05")).count()
+    assert(prunedCnt == fullCnt)
+    assert(scan.filesKept < scan.filesTotal, "linear layout should prune some files")
+    val inScan = PrunedScan.read(spark, dir, Seq(StrIn("cat", Seq("cat07"))))
+    assert(inScan.df.filter(col("cat") === "cat07").count() ==
+      data.filter(col("cat") === "cat07").count())
+    assert(inScan.filesKept < inScan.filesTotal)
+  }
+
+  test("layout effectiveness: zorder/hilbert prune more than baseline on 2-D boxes") {
+    val dirs = Seq("baseline", "linear", "zorder", "hilbert").map { layout =>
+      val dir = tmpDir(s"graft_eff_$layout")
+      LayoutWriter.write(
+        data, dir, LayoutSpec(layout, Seq("x", "y"), numFiles = Some(16)))
+      layout -> dir
+    }.toMap
+    def kept(layout: String, preds: Seq[ZonePredicate]): Int =
+      PrunedScan.read(spark, dirs(layout), preds).filesKept
+
+    // 2-D box, selective in both dims
+    val box = Seq(NumBetween("x", 100, 199), NumBetween("y", 20.0, 30.0))
+    assert(kept("baseline", box) == 16, "random layout should keep every file")
+    assert(kept("zorder", box) < 16 && kept("hilbert", box) < 16,
+      s"curves must beat baseline: z=${kept("zorder", box)} h=${kept("hilbert", box)}")
+
+    // Non-leading-dimension query: linear (sorted x-first) cannot prune on
+    // y alone; the curves can — this is the whole point of SFC layouts.
+    val yOnly = Seq(NumBetween("y", 20.0, 30.0))
+    assert(kept("linear", yOnly) == 16,
+      s"x-leading linear layout should not prune a y-only query")
+    assert(kept("zorder", yOnly) < 16 && kept("hilbert", yOnly) < 16,
+      s"curves must prune non-leading dims: z=${kept("zorder", yOnly)} h=${kept("hilbert", yOnly)}")
+  }
+
+  test("empty survivor set yields empty result with correct schema") {
+    val dir = tmpDir("graft_empty")
+    LayoutWriter.write(data, dir, LayoutSpec("zorder", Seq("x", "y"), numFiles = Some(4)))
+    val scan = PrunedScan.read(spark, dir, Seq(NumBetween("x", 5000, 6000)))
+    assert(scan.filesKept == 0)
+    assert(scan.df.count() == 0)
+    assert(scan.df.columns.toSeq == data.columns.toSeq)
+  }
+
+  test("compactor rewrites to fewer files, preserves rows and layout") {
+    val dir = tmpDir("graft_compact")
+    LayoutWriter.write(data, dir, LayoutSpec("zorder", Seq("x", "y"), numFiles = Some(32)))
+    val before = ZoneMap.read(dir)
+    assert(before.files.length == 32)
+    val after = Compactor.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(after.files.length < 32, s"expected fewer files, got ${after.files.length}")
+    assert(after.totalRows == 20000L)
+    assert(after.layout == "zorder")
+    assert(spark.read.parquet(dir).count() == 20000L)
+  }
+}
