@@ -15,11 +15,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.LayoutQueries.queries
+      graft.queries.LayoutQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
-      graft.queries.LayoutQueries.oracles
+      graft.queries.LayoutQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles
 }

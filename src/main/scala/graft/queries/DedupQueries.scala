@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Deduplication operators over `documents`: exact, MinHash+LSH banding,
+  * n-gram Jaccard (inverted index), SimHash (banded hamming join).
+  * Greenfield training-data-pipeline operators.
+  *
+  * Scale design: every pipeline here is hash-partitioned (explode →
+  * shuffle on shingle/bucket/band → agg). Nothing is O(n^2) in documents:
+  * candidate pairs come from inverted-index or band joins, never a cross
+  * join. The SimHash band join is EXACT for hamming <= 3 (4 bands x 15
+  * bits, pigeonhole), so the scalable plan returns the same rows a
+  * brute-force scan would — which is what the DuckDB oracle does.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  private val K = 8 // minhash signature length
+  private val Bands = 4 // LSH bands (r = K/Bands = 2 rows per band)
+
+  /** doc_id + exploded distinct 3-gram shingles. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(array_distinct(shingles(words(col("text")), 3))).as("shingle"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup accounting by text hash, per language.
+    "q28_dedup_exact" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .orderBy(col("lang"))
+    }),
+
+    // MinHash signatures + LSH banding: per band, bucket count and the
+    // number of candidate pairs the band join would produce.
+    "q29_minhash_lsh" -> ((s, d) => {
+      val mins = (0 until K).map(i =>
+        min(minhashOf(col("shingle"), i)).as(s"mh$i"))
+      val sigs = shingled(docs(s, d))
+        .groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+      val bands = (0 until Bands).map { j =>
+        struct(lit(j).as("band"),
+          md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
+      }
+      sigs
+        .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+        .groupBy(col("b.band").as("band"), col("b.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("c") * (col("c") - 1) / 2).cast("long").as("candidate_pairs"))
+        .orderBy(col("band"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    // join docs on shared shingle, count common, jaccard >= 0.5.
+    "q30_ngram_jaccard" -> ((s, d) => {
+      val sh = shingled(docs(s, d)).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val common = a
+        .join(b, col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("common"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("da"), col("db"))
+    }),
+
+    // SimHash near-dup pairs at hamming <= 3 via the exact 4-band join.
+    "q31_simhash" -> ((s, d) => {
+      val h = docs(s, d)
+        .select(col("doc_id"), simhash60(words(col("text"))).as("sh"))
+        .cache()
+      val bandRows = h.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))
+      val a = bandRows.as("a"); val b = bandRows.as("b")
+      val cand = a
+        .join(b, col("a.b.band") === col("b.b.band")
+          && col("a.b.bv") === col("b.b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          hamming(col("a.sh"), col("b.sh")).as("ham"))
+        .distinct()
+      cand
+        .filter(col("ham") <= 3)
+        .orderBy(col("ham"), col("da"), col("db"))
+    })
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(ws)-2, 0)),
+      |      i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |        FROM documents))""".stripMargin
+
+  private val simhashExpr: String = {
+    val terms = (0 until 60).map(i =>
+      s"(CASE WHEN len(list_filter(hashes, h -> (h >> $i) & 1 = 1))*2 > len(hashes) " +
+        s"THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+    terms.mkString(" + ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q28_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q29_minhash_lsh" -> {
+      val minCols = (0 until K)
+        .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+      val bandSelects = (0 until Bands)
+        .map(j => s"SELECT $j AS band, md5(mh${2 * j} || '|' || mh${2 * j + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $shingleCte,
+         |sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |bk AS (SELECT band, bucket, count(*) AS c FROM bands GROUP BY 1, 2)
+         |SELECT band, count(*) AS n_buckets,
+         |  CAST(sum(c*(c-1)/2) AS BIGINT) AS candidate_pairs
+         |FROM bk GROUP BY band ORDER BY band""".stripMargin
+    },
+    "q30_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, common,
+         |  round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON da = sa.doc_id
+         |JOIN sizes sb ON db = sb.doc_id
+         |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.5
+         |ORDER BY jaccard DESC, da, db""".stripMargin,
+    "q31_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $simhashExpr AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+         |            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hashes
+         |        FROM documents))
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS ham
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY ham, da, db""".stripMargin
+  )
+}

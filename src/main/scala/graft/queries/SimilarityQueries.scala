@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the correctness baseline, plus
+  * random-hyperplane LSH bucketing as the approximate scale path.
+  * Greenfield training-data-pipeline operators.
+  *
+  * Scale design: q32 broadcasts the (small) query set against the corpus
+  * — one scan, no shuffle until the per-query top-k. q34's signature is a
+  * per-row expression (16 broadcast-literal hyperplane dots); bucketing
+  * an N-vector corpus is a single hash agg. q33 is the only quadratic
+  * query (all-pairs top-20) — kept as the small-scale oracle baseline;
+  * at 100 TB one uses q34's buckets to restrict q33's pair generation.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  private val simr = (a: Column, b: Column) => round(cosine(a, b), 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 neighbors for the 10 query vectors.
+    "q32_knn_cosine" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      c.join(broadcast(q))
+        .withColumn("sim", simr(col("qemb"), col("cemb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Global top-20 most-similar pairs (embedding near-dup detection).
+    "q33_emb_top_pairs" -> ((s, d) => {
+      val a = emb(s, d).select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = emb(s, d).select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(b, col("va") < col("vb"))
+        .select(col("va"), col("vb"), simr(col("ea"), col("eb")).as("sim"))
+        .orderBy(col("sim").desc, col("va"), col("vb"))
+        .limit(20)
+    }),
+
+    // Random-hyperplane LSH: 16-bit signature from sign(dot(x, plane_j)),
+    // planes = embeddings of vec_id 0..15 (deterministic, data-derived).
+    // Output: the 10 most-populated buckets.
+    "q34_ann_lsh_buckets" -> ((s, d) => {
+      val e = emb(s, d)
+      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+      val sig = (0 until 16).map { j =>
+        val p = typedlit(planes(j))
+        when(dot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      e.select(sig.as("signature"))
+        .groupBy(col("signature"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("n_vecs").desc, col("signature"))
+        .limit(10)
+    })
+  )
+
+  private val dotSql = (x: String, p: String) =>
+    s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)))"
+  private val normSql = (x: String) =>
+    s"sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+  private val cosSql = (x: String, p: String) =>
+    s"round(${dotSql(x, p)} / (${normSql(x)} * ${normSql(p)}), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "q32_knn_cosine" ->
+      s"""SELECT qid, rank, cid, sim FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${cosSql("q.embedding", "c.embedding")} AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q33_emb_top_pairs" ->
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  ${cosSql("a.embedding", "b.embedding")} AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+    "q34_ann_lsh_buckets" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS pid, embedding AS pemb FROM embeddings WHERE vec_id < 16),
+         |bits AS (
+         |  SELECT x.vec_id,
+         |    CASE WHEN ${dotSql("x.embedding", "p.pemb")} > 0
+         |         THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END AS bit
+         |  FROM embeddings x CROSS JOIN planes p),
+         |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS signature
+         |         FROM bits GROUP BY vec_id)
+         |SELECT signature, count(*) AS n_vecs FROM sigs
+         |GROUP BY signature ORDER BY n_vecs DESC, signature LIMIT 10""".stripMargin
+  )
+}

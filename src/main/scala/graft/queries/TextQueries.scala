@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, heuristic language ID, canonical fingerprinting.
+  * Greenfield (no reference counterpart) — the text half of a
+  * training-data pipeline. All per-row expressions + one hash agg: scale
+  * is linear in rows with no shuffle beyond the final groupBy.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  // Stopword marker sets for the language-ID heuristic. Fixed priority
+  // order (en > zh > es > de > fr) breaks score ties deterministically.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "zh" -> Seq("de", "le", "shi", "bu", "zai"),
+    "es" -> Seq("el", "la", "que", "en", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace tokens) per language.
+    "q24_token_count" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("n_tok", size(words(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_tok")), 6).as("avg_tokens"),
+          max(col("n_tok")).as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Quality scoring: chars/token, stopword ratio, digit ratio, per source.
+    "q25_text_quality" -> ((s, d) => {
+      val ws = words(col("text"))
+      val stops = Seq("the", "a", "of", "and", "to")
+      docs(s, d)
+        .withColumn("n_tok", size(ws))
+        .withColumn("char_per_tok", length(col("text")).cast("double") / col("n_tok"))
+        .withColumn("stop_ratio",
+          size(filter(ws, w => w.isin(stops: _*))).cast("double") / col("n_tok"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("char_per_tok")), 6).as("avg_char_per_tok"),
+          round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"),
+          round(avg(col("digit_ratio")), 6).as("avg_digit_ratio"))
+        .orderBy(col("source"))
+    }),
+
+    // Heuristic language ID: marker-stopword votes, fixed-priority argmax;
+    // output is the (labeled lang, predicted lang) confusion matrix.
+    "q26_lang_id" -> ((s, d) => {
+      val ws = words(col("text"))
+      val scored = markers.foldLeft(docs(s, d)) { case (df, (code, stops)) =>
+        df.withColumn(s"s_$code", size(filter(ws, w => w.isin(stops: _*))))
+      }
+      val Seq(en, zh, es, de, fr) =
+        Seq("s_en", "s_zh", "s_es", "s_de", "s_fr").map(col)
+      val predicted = when(en >= greatest(zh, es, de, fr), "en")
+        .when(zh >= greatest(es, de, fr), "zh")
+        .when(es >= greatest(de, fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+      scored
+        .withColumn("predicted", predicted)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Canonical fingerprint dedup accounting per source.
+    "q27_fingerprint" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("fp", fingerprint(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"))
+        .orderBy(col("source"))
+    })
+  )
+
+  private val markerSql: Map[String, String] =
+    markers.toMap.map { case (k, v) =>
+      k -> v.map(w => s"'$w'").mkString("(", ",", ")")
+    }
+
+  val oracles: Map[String, String] = Map(
+    "q24_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        | round(avg(n_tok),6) AS avg_tokens,
+        | CAST(max(n_tok) AS INTEGER) AS max_tokens
+        |FROM (SELECT lang, len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q25_text_quality" ->
+      """SELECT source, count(*) AS n_docs,
+        | round(avg(length(text)*1.0/n_tok),6) AS avg_char_per_tok,
+        | round(avg(n_stop*1.0/n_tok),6) AS avg_stop_ratio,
+        | round(avg((length(text)-length(regexp_replace(text,'[0-9]','','g')))*1.0
+        |           /length(text)),6) AS avg_digit_ratio
+        |FROM (SELECT source, text,
+        |        len(ws) AS n_tok,
+        |        len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS n_stop
+        |      FROM (SELECT source, text,
+        |              string_split_regex(lower(trim(text)), '\s+') AS ws
+        |            FROM documents))
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q26_lang_id" -> {
+      val scoreCols = markers.map { case (code, _) =>
+        s"len(list_filter(ws, w -> w IN ${markerSql(code)})) AS s_$code"
+      }.mkString(",\n        ")
+      s"""SELECT lang, predicted, count(*) AS cnt
+         |FROM (SELECT lang,
+         |        CASE WHEN s_en >= greatest(s_zh, s_es, s_de, s_fr) THEN 'en'
+         |             WHEN s_zh >= greatest(s_es, s_de, s_fr) THEN 'zh'
+         |             WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |             WHEN s_de >= s_fr THEN 'de'
+         |             ELSE 'fr' END AS predicted
+         |      FROM (SELECT lang,
+         |        $scoreCols
+         |        FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |              FROM documents)))
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+    "q27_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT fp) AS n_unique,
+        | count(*) - count(DISTINCT fp) AS n_dup
+        |FROM (SELECT source,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin
+  )
+}
