@@ -18,7 +18,9 @@ object SparkEntry {
       graft.queries.LayoutQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.ProfileQueries.queries ++
+      graft.queries.MaintenanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +29,7 @@ object SparkEntry {
       graft.queries.LayoutQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
-      graft.queries.SimilarityQueries.oracles
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.ProfileQueries.oracles ++
+      graft.queries.MaintenanceQueries.oracles
 }

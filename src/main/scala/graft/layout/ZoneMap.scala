@@ -107,8 +107,13 @@ object ZoneMap {
   def collectStats(
       spark: SparkSession,
       dir: String,
-      statsCols: Seq[String]): Seq[FileEntry] = {
-    val df = spark.read.parquet(dir)
+      statsCols: Seq[String]): Seq[FileEntry] =
+    collectStatsDf(spark.read.parquet(dir), statsCols)
+
+  /** Same one-pass per-file stats over an explicit DataFrame (e.g. a
+    * file-list read after an upsert's partial rewrite).
+    */
+  def collectStatsDf(df: DataFrame, statsCols: Seq[String]): Seq[FileEntry] = {
     val schema = df.schema
     val aggs = statsCols.flatMap { c =>
       val dt = schema(c).dataType

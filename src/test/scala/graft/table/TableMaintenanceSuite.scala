@@ -1,0 +1,90 @@
+package graft.table
+
+import graft.SparkTestBase
+import graft.layout.{LayoutWriter, ZoneMap}
+import graft.layout.LayoutWriter.LayoutSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class TableMaintenanceSuite extends SparkTestBase {
+
+  private lazy val base = {
+    val spark2 = spark
+    import spark2.implicits._
+    (1 to 10000).map(i => (i.toLong, s"v$i", i * 1.0, 1L))
+      .toDF("k", "payload", "price", "version")
+  }
+
+  test("upsert: updates win, inserts appended, untouched rows survive") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_upsert")
+    LayoutWriter.write(base, dir,
+      LayoutSpec("linear", Seq("k"), numFiles = Some(8),
+        recordKey = Some("k"), precombineCol = Some("version")))
+
+    val batch = Seq(
+      (5L, "updated5", 999.0, 2L), // update (higher version)
+      (7L, "stale7", -1.0, 0L), // stale (lower version — must lose)
+      (20001L, "new", 42.0, 1L)) // insert
+      .toDF("k", "payload", "price", "version")
+
+    val m = Upserter.upsert(spark, dir, batch)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 10001)
+    assert(got.filter($"k" === 5L).select("payload").as[String].head() == "updated5")
+    assert(got.filter($"k" === 7L).select("payload").as[String].head() == "v7",
+      "lower-version incoming row must not overwrite")
+    assert(got.filter($"k" === 20001L).count() == 1)
+    assert(got.filter($"k" === 9999L).select("payload").as[String].head() == "v9999")
+    assert(m.totalRows == 10001)
+  }
+
+  test("upsert is file-scoped: files outside the batch key range survive") {
+    val dir = tmpDir("graft_upsert_scope")
+    LayoutWriter.write(base, dir,
+      LayoutSpec("linear", Seq("k"), numFiles = Some(8), recordKey = Some("k")))
+    val before = ZoneMap.read(dir).files.map(_.path).toSet
+
+    val spark2 = spark
+    import spark2.implicits._
+    // batch touches only low keys — high-key files must not be rewritten
+    val batch = Seq((1L, "x", 0.0, 2L), (50L, "y", 0.0, 2L))
+      .toDF("k", "payload", "price", "version")
+    Upserter.upsert(spark, dir, batch)
+    val after = ZoneMap.read(dir).files.map(_.path).toSet
+    val surviving = before.intersect(after)
+    assert(surviving.nonEmpty, "some original files should survive a scoped upsert")
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
+  test("upsert aligns batch schema (missing column becomes null)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_upsert_align")
+    LayoutWriter.write(base, dir,
+      LayoutSpec("linear", Seq("k"), numFiles = Some(4), recordKey = Some("k")))
+    val batch = Seq((30001L, 7.7)).toDF("k", "price") // no payload/version
+    Upserter.upsert(spark, dir, batch)
+    val row = spark.read.parquet(dir).filter($"k" === 30001L).collect()(0)
+    assert(row.getAs[Double]("price") == 7.7)
+    assert(row.isNullAt(row.fieldIndex("payload")))
+  }
+
+  test("batch builder: ntile split is balanced, hash split deterministic") {
+    val nt = BatchBuilder.splitNtile(base, 5, seed = 42)
+    val sizes = nt.groupBy("batch_id").count().collect()
+      .map(r => r.getAs[Long]("count")).sorted
+    assert(sizes.length == 5 && sizes.head == 2000 && sizes.last == 2000)
+
+    val h1 = BatchBuilder.splitHash(base, 5, seed = 42, keyCol = "k")
+    val h2 = BatchBuilder.splitHash(base, 5, seed = 42, keyCol = "k")
+    val s1 = h1.groupBy("batch_id").count().collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("count"))).toMap
+    val s2 = h2.groupBy("batch_id").count().collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[Long]("count"))).toMap
+    assert(s1 == s2, "hash split must be deterministic")
+    assert(s1.values.sum == 10000)
+    assert(s1.values.forall(c => c > 1500 && c < 2500), s"skewed: $s1")
+  }
+}
