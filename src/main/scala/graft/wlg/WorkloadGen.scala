@@ -1,0 +1,173 @@
+package graft.wlg
+
+import graft.profile.{Profiler, UniDist}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+/** Workload generation: spec → parameterized SQL instances with
+  * controlled selectivity (the reference's `wlg.cli fill` pipeline, G4–G8;
+  * reference: wlg/cli/main.py:75-561, templates wlg/templates/sql.py,
+  * emit wlg/emit/yaml_emit.py + sql_emit.py). Pure driver-side;
+  * deterministic under a seed
+  * (every reference spec pins seed 42).
+  */
+object WorkloadGen {
+
+  // ---- Spec model (the subset the reference specs actually use) -------
+
+  sealed trait ParamRule
+  /** G1-style range param pair producing :<name>_lo / :<name>_hi. */
+  case class RangeParam(name: String, column: String, selectivity: Double) extends ParamRule
+  /** G5 interval rule: width = ratio × domain span, uniform placement. */
+  case class IntervalParam(name: String, column: String, widthRatio: Double,
+      intAlign: Boolean = false) extends ParamRule
+  /** G2 point param from top-k frequencies. */
+  case class EqParam(name: String, column: String) extends ParamRule
+  /** G5 categorical window over the sorted top-k (size k). */
+  case class CatWindowParam(name: String, column: String, k: Int) extends ParamRule
+
+  case class TemplateSpec(
+      name: String,
+      sql: String, // with {{tbl}} and :param placeholders
+      params: Seq[ParamRule],
+      constraints: Seq[String] = Nil,
+      n: Int = 10,
+      mode: String = "random", // random | grid | lhs (grid/lhs over range params)
+      seed: Long = 42L)
+
+  case class QueryInstance(template: String, sql: String, params: Map[String, String])
+
+  // ---- Fill ----------------------------------------------------------
+
+  /** Distribution for a column from profiled stats (histogram if present,
+    * quantile fallback otherwise — reference cli/main.py:1313-1337).
+    */
+  def distFor(stats: Profiler.TableStats, column: String): UniDist = {
+    val c = stats.columns.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no stats for $column"))
+    c.histogram match {
+      case Some((edges, counts)) => UniDist(edges, counts)
+      case None =>
+        UniDist.fromQuantiles(
+          c.min.getOrElse(0.0), c.max.getOrElse(1.0),
+          c.quantiles.toSeq.map { case (p, v) => p.toDouble -> v })
+    }
+  }
+
+  def fill(spec: TemplateSpec, stats: Profiler.TableStats, table: String): Seq[QueryInstance] = {
+    val rnd = new Random(spec.seed)
+    val rangeRules = spec.params.collect { case r: RangeParam => r }
+    val out = scala.collection.mutable.ArrayBuffer.empty[QueryInstance]
+    var attempts = 0
+    val maxAttempts = spec.n * 50
+
+    // grid/lhs pre-plan CDF offsets for the range params (G4)
+    val planned: Option[Seq[Seq[Double]]] = spec.mode match {
+      case "grid" if rangeRules.nonEmpty =>
+        Some(Samplers.gridPoints(rangeRules.length, spec.n))
+      case "lhs" if rangeRules.nonEmpty =>
+        Some(Samplers.lhsPoints(rangeRules.length, spec.n, rnd))
+      case _ => None
+    }
+
+    while (out.length < spec.n && attempts < maxAttempts) {
+      attempts += 1
+      val idx = out.length
+      val params = scala.collection.mutable.Map.empty[String, String]
+      val evalParams = scala.collection.mutable.Map.empty[String, ConstraintEval.V]
+
+      var rangeIdx = 0
+      spec.params.foreach {
+        case RangeParam(name, column, sel) =>
+          val dist = distFor(stats, column)
+          val (lo, hi) = planned match {
+            case Some(points) if idx < points.length =>
+              val u = points(idx)(rangeIdx) * (1.0 - sel)
+              (dist.invCdf(u), dist.invCdf(u + sel))
+            case _ => Samplers.sampleBetween(dist, sel, rnd)
+          }
+          rangeIdx += 1
+          params(s"${name}_lo") = fmt(lo); params(s"${name}_hi") = fmt(hi)
+          evalParams(s"${name}_lo") = ConstraintEval.Num(lo)
+          evalParams(s"${name}_hi") = ConstraintEval.Num(hi)
+        case IntervalParam(name, column, ratio, intAlign) =>
+          val c = stats.columns.find(_.name == column).get
+          val (mn, mx) = (c.min.getOrElse(0.0), c.max.getOrElse(1.0))
+          val width = ratio * (mx - mn)
+          var lo = mn + rnd.nextDouble() * math.max(0.0, (mx - mn) - width)
+          var hi = lo + width
+          if (intAlign) { lo = math.floor(lo); hi = math.ceil(hi) }
+          params(s"${name}_lo") = fmt(lo); params(s"${name}_hi") = fmt(hi)
+          evalParams(s"${name}_lo") = ConstraintEval.Num(lo)
+          evalParams(s"${name}_hi") = ConstraintEval.Num(hi)
+        case EqParam(name, column) =>
+          val c = stats.columns.find(_.name == column).get
+          val v = Samplers.sampleEqFromTopk(c.topk, rnd)
+          params(name) = v
+          evalParams(name) = ConstraintEval.Str(v)
+        case CatWindowParam(name, column, k) =>
+          val values = stats.columns.find(_.name == column).get.topk.map(_._1).sorted
+          val start = rnd.nextInt(math.max(1, values.length - k + 1))
+          val window = values.slice(start, start + k)
+          params(name) = window.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+          evalParams(name) = ConstraintEval.Str(window.mkString(","))
+      }
+
+      val ok = spec.constraints.forall(c =>
+        ConstraintEval.evaluate(c, evalParams.toMap))
+      if (ok) {
+        val sql = render(spec.sql, params.toMap + ("tbl" -> table))
+        out += QueryInstance(spec.name, sql, params.toMap)
+      }
+    }
+    require(out.length == spec.n,
+      s"rejection sampling exhausted: ${out.length}/${spec.n} after $attempts tries")
+    out.toSeq
+  }
+
+  private def fmt(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else f"$v%.6f"
+
+  /** G7: longest-name-first :param replacement + {{tbl}} substitution
+    * (reference: wlg/cli/main.py:539-551).
+    */
+  def render(template: String, params: Map[String, String]): String = {
+    var sql = template.replace("{{tbl}}", params.getOrElse("tbl", "{{tbl}}"))
+    params.toSeq.filter(_._1 != "tbl").sortBy(-_._1.length).foreach { case (k, v) =>
+      sql = sql.replace(s":$k", v)
+    }
+    sql
+  }
+
+  /** G8: emit numbered .sql files + a JSON workload doc. */
+  def emit(outDir: String, instances: Seq[QueryInstance]): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    instances.zipWithIndex.foreach { case (q, i) =>
+      Files.write(Paths.get(outDir, f"query_$i%04d.sql"),
+        q.sql.getBytes(StandardCharsets.UTF_8))
+    }
+    val json = instances.map { q =>
+      val ps = q.params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${k}": "${v.replace("\"", "\\\"")}"""" }
+        .mkString("{", ", ", "}")
+      s"""{"tpl": "${q.template}", "sql": ${jstr(q.sql)}, "params": $ps}"""
+    }.mkString("{\"workload\": [\n", ",\n", "\n]}")
+    Files.write(Paths.get(outDir, "workload.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** G10: dialect hook (identity, like the reference's
+    * wlg/templates/dialect.py:6-16).
+    */
+  def formatSql(sql: String, dialect: String = "spark"): String = sql
+}

@@ -1,0 +1,123 @@
+package graft.wlg
+
+import graft.profile.UniDist
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class WlgSuite extends AnyFunSuite {
+
+  private val uniform = UniDist(Seq(0.0, 100.0), Seq(1000L))
+
+  test("sampleBetween hits the target selectivity on a uniform dist") {
+    val rnd = new Random(42)
+    for (sel <- Seq(0.001, 0.01, 0.1, 0.2); _ <- 1 to 50) {
+      val (lo, hi) = Samplers.sampleBetween(uniform, sel, rnd)
+      val got = (hi - lo) / 100.0
+      assert(math.abs(got - sel) < 1e-9, s"sel=$sel got=$got")
+      assert(lo >= 0.0 && hi <= 100.0)
+    }
+  }
+
+  test("sampleEqFromTopk is frequency-weighted") {
+    val rnd = new Random(1)
+    val topk = Seq("a" -> 900L, "b" -> 100L)
+    val draws = (1 to 2000).map(_ => Samplers.sampleEqFromTopk(topk, rnd))
+    val aShare = draws.count(_ == "a") / 2000.0
+    assert(aShare > 0.85 && aShare < 0.95, s"a share $aShare")
+  }
+
+  test("phi matches known normal CDF values") {
+    assert(math.abs(Samplers.phi(0.0) - 0.5) < 1e-7)
+    assert(math.abs(Samplers.phi(1.96) - 0.975) < 1e-3)
+    assert(math.abs(Samplers.phi(-1.96) - 0.025) < 1e-3)
+  }
+
+  test("copula spans multiply to the target selectivity") {
+    val rnd = new Random(7)
+    val dists = Seq(uniform, uniform, uniform)
+    for (_ <- 1 to 30) {
+      val ranges = Samplers.sampleCopula(dists, 0.008, 0.4, rnd)
+      val vol = ranges.map { case (lo, hi) => (hi - lo) / 100.0 }.product
+      assert(math.abs(vol - 0.008) < 1e-6, s"volume $vol")
+    }
+  }
+
+  test("cholesky of equicorrelation reproduces the matrix") {
+    val l = Samplers.choleskyEquicorr(3, 0.4)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val got = (0 until 3).map(k => l(i)(k) * l(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.4
+      assert(math.abs(got - want) < 1e-9, s"($i,$j): $got")
+    }
+  }
+
+  test("grid covers the unit cube evenly; lhs stratifies each dim") {
+    val g = Samplers.gridPoints(2, 9)
+    assert(g.length == 9)
+    assert(g.flatten.forall(v => v > 0 && v < 1))
+    assert(g.distinct.length == 9)
+
+    val rnd = new Random(5)
+    val l = Samplers.lhsPoints(2, 10, rnd)
+    assert(l.length == 10)
+    for (d <- 0 until 2) {
+      val strata = l.map(p => (p(d) * 10).toInt).sorted
+      assert(strata == (0 until 10).toList, s"dim $d strata $strata")
+    }
+  }
+
+  test("constraint evaluator covers the reference grammar") {
+    import ConstraintEval._
+    val p = Map("hi" -> Num(10), "lo" -> Num(3), "x" -> Str("b"), "y" -> Num(5))
+    assert(evaluate("hi >= lo", p))
+    assert(!evaluate("lo > hi", p))
+    assert(evaluate("x not in {a, c}", p))
+    assert(!evaluate("x not in {a, b}", p))
+    assert(evaluate("x in {a, b}", p))
+    assert(evaluate("hi >= lo and y > 4", p))
+    assert(!evaluate("hi >= lo and y > 5", p))
+    assert(evaluate("hi < lo or y == 5", p))
+    assert(evaluate("not (hi < lo)", p))
+    assert(evaluate("'b' == x", p))
+    assert(evaluate("y != 6", p))
+  }
+
+  test("render substitutes longest param names first and {{tbl}}") {
+    val sql = WorkloadGen.render(
+      "SELECT * FROM {{tbl}} WHERE a BETWEEN :p AND :p_hi",
+      Map("tbl" -> "lineitem", "p" -> "1", "p_hi" -> "9"))
+    assert(sql == "SELECT * FROM lineitem WHERE a BETWEEN 1 AND 9")
+  }
+
+  test("fill is deterministic under a seed and respects constraints") {
+    val stats = graft.profile.Profiler.TableStats(
+      rows = 1000,
+      columns = Seq(graft.profile.Profiler.ColumnStats(
+        "v", "numeric", 1000, 0, Some(0.0), Some(100.0),
+        Map("0.5" -> 50.0), 100, Nil,
+        Some((Seq(0.0, 50.0, 100.0), Seq(500L, 500L))))),
+      correlations = Nil)
+    val spec = WorkloadGen.TemplateSpec(
+      name = "t1",
+      sql = "SELECT count(*) FROM {{tbl}} WHERE v BETWEEN :r_lo AND :r_hi",
+      params = Seq(WorkloadGen.RangeParam("r", "v", 0.1)),
+      constraints = Seq("r_hi >= r_lo"),
+      n = 5)
+    val a = WorkloadGen.fill(spec, stats, "t")
+    val b = WorkloadGen.fill(spec, stats, "t")
+    assert(a == b, "same seed must give identical workloads")
+    assert(a.length == 5)
+    assert(a.forall(_.sql.contains("FROM t WHERE")))
+    assert(a.forall(q => !q.sql.contains(":r_lo")))
+  }
+
+  test("emit writes numbered sql files and a workload doc") {
+    val dir = java.nio.file.Files.createTempDirectory("wlg_emit").toString
+    WorkloadGen.emit(dir, Seq(
+      WorkloadGen.QueryInstance("t", "SELECT 1", Map("a" -> "1"))))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "query_0000.sql")))
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "workload.json")))
+    assert(doc.contains("\"tpl\": \"t\""))
+  }
+}
