@@ -1,0 +1,105 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque binary
+  * columns with typed metadata, plus the decode / feature-extract /
+  * frame-sample plumbing a training-data pipeline runs over them.
+  *
+  * The decode kernels are STUBS — this container ships no image/audio
+  * codecs — implemented as deterministic byte-hash fakes so the
+  * Spark-side contract (schema, batch shape, partition behavior,
+  * per-partition amortized setup) is real and testable. Swap
+  * [[decodeStub]] for a JNI/codec call in production; nothing else
+  * changes.
+  *
+  * Scale design: decoding is mapPartitions (per-partition codec init
+  * amortized across rows, the Scala analogue of a batched pandas UDF);
+  * frame sampling is a generate/explode that Spark parallelizes per
+  * row; nothing touches the driver.
+  */
+object Multimodal {
+
+  case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      bytes: Array[Byte],
+      width: Int, height: Int, durationMs: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      feature: Array[Float], // FeatureDim floats
+      decodeOk: Boolean)
+
+  val FeatureDim = 16
+
+  /** Deterministic synthetic media corpus (binary payload = seeded bytes). */
+  def synthetic(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val kind = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val rnd = new scala.util.Random(i)
+      val payload = Array.fill[Byte](256 + (i % 512).toInt)(rnd.nextInt().toByte)
+      MediaRow(i, kind, payload,
+        width = if (kind == "image" || kind == "video") 64 + (i % 4).toInt * 32 else 0,
+        height = if (kind == "image" || kind == "video") 64 else 0,
+        durationMs = if (kind == "image") 0 else 1000 + (i % 10).toInt * 500)
+    }
+  }
+
+  /** STUB decode: a real implementation would decode the payload with a
+    * codec and pool pixel/sample values; this fake derives FeatureDim
+    * floats from a rolling byte hash — deterministic, so tests can
+    * assert exact values. The mapPartitions shape (iterator → iterator,
+    * one "codec" per partition) is the production contract.
+    */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition "codec" init would go here (amortized, like
+      // mapInPandas batch setup)
+      rows.map { m =>
+        val feat = new Array[Float](FeatureDim)
+        var h = 1125899906842597L // FNV-ish rolling hash
+        var i = 0
+        while (i < m.bytes.length) {
+          h = h * 31 + m.bytes(i)
+          feat(i % FeatureDim) += (h & 0xFFFF) / 65535.0f
+          i += 1
+        }
+        val norm = math.sqrt(feat.map(x => x * x.toDouble).sum).toFloat
+        MediaFeatures(m.media_id, m.kind,
+          if (norm > 0) feat.map(_ / norm) else feat, decodeOk = true)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one row per sampled frame at
+    * `everyMs` intervals (explode of a sequence — fully parallel).
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 500): DataFrame = {
+    media.toDF()
+      .filter(col("kind") === "video")
+      .withColumn("frame_ms",
+        explode(sequence(lit(0), col("durationMs"), lit(everyMs))))
+      .select(col("media_id"), col("frame_ms"), col("width"), col("height"))
+  }
+
+  /** Resize metadata transform (the pixel work is in the stubbed codec;
+    * the metadata contract — aspect-preserving target box — is real).
+    */
+  def resizePlan(media: Dataset[MediaRow], maxSide: Int): DataFrame = {
+    media.toDF()
+      .filter(col("kind").isin("image", "video"))
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_w", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", ceil(col("height") * col("scale")).cast("int"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"))
+  }
+}

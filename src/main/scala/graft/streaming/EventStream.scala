@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events shape (ts, user_id, event_type,
+  * value). The reference has no stream processing (its only "stream" is
+  * a sequence of insert batches, SURVEY.md §1.1) — this is the
+  * greenfield streaming surface a continuously-ingesting lakehouse needs.
+  *
+  * Scale design: watermarked windowed aggregation is incremental state
+  * partitioned by (window, event_type); sessionization uses
+  * flatMapGroupsWithState keyed by user with an event-time timeout, so
+  * state size is O(active users), not O(events).
+  */
+object EventStream {
+
+  /** Hourly tumbling-window counts with a watermark — the streaming
+    * equivalent of the batch q19_events_hourly query.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_ts"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, events: Int, sum: Double)
+  case class Session(user_id: Long, startTs: java.sql.Timestamp,
+      endTs: java.sql.Timestamp, events: Int, sumValue: Double)
+
+  /** Gap-based sessionization (30-min inactivity closes a session) via
+    * flatMapGroupsWithState with an event-time timeout.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+              s.events, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t),
+                    events = s.events + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.events, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.media.Multimodal
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+class SourcesStreamingSuite extends SparkTestBase {
+
+  test("autoRead sniffs csv/json/parquet and applies per-format defaults") {
+    val dir = tmpDir("src_sniff")
+    Files.write(Paths.get(dir, "a.csv"), "x,y\n1,foo\n2,bar\n".getBytes)
+    val csv = Readers.autoRead(spark, dir + "/a.csv")
+    assert(csv.columns.toSeq == Seq("x", "y")) // header honored
+    assert(csv.count() == 2)
+    assert(csv.schema("x").dataType.typeName == "integer") // inferSchema
+
+    val jdir = tmpDir("src_json")
+    Files.write(Paths.get(jdir, "b.json"), "{\"k\": 1}\n{\"k\": 2}\n".getBytes)
+    assert(Readers.sniffFormat(jdir) == "json")
+    assert(Readers.autoRead(spark, jdir).count() == 2)
+
+    val spark2 = spark
+    import spark2.implicits._
+    val pdir = tmpDir("src_parq")
+    Seq((1, "a")).toDF("i", "s").write.mode("overwrite").parquet(pdir)
+    assert(Readers.sniffFormat(pdir) == "parquet")
+    assert(Readers.autoRead(spark, pdir).count() == 1)
+  }
+
+  test("tpchCsv reads dbgen format with schema, dates, and dummy drop") {
+    val dir = tmpDir("src_tpch")
+    Files.write(Paths.get(dir, "orders.tbl"),
+      ("1|100|O|1234.56|1995-03-15|1-URGENT|Clerk#01|0|note|\n" +
+        "2|200|F|99.99|1996-07-01|5-LOW|Clerk#02|0|other|\n").getBytes)
+    val df = Readers.tpchCsv(spark, dir + "/orders.tbl", "orders")
+    assert(df.columns.length == 9 && !df.columns.contains("_dummy"))
+    val r = df.orderBy("o_orderkey").collect()
+    assert(r(0).getAs[Int]("o_orderkey") == 1)
+    assert(r(0).getAs[Double]("o_totalprice") == 1234.56)
+    assert(r(0).getAs[java.sql.Date]("o_orderdate").toString == "1995-03-15")
+    assert(r(1).getAs[String]("o_orderpriority") == "5-LOW")
+  }
+
+  test("streaming hourly counts equal the batch aggregation (AvailableNow)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val srcDir = tmpDir("stream_src")
+    val events = (0 until 2000).map { i =>
+      (new java.sql.Timestamp(3600_000L * (i % 5) + (i % 60) * 1000),
+        (i % 50).toLong, s"type${i % 3}", i * 0.5)
+    }.toDF("ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .parquet(srcDir)
+    val agg = EventStream.hourlyCounts(stream, watermark = "0 seconds")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("hourly_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("hourly_test")
+      .orderBy("hour_ts", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+    val want = events
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("hour_ts", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq,
+      s"stream/batch mismatch: ${got.take(3).toSeq} vs ${want.take(3).toSeq}")
+  }
+
+  test("sessionization closes sessions on inactivity gaps") {
+    val spark2 = spark
+    import spark2.implicits._
+    // batch-mode check of the session merge logic via groupByKey on a
+    // bounded Dataset is not supported for flatMapGroupsWithState with
+    // EventTimeTimeout; drive it as a real stream instead.
+    val srcDir = tmpDir("sess_src")
+    val rows = Seq(
+      // user 1: two sessions separated by > 30 min — the second event at
+      // 1:30 closes the first session in-batch (gap > 30 min)
+      (ts(0, 0), 1L, "a", 1.0), (ts(0, 10), 1L, "a", 2.0),
+      (ts(1, 30), 1L, "a", 3.0),
+      // user 2: one session (stays open in state — never emitted)
+      (ts(0, 5), 2L, "b", 5.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    // single write => single micro-batch => deterministic event order per
+    // group (multiple files can split into batches and the earliest file
+    // may then arrive behind the watermark)
+    rows.coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(rows.schema).parquet(srcDir)
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val sessions = spark.table("sess_test")
+      .orderBy("user_id", "startTs").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("events"),
+        r.getAs[Double]("sumValue")))
+    // user 1 first session (2 events) must be closed; later sessions may
+    // still be open in state depending on the final watermark.
+    assert(sessions.contains((1L, 2, 3.0)), sessions.toSeq.toString)
+  }
+
+  // offset from epoch 0: the initial watermark is 0 and rows at exactly
+  // ts <= watermark are filtered as late
+  private def ts(h: Int, m: Int) =
+    new java.sql.Timestamp(((h * 60 + m) * 60 + 86400) * 1000L)
+
+  test("multimodal: stub decode is deterministic, frames/resize plumb through") {
+    val media = Multimodal.synthetic(spark, 90)
+    assert(media.count() == 90)
+    val feats = Multimodal.decodeStub(media)
+    val f1 = feats.filter(_.media_id == 5L).collect()(0)
+    val f2 = Multimodal.decodeStub(media).filter(_.media_id == 5L).collect()(0)
+    assert(f1.feature.toSeq == f2.feature.toSeq, "stub decode must be deterministic")
+    assert(f1.feature.length == Multimodal.FeatureDim)
+    assert(math.abs(f1.feature.map(x => x * x.toDouble).sum - 1.0) < 1e-5,
+      "features are L2-normalized")
+
+    val frames = Multimodal.sampleFrames(media, everyMs = 500)
+    val vids = media.filter(_.kind == "video").collect()
+    val expected = vids.map(v => v.durationMs / 500 + 1).sum
+    assert(frames.count() == expected)
+
+    val rs = Multimodal.resizePlan(media, maxSide = 64)
+    assert(rs.filter(col("out_w") > 64 || col("out_h") > 64).count() == 0)
+  }
+}
