@@ -40,10 +40,15 @@ object DedupQueries {
     }),
 
     // MinHash signatures + LSH banding: per band, bucket count and the
-    // number of candidate pairs the band join would produce.
+    // number of candidate pairs the band join would produce. Signature
+    // hashes use the Kirsch–Mitzenmacher construction g_i = h1 + i*h2
+    // (two md5s per shingle instead of K): h1,h2 < 2^60 so h1 + 7*h2
+    // stays inside a signed 64-bit long.
     "q29_minhash_lsh" -> ((s, d) => {
+      val h1 = wordHash60(concat(lit("a|"), col("shingle")))
+      val h2 = wordHash60(concat(lit("b|"), col("shingle")))
       val mins = (0 until K).map(i =>
-        min(minhashOf(col("shingle"), i)).as(s"mh$i"))
+        min(h1 + lit(i.toLong) * h2).as(s"mh$i"))
       val sigs = shingled(docs(s, d))
         .groupBy(col("doc_id"))
         .agg(mins.head, mins.tail: _*)
@@ -128,12 +133,17 @@ object DedupQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q29_minhash_lsh" -> {
       val minCols = (0 until K)
-        .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+        .map(i => s"min(h1 + $i*h2) AS mh$i").mkString(", ")
       val bandSelects = (0 until Bands)
         .map(j => s"SELECT $j AS band, md5(mh${2 * j} || '|' || mh${2 * j + 1}) AS bucket FROM sigs")
         .mkString("\n  UNION ALL ")
       s"""WITH $shingleCte,
-         |sigs AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('a|' || shingle), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substr(md5('b|' || shingle), 1, 15))::BIGINT AS h2
+         |  FROM sh),
+         |sigs AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
          |bands AS ($bandSelects),
          |bk AS (SELECT band, bucket, count(*) AS c FROM bands GROUP BY 1, 2)
          |SELECT band, count(*) AS n_buckets,

