@@ -68,6 +68,21 @@ object LayoutQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // PrunedScan v2: SQL over SfcTable — file skipping happens inside
+    // Catalyst (custom FileIndex translates pushed data filters to zone
+    // predicates); no manual predicate plumbing.
+    "q39_sfc_table_sql" -> ((s, d) => {
+      val dir = layoutDir(s, d, "lineitem", "zorder", Seq("l_shipdate", "l_quantity"))
+      graft.table.SfcTable.open(s, dir).createOrReplaceTempView("sfc_lineitem")
+      s.sql(
+        s"""SELECT l_returnflag, count(*) AS cnt,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM sfc_lineitem
+           |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'
+           |  AND l_quantity BETWEEN 25.0 AND 35.0
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Linear layout on l_shipdate; 1-D range (reference demo q2 shape).
     "q23_linear_prune" -> ((s, d) => {
       val dir = layoutDir(s, d, "lineitem", "linear", Seq("l_shipdate"))
@@ -96,6 +111,13 @@ object LayoutQueries {
       s"""SELECT count(*) AS cnt,
          | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
          |FROM lineitem
-         |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'""".stripMargin
+         |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'""".stripMargin,
+    "q39_sfc_table_sql" ->
+      s"""SELECT l_returnflag, count(*) AS cnt,
+         |  round(sum(l_extendedprice), 2) AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'
+         |  AND l_quantity BETWEEN 25.0 AND 35.0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

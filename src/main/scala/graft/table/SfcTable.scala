@@ -1,0 +1,164 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, _}
+import org.apache.spark.sql.execution.datasources._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{FileStatus, Path}
+import graft.layout._
+
+/** PrunedScan v2 (SURVEY.md §4.3): a zone-map-aware `FileIndex` so file
+  * skipping happens INSIDE Catalyst for arbitrary SQL — no manual
+  * predicate plumbing. `FileSourceStrategy` hands the scan's data
+  * filters to `listFiles`; we translate them to zone predicates, drop
+  * files whose [min,max] cannot match, and Spark never opens them.
+  * This is exactly where Delta/Hudi/Iceberg hook their stats-based
+  * skipping; the reference measures that skipping as files/bytes
+  * scanned (lakehouse_op/run_queries.py:165-248).
+  *
+  * Correctness: pruning is conservative (unknown expressions / columns
+  * without stats keep the file) and Spark still evaluates the full
+  * predicate per row — skipping can only remove files that provably
+  * contain no matching rows.
+  */
+class GraftFileIndex(
+    spark: SparkSession,
+    rootPath: Path,
+    manifest: TableManifest,
+    fileStatuses: Seq[FileStatus],
+    schema: StructType)
+  extends InMemoryFileIndex(
+    spark, Seq(rootPath), Map.empty, Some(schema), FileStatusCache.getOrCreate(spark)) {
+
+  private val byPath: Map[String, FileEntry] =
+    manifest.files.map(f => normalize(f.path) -> f).toMap
+
+  private def normalize(p: String): String = new Path(p).toUri.getPath
+
+  /** How many files the last listFiles call kept (for tests/metrics). */
+  @volatile var lastKept: Int = -1
+  @volatile var lastTotal: Int = -1
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val all = super.listFiles(partitionFilters, dataFilters)
+    val preds = dataFilters.flatMap(ZoneTranslator.translate(_, schema))
+    if (preds.isEmpty) {
+      lastKept = -1; lastTotal = -1
+      return all
+    }
+    val pruned = all.map { pd =>
+      PartitionDirectory(pd.values, pd.files.filter { fs =>
+        byPath.get(normalize(fs.getPath.toString)) match {
+          case Some(entry) => preds.forall(_.mayMatch(entry))
+          case None => true // not in manifest — keep (sound)
+        }
+      })
+    }
+    lastTotal = all.map(_.files.length).sum
+    lastKept = pruned.map(_.files.length).sum
+    pruned
+  }
+}
+
+/** Catalyst `Expression` → `ZonePredicate` translation. Conservative:
+  * anything unrecognized yields no predicate (file kept).
+  */
+object ZoneTranslator {
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Cast(c, _, _, _) => attrName(c)
+    case _ => None
+  }
+
+  /** Literal → the manifest's double domain (dates stored as epoch days,
+    * timestamps as epoch seconds).
+    */
+  private def litNum(l: Any, dt: DataType): Option[Double] = (l, dt) match {
+    case (null, _) => None
+    case (v: Number, _: NumericType) => Some(v.doubleValue())
+    case (v: Integer, DateType) => Some(v.doubleValue()) // days
+    case (v: java.lang.Long, TimestampType | TimestampNTZType) =>
+      Some(v.doubleValue() / 1e6) // micros → seconds
+    case _ => None
+  }
+
+  private def litStr(l: Any, dt: DataType): Option[String] = (l, dt) match {
+    case (null, _) => None
+    case (v, StringType) => Some(v.toString)
+    case _ => None
+  }
+
+  def translate(e: Expression, schema: StructType): Seq[ZonePredicate] = e match {
+    case CAnd(l, r) => translate(l, schema) ++ translate(r, schema)
+    case EqualTo(a, Literal(v, dt)) => point(a, v, dt)
+    case EqualTo(Literal(v, dt), a) => point(a, v, dt)
+    case GreaterThanOrEqual(a, Literal(v, dt)) => lower(a, v, dt, inclusive = true)
+    case GreaterThan(a, Literal(v, dt)) => lower(a, v, dt, inclusive = false)
+    case LessThanOrEqual(a, Literal(v, dt)) => upper(a, v, dt, inclusive = true)
+    case LessThan(a, Literal(v, dt)) => upper(a, v, dt, inclusive = false)
+    case GreaterThanOrEqual(Literal(v, dt), a) => upper(a, v, dt, inclusive = true)
+    case GreaterThan(Literal(v, dt), a) => upper(a, v, dt, inclusive = false)
+    case LessThanOrEqual(Literal(v, dt), a) => lower(a, v, dt, inclusive = true)
+    case LessThan(Literal(v, dt), a) => lower(a, v, dt, inclusive = false)
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      attrName(a).toSeq.flatMap { c =>
+        val lits = list.collect { case Literal(v, dt) => (v, dt) }
+        val strs = lits.flatMap { case (v, dt) => litStr(v, dt) }
+        val nums = lits.flatMap { case (v, dt) => litNum(v, dt) }
+        if (strs.length == lits.length) Seq(StrIn(c, strs))
+        else if (nums.length == lits.length && nums.nonEmpty)
+          Seq(NumBetween(c, nums.min, nums.max)) // coarse but sound
+        else Nil
+      }
+    case _ => Nil
+  }
+
+  private def point(a: Expression, v: Any, dt: DataType): Seq[ZonePredicate] =
+    attrName(a).toSeq.flatMap { c =>
+      litNum(v, dt).map(n => NumBetween(c, n, n)).orElse(
+        litStr(v, dt).map(s => StrBetween(c, s, s))).toSeq
+    }
+
+  private def lower(a: Expression, v: Any, dt: DataType, inclusive: Boolean): Seq[ZonePredicate] =
+    attrName(a).toSeq.flatMap { c =>
+      litNum(v, dt).map(n => NumBetween(c, n, Double.MaxValue)).orElse(
+        litStr(v, dt).map(s => StrBetween(c, s, "￿" * 8))).toSeq
+    }
+
+  private def upper(a: Expression, v: Any, dt: DataType, inclusive: Boolean): Seq[ZonePredicate] =
+    attrName(a).toSeq.flatMap { c =>
+      litNum(v, dt).map(n => NumBetween(c, Double.MinValue, n)).orElse(
+        litStr(v, dt).map(s => StrBetween(c, "", s))).toSeq
+    }
+}
+
+object SfcTable {
+
+  /** Open a layout table with zone-map skipping wired into the scan.
+    * The returned DataFrame behaves like `spark.read.parquet(dir)` but
+    * any pushable range/point/IN predicate — from the DataFrame API or
+    * SQL over a temp view — skips non-matching files at planning time.
+    */
+  def open(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = ZoneMap.read(dir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-")).toSeq
+    val schema = spark.read.parquet(dir).schema
+    val index = new GraftFileIndex(spark, root, manifest, statuses, schema)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(Bridge.classicSession(spark))
+    Bridge.ofRows(spark, LogicalRelation(relation))
+  }
+}

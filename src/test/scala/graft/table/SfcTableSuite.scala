@@ -1,0 +1,76 @@
+package graft.table
+
+import graft.SparkTestBase
+import graft.layout.LayoutWriter
+import graft.layout.LayoutWriter.LayoutSpec
+import graft.runner.QueryRunner
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class SfcTableSuite extends SparkTestBase {
+
+  private lazy val dir = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(21)
+    val df = (1 to 40000).map { i =>
+      (i.toLong, rnd.nextInt(1000), rnd.nextDouble() * 100,
+        f"cat${rnd.nextInt(20)}%02d")
+    }.toDF("id", "x", "y", "cat")
+    val d = tmpDir("sfc_table")
+    LayoutWriter.write(df, d,
+      LayoutSpec("zorder", Seq("x", "y"), numFiles = Some(16)),
+      extraStatsCols = Seq("cat"))
+    d
+  }
+
+  test("SQL over SfcTable skips files automatically and stays correct") {
+    SfcTable.open(spark, dir).createOrReplaceTempView("sfc_t")
+    val plain = spark.read.parquet(dir)
+    plain.createOrReplaceTempView("plain_t")
+
+    val where = "x BETWEEN 100 AND 180 AND y BETWEEN 10.0 AND 25.0"
+    val viaSfc = QueryRunner.run(spark,
+      spark.sql(s"SELECT count(*) AS c, sum(id) AS s FROM sfc_t WHERE $where"),
+      "sfc", action = "collect")
+    val viaPlain = QueryRunner.run(spark,
+      spark.sql(s"SELECT count(*) AS c, sum(id) AS s FROM plain_t WHERE $where"),
+      "plain", action = "collect")
+
+    val a = spark.sql(s"SELECT count(*) AS c, sum(id) AS s FROM sfc_t WHERE $where").collect()(0)
+    val b = spark.sql(s"SELECT count(*) AS c, sum(id) AS s FROM plain_t WHERE $where").collect()(0)
+    assert(a.toSeq == b.toSeq, "pruned SQL result must match full scan")
+    assert(viaSfc.filesScanned < viaPlain.filesScanned,
+      s"expected automatic skipping: sfc=${viaSfc.filesScanned} plain=${viaPlain.filesScanned}")
+    assert(viaPlain.filesScanned == 16)
+  }
+
+  test("DataFrame-API predicates prune too; unknown predicates keep all files") {
+    val t = SfcTable.open(spark, dir)
+    val m = QueryRunner.run(spark,
+      t.filter(col("x") === 500), "eq_pred", action = "collect")
+    assert(m.filesScanned < 16, s"point predicate should prune: ${m.filesScanned}")
+
+    // a predicate the translator cannot understand must not prune
+    val all = QueryRunner.run(spark,
+      t.filter(expr("pmod(x, 7) = 3")), "opaque_pred", action = "collect")
+    assert(all.filesScanned == 16, s"opaque predicate pruned: ${all.filesScanned}")
+    assert(all.rows > 0)
+  }
+
+  test("string IN predicates prune via the manifest string stats") {
+    val t = SfcTable.open(spark, dir)
+    val m = QueryRunner.run(spark,
+      t.filter(col("cat").isin("cat03")), "str_in", action = "collect")
+    val full = spark.read.parquet(dir).filter(col("cat") === "cat03").count()
+    assert(m.rows == full)
+    // zorder on (x,y) doesn't cluster cat — files may or may not prune,
+    // but results must be exact and never over-prune
+    assert(m.filesScanned <= 16 && m.filesScanned >= 1)
+  }
+
+  test("empty result predicates still return correct empty output") {
+    val t = SfcTable.open(spark, dir)
+    assert(t.filter(col("x") > 5000).count() == 0)
+  }
+}
