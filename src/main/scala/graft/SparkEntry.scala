@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.ProfileQueries.queries ++
-      graft.queries.MaintenanceQueries.queries
+      graft.queries.MaintenanceQueries.queries ++
+      graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.ProfileQueries.oracles ++
-      graft.queries.MaintenanceQueries.oracles
+      graft.queries.MaintenanceQueries.oracles ++
+      graft.queries.TpchQueries.oracles
 }
