@@ -50,4 +50,54 @@ object Compactor {
     ZoneMap.write(dir, fixed)
     fixed
   }
+
+  /** Scoped compaction — the reference's L6 (`OPTIMIZE ... WHERE`,
+    * delta_write_layout.py:136-138,195-219): only files whose zone
+    * intersects `preds` are rewritten; the rest of the table (files and
+    * manifest entries) is untouched. Cost is O(matching files).
+    */
+  def compactWhere(
+      spark: SparkSession,
+      dir: String,
+      preds: Seq[ZonePredicate],
+      targetFileBytes: Long = DefaultTargetFileBytes): TableManifest = {
+    val manifest = ZoneMap.read(dir)
+    val (affected, untouched) = manifest.files.partition(f =>
+      preds.forall(_.mayMatch(f)))
+    if (affected.length <= 1) return manifest // nothing to bin-pack
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affectedBytes = affected.map(f =>
+      fs.getFileStatus(new Path(new java.net.URI(f.path))).getLen).sum
+    val numFiles = math.max(1,
+      math.ceil(affectedBytes.toDouble / targetFileBytes).toInt)
+
+    val df0 = spark.read.parquet(affected.map(_.path): _*)
+    val keys =
+      if (manifest.layoutCols.isEmpty) Nil
+      else LayoutWriter.curveKeyOrCols(
+        df0, manifest.layoutCols, manifest.bits, manifest.layout)
+    val arranged =
+      if (keys.isEmpty) df0.repartition(numFiles)
+      else df0.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
+    val staging = dir.stripSuffix("/") + ".compactw_tmp"
+    arranged.write.mode("overwrite").parquet(staging)
+    val moved = fs.listStatus(new Path(staging))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { s =>
+        val dst = new Path(dir, s.getPath.getName)
+        fs.rename(s.getPath, dst)
+        dst.toUri.toString
+      }.toSeq
+    affected.foreach(f => fs.delete(new Path(new java.net.URI(f.path)), false))
+    fs.delete(new Path(staging), true)
+
+    val newEntries =
+      if (moved.isEmpty) Seq.empty[FileEntry]
+      else ZoneMap.collectStatsDf(
+        spark.read.parquet(moved: _*), manifest.statsCols)
+    val updated = manifest.copy(files = untouched ++ newEntries)
+    ZoneMap.write(dir, updated)
+    updated
+  }
 }

@@ -82,6 +82,17 @@ object LayoutWriter {
     manifest
   }
 
+  /** The ordering key(s) for a layout: the curve key for zorder/hilbert,
+    * the raw columns for linear, nothing for baseline.
+    */
+  def curveKeyOrCols(
+      df: DataFrame, cols: Seq[String], bits: Int, layout: String): Seq[Column] =
+    layout match {
+      case "zorder" | "hilbert" => Seq(curveKey(df, cols, bits, layout))
+      case "linear" => cols.map(col)
+      case _ => Nil
+    }
+
   /** Curve-key expression: normalize each layout column to [0, 2^bits)
     * using its global min/max (one small agg — 2 doubles per column), then
     * interleave. Null coordinates sort to the curve origin.

@@ -132,6 +132,26 @@ class LayoutSpecSuite extends SparkTestBase {
     assert(scan.df.columns.toSeq == data.columns.toSeq)
   }
 
+  test("scoped compaction rewrites only matching files") {
+    val dir = tmpDir("graft_compactw")
+    LayoutWriter.write(data, dir, LayoutSpec("linear", Seq("x"), numFiles = Some(16)))
+    val before = ZoneMap.read(dir)
+    // bin-pack only the low-x half of the table
+    val after = Compactor.compactWhere(spark, dir,
+      Seq(NumBetween("x", 0, 499)), targetFileBytes = 512L * 1024 * 1024)
+    assert(after.totalRows == 20000L)
+    val beforePaths = before.files.map(_.path).toSet
+    val survivors = after.files.map(_.path).toSet.intersect(beforePaths)
+    assert(survivors.nonEmpty, "high-x files must survive untouched")
+    assert(after.files.length < before.files.length, "low-x half must bin-pack")
+    assert(spark.read.parquet(dir).count() == 20000L)
+    // content equality on the compacted region
+    val lowSum = spark.read.parquet(dir).filter(col("x") < 500)
+      .agg(sum("id")).collect()(0).getLong(0)
+    val origLow = data.filter(col("x") < 500).agg(sum("id")).collect()(0).getLong(0)
+    assert(lowSum == origLow)
+  }
+
   test("compactor rewrites to fewer files, preserves rows and layout") {
     val dir = tmpDir("graft_compact")
     LayoutWriter.write(data, dir, LayoutSpec("zorder", Seq("x", "y"), numFiles = Some(32)))

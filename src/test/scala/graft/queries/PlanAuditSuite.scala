@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the optimizations the 100 TB design depends on
+  * must be visible in the plan, not assumed. Each assertion here is one
+  * of the scale guarantees from the build plan — filter pushdown to the
+  * scan, column pruning, broadcast of small sides, partial aggregation,
+  * whole-stage codegen.
+  */
+class PlanAuditSuite extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q2 range filter is pushed down to the parquet scan") {
+    val p = plan("q2_date_range")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.matches("(?s).*PushedFilters:.*l_shipdate.*"),
+      "l_shipdate range must reach the scan:\n" + p.take(1200))
+  }
+
+  test("q2 reads only the referenced columns (pruned ReadSchema)") {
+    val p = plan("q2_date_range")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_shipdate") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q6_join_dim").contains("BroadcastHashJoin"))
+    val p7 = plan("q7_multijoin")
+    assert(p7.contains("BroadcastHashJoin"), "nation/region must broadcast")
+  }
+
+  test("group-by aggregates use partial (map-side) aggregation") {
+    val p = plan("q1_agg")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
+  }
+
+  /** AQE only materializes codegen stages at execution — run the plan,
+    * then inspect the final nodes.
+    */
+  private def executedNodes(df: DataFrame): Seq[String] = {
+    df.queryExecution.toRdd.count()
+    graft.runner.QueryRunner.allNodes(df.queryExecution.executedPlan)
+      .map(_.nodeName)
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    for (q <- Seq("q1_agg", "q2_date_range", "q6_join_dim", "q24_token_count")) {
+      val nodes = executedNodes(graft.SparkEntry.queries(q)(spark, sf))
+      assert(nodes.exists(_.contains("WholeStageCodegen")),
+        s"$q broke codegen: $nodes")
+    }
+  }
+
+  test("curve expressions do not break codegen in the layout write path") {
+    import graft.curve.CurveExpressions
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("plan_audit_curve")
+    (1 to 100).map(i => (i.toLong % 32, i.toLong % 16)).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(CurveExpressions.zvalue(5, col("a"), col("b")).as("z"))
+    val nodes = executedNodes(df)
+    assert(nodes.exists(_.contains("WholeStageCodegen")), nodes.toString)
+  }
+
+  test("no accidental cartesian products in the relational queries") {
+    // q14/q33-style broadcast nested loop joins are intentional
+    // (scalar-subquery cross and non-equi pair join); plain
+    // CartesianProduct with both sides large is never acceptable.
+    for ((name, _) <- graft.queries.RelationalQueries.queries) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+}
