@@ -165,15 +165,20 @@ object RelationalQueries {
           round(max(col("l_extendedprice")), 2).as("max_price"))
     }),
 
-    // W-row_number: per-supplier argmax (window function surface)
+    // Per-supplier argmax. Expressed as max(struct(...)) instead of a
+    // row_number window: a hash aggregate with map-side partial combine —
+    // no per-partition sort, no full-row shuffle — which is the plan that
+    // survives 100 TB (the window variant shuffles and sorts every row).
+    // Struct comparison is lexicographic, so negating the tie-break keys
+    // yields "highest price, then lowest orderkey/linenumber".
     "q15_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
       T(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice"), 2).as("top_price"))
+        .groupBy(col("l_suppkey"))
+        .agg(max(struct(col("l_extendedprice"), (-col("l_orderkey")).as("nok"),
+          (-col("l_linenumber")).as("nln"))).as("m"))
+        .select(col("l_suppkey"), (-col("m.nok")).cast("long").as("l_orderkey"),
+          (-col("m.nln")).cast("int").as("l_linenumber"),
+          round(col("m.l_extendedprice"), 2).as("top_price"))
         .orderBy(col("l_suppkey"))
     }),
 
@@ -216,6 +221,40 @@ object RelationalQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    // Hierarchical aggregation: ROLLUP over (returnflag, linestatus) —
+    // subtotals + grand total in one pass (Spark expands grouping sets
+    // with a single shuffle; no reference counterpart, free via Catalyst).
+    "q47_rollup" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Session assignment in pure SQL-window form: a session starts where
+    // the gap to the previous event of the same user exceeds 30 min;
+    // session id = running count of session starts (lag + cumulative sum
+    // window chain, exact microsecond arithmetic, event_id tie-break).
+    // Output: session-length histogram.
+    "q48_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val newSession = when(
+        us - lag(us, 1).over(byUser) > 1800L * 1000000L, 1L).otherwise(lit(0L))
+      val withId = T(s, d, "events")
+        .withColumn("new_s", coalesce(newSession, lit(0L)))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withId
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_events"))
     }),
 
     // A9 top-k frequent values (profiler top-k, K small here)
@@ -330,6 +369,28 @@ object RelationalQueries {
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
     "q20_topk_freq" ->
       """SELECT lang, count(*) AS cnt FROM documents
-        |GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10""".stripMargin
+        |GROUP BY lang ORDER BY cnt DESC, lang LIMIT 10""".stripMargin,
+    "q47_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q48_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |ids AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events
+        |  FROM ids GROUP BY 1, 2)
+        |SELECT CAST(n_events AS BIGINT) AS n_events, count(*) AS n_sessions
+        |FROM per_session GROUP BY 1 ORDER BY n_events""".stripMargin
   )
 }
