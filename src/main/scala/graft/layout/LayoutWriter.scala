@@ -32,7 +32,8 @@ object LayoutWriter {
       bits: Option[Int] = None,
       numFiles: Option[Int] = None, // None → leave input partitioning
       recordKey: Option[String] = None,
-      precombineCol: Option[String] = None)
+      precombineCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil) // hive-style partition dirs (S3/P8)
 
   /** Columns the manifest keeps stats for: layout cols always; callers can
     * pass extras (e.g. partition-ish columns queried with equality).
@@ -66,9 +67,14 @@ object LayoutWriter {
           .getOrElse(df.repartitionByRange(key))
         parted.sortWithinPartitions(key)
     }
-    arranged.write.mode("overwrite").parquet(dir)
+    val writer = arranged.write.mode("overwrite")
+    (if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*)
+     else writer).parquet(dir)
 
-    val statsCols = (spec.cols ++ extraStatsCols).distinct
+    // Partition columns live in dir paths, not files, but come back as
+    // regular columns on read — the per-file stats job sees them, so the
+    // manifest prunes on them like any other column (partition pruning).
+    val statsCols = (spec.cols ++ spec.partitionBy ++ extraStatsCols).distinct
     val files = ZoneMap.collectStats(spark, dir, statsCols)
     val manifest = TableManifest(
       layout = spec.layout,

@@ -25,10 +25,12 @@ object PrunedScan {
   def read(spark: SparkSession, dir: String, preds: Seq[ZonePredicate]): ScanResult = {
     val manifest = ZoneMap.read(dir)
     val kept = manifest.prune(preds)
+    // basePath restores hive-partition columns when reading an explicit
+    // file list out of a partitioned table dir.
     val df =
       if (kept.isEmpty)
         spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(kept.map(_.path): _*)
+      else spark.read.option("basePath", dir).parquet(kept.map(_.path): _*)
     ScanResult(df, kept.length, manifest.files.length, kept.map(_.rows).sum)
   }
 }

@@ -23,13 +23,14 @@ object LayoutQueries {
 
   private def layoutDir(
       spark: SparkSession, sfDir: String, table: String,
-      layout: String, cols: Seq[String]): String =
-    cache.getOrElseUpdate((sfDir + "/" + table, layout), {
+      layout: String, cols: Seq[String],
+      partitionBy: Seq[String] = Nil): String =
+    cache.getOrElseUpdate((sfDir + "/" + table, layout + partitionBy.mkString(",")), {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_layout_${layout}_").toString
       LayoutWriter.write(
         Tables.load(spark, sfDir, table), dir,
-        LayoutSpec(layout, cols, numFiles = Some(16)))
+        LayoutSpec(layout, cols, numFiles = Some(16), partitionBy = partitionBy))
       dir
     })
 
@@ -83,6 +84,21 @@ object LayoutQueries {
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Hive-style partitioned write (S3 partitionBy + P8 partition-eq
+    // predicate, reference demo q1_filter shape): partition dirs prune
+    // in Catalyst (PartitionFilters) AND via the manifest string stats.
+    "q49_partitioned_eq" -> ((s, d) => {
+      val dir = layoutDir(s, d, "lineitem", "linear",
+        Seq("l_shipdate"), partitionBy = Seq("l_returnflag"))
+      val scan = PrunedScan.read(s, dir, Seq(StrBetween("l_returnflag", "R", "R")))
+      scan.df
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // Linear layout on l_shipdate; 1-D range (reference demo q2 shape).
     "q23_linear_prune" -> ((s, d) => {
       val dir = layoutDir(s, d, "lineitem", "linear", Seq("l_shipdate"))
@@ -118,6 +134,11 @@ object LayoutQueries {
          |FROM lineitem
          |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'
          |  AND l_quantity BETWEEN 25.0 AND 35.0
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q49_partitioned_eq" ->
+      """SELECT l_linestatus, count(*) AS cnt,
+        | round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   )
 }

@@ -52,8 +52,16 @@ object QueryRunner {
       listener: Option[MetricsListener] = None,
       action: String = "count",
       warmup: Boolean = false,
-      clearCache: Boolean = false): QueryMetrics = {
+      clearCache: Boolean = false,
+      cacheMode: String = "none"): QueryMetrics = {
     if (clearCache) spark.catalog.clearCache()
+    // L11 cache modes (reference: run_queries.py:555-566): "df" persists
+    // and materializes the frame before the timed run; "catalog" is
+    // spark.catalog.cacheTable — callers with named views use it directly.
+    if (cacheMode == "df") {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+    }
     if (warmup) runAction(df, action) // discarded (run_queries.py:747-752)
 
     listener.foreach(_.reset(name))

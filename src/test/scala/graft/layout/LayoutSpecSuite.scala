@@ -123,6 +123,42 @@ class LayoutSpecSuite extends SparkTestBase {
       s"curves must prune non-leading dims: z=${kept("zorder", yOnly)} h=${kept("hilbert", yOnly)}")
   }
 
+  test("hive-partitioned layout: partition columns survive pruned reads") {
+    val dir = tmpDir("graft_hivepart")
+    LayoutWriter.write(data, dir,
+      LayoutSpec("linear", Seq("day"), numFiles = Some(4),
+        partitionBy = Seq("cat")))
+    // partition dirs exist
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(subdirs.exists(_.getName.startsWith("cat=")), "expected cat= dirs")
+    // pruning on the partition column keeps only its files
+    val scan = PrunedScan.read(spark, dir, Seq(StrBetween("cat", "cat05", "cat05")))
+    assert(scan.filesKept < scan.filesTotal)
+    assert(scan.df.columns.contains("cat"), "basePath must restore partition col")
+    val got = scan.df.filter(col("cat") === "cat05").count()
+    assert(got == data.filter(col("cat") === "cat05").count())
+    // Catalyst partition pruning fires on the plain directory read too
+    val planStr = spark.read.parquet(dir).filter(col("cat") === "cat05")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") || planStr.contains("cat#"),
+      planStr.take(400))
+  }
+
+  test("CTAS into the session catalog works offline (S5 path)") {
+    val wh = tmpDir("graft_wh")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_test LOCATION '$wh'")
+    data.limit(100).createOrReplaceTempView("ctas_src")
+    // session catalog supports CREATE (not REPLACE) TABLE AS SELECT
+    spark.sql("DROP TABLE IF EXISTS graft_test.ctas_t")
+    spark.sql(
+      """CREATE TABLE graft_test.ctas_t USING parquet
+        |AS SELECT id, x, y FROM ctas_src""".stripMargin)
+    assert(spark.table("graft_test.ctas_t").count() == 100)
+    spark.sql("INSERT INTO graft_test.ctas_t SELECT id, x, y FROM ctas_src LIMIT 5")
+    assert(spark.table("graft_test.ctas_t").count() == 105)
+    spark.sql("DROP TABLE graft_test.ctas_t")
+  }
+
   test("empty survivor set yields empty result with correct schema") {
     val dir = tmpDir("graft_empty")
     LayoutWriter.write(data, dir, LayoutSpec("zorder", Seq("x", "y"), numFiles = Some(4)))
