@@ -74,7 +74,10 @@ object LayoutWriter {
     // Partition columns live in dir paths, not files, but come back as
     // regular columns on read — the per-file stats job sees them, so the
     // manifest prunes on them like any other column (partition pruning).
-    val statsCols = (spec.cols ++ spec.partitionBy ++ extraStatsCols).distinct
+    // The record key always gets stats: Upserter's file-scoped COW needs
+    // key zones to avoid rewriting the whole table.
+    val statsCols =
+      (spec.cols ++ spec.partitionBy ++ spec.recordKey.toSeq ++ extraStatsCols).distinct
     val files = ZoneMap.collectStats(spark, dir, statsCols)
     val manifest = TableManifest(
       layout = spec.layout,
