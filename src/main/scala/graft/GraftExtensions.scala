@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.curve.{HilbertValueExpr, ZValueExpr}
+
+/** Session-extension packaging: `--conf spark.sql.extensions=
+  * graft.GraftExtensions` (or `builder.withExtensions(new
+  * GraftExtensions)`) injects the curve functions into every session
+  * created from that builder — the idiomatic way a library ships
+  * Catalyst additions (same hook Delta/Iceberg use). The imperative
+  * alternative for an existing session is
+  * [[graft.curve.CurveExpressions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def builder(make: (Seq[Expression], Int) => Expression)
+      : Seq[Expression] => Expression = {
+    case Literal(b: Int, IntegerType) +: coords if coords.nonEmpty =>
+      make(coords, b)
+    case _ =>
+      throw new IllegalArgumentException(
+        "usage: f(bits INT literal, coord BIGINT, ...)")
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValueExpr].getName, "graft_zvalue"),
+      builder(ZValueExpr(_, _))))
+    e.injectFunction((
+      FunctionIdentifier("graft_hilbertvalue"),
+      new ExpressionInfo(classOf[HilbertValueExpr].getName, "graft_hilbertvalue"),
+      builder(HilbertValueExpr(_, _))))
+  }
+}

@@ -39,7 +39,18 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Register every table as a temp view (tpch_all_runner.py:143-165). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Register every table as a temp view (tpch_all_runner.py:143-165).
+    * Idempotent per (session, sfDir): repeated calls with the same dir
+    * skip the re-read; a different dir re-registers (views overwrite).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (!registered.get(key).contains(sfDir)) {
+      all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registered(key) = sfDir
+    }
+  }
 }

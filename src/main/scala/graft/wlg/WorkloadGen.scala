@@ -24,6 +24,14 @@ object WorkloadGen {
       intAlign: Boolean = false) extends ParamRule
   /** G2 point param from top-k frequencies. */
   case class EqParam(name: String, column: String) extends ParamRule
+  /** G5 date window anchored to another param's window: starts
+    * `lagDays` after the anchor's lo (± a uniform gap up to
+    * `maxStartGapDays`), spans `widthDays`, clipped to the column
+    * domain (reference: wlg/cli/main.py:324-464, spec_tpch_Q1.yaml
+    * interval_rules).
+    */
+  case class DateLagParam(name: String, column: String, anchor: String,
+      lagDays: Int, widthDays: Int, maxStartGapDays: Int = 0) extends ParamRule
   /** G5 categorical window over the sorted top-k (size k). */
   case class CatWindowParam(name: String, column: String, k: Int) extends ParamRule
 
@@ -106,6 +114,25 @@ object WorkloadGen {
           val v = Samplers.sampleEqFromTopk(c.topk, rnd)
           params(name) = v
           evalParams(name) = ConstraintEval.Str(v)
+        case DateLagParam(name, column, anchor, lagDays, widthDays, maxGap) =>
+          // anchor param must have been produced earlier in the rule list
+          val anchorLo = evalParams.get(s"${anchor}_lo") match {
+            case Some(ConstraintEval.Num(v)) => v
+            case _ => throw new IllegalArgumentException(
+              s"DateLagParam $name: anchor ${anchor}_lo not sampled yet")
+          }
+          val c = stats.columns.find(_.name == column).get
+          val (dMin, dMax) = (c.min.getOrElse(0.0), c.max.getOrElse(0.0))
+          val day = 86400.0 // stats domain is epoch seconds
+          val gap = if (maxGap > 0) rnd.nextDouble() * maxGap * day else 0.0
+          var lo = anchorLo + lagDays * day + gap
+          var hi = lo + widthDays * day
+          // clip_to_domain
+          lo = math.max(dMin, math.min(lo, dMax))
+          hi = math.max(lo, math.min(hi, dMax))
+          params(s"${name}_lo") = fmt(lo); params(s"${name}_hi") = fmt(hi)
+          evalParams(s"${name}_lo") = ConstraintEval.Num(lo)
+          evalParams(s"${name}_hi") = ConstraintEval.Num(hi)
         case CatWindowParam(name, column, k) =>
           val values = stats.columns.find(_.name == column).get.topk.map(_._1).sorted
           val start = rnd.nextInt(math.max(1, values.length - k + 1))

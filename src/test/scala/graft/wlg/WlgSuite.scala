@@ -111,6 +111,42 @@ class WlgSuite extends AnyFunSuite {
     assert(a.forall(q => !q.sql.contains(":r_lo")))
   }
 
+  test("date-lag interval anchors to another param window and clips to domain") {
+    val stats = graft.profile.Profiler.TableStats(
+      rows = 1000,
+      columns = Seq(graft.profile.Profiler.ColumnStats(
+        "d", "datetime", 1000, 0,
+        Some(0.0), Some(365.0 * 86400.0), // one year of epoch-seconds
+        Map.empty, 365, Nil,
+        Some((Seq(0.0, 365.0 * 86400.0), Seq(1000L))))),
+      correlations = Nil)
+    val spec = WorkloadGen.TemplateSpec(
+      name = "lag",
+      sql = "SELECT 1 FROM {{tbl}} WHERE d BETWEEN :a_lo AND :a_hi AND e BETWEEN :b_lo AND :b_hi",
+      params = Seq(
+        WorkloadGen.RangeParam("a", "d", 0.05),
+        WorkloadGen.DateLagParam("b", "d", anchor = "a",
+          lagDays = 30, widthDays = 14, maxStartGapDays = 5)),
+      n = 20)
+    val qs = WorkloadGen.fill(spec, stats, "t")
+    assert(qs.length == 20)
+    qs.foreach { q =>
+      val aLo = q.params("a_lo").toDouble
+      val bLo = q.params("b_lo").toDouble
+      val bHi = q.params("b_hi").toDouble
+      val lag = (bLo - aLo) / 86400.0
+      assert(lag >= 30.0 - 1e-9 && lag <= 35.0 + 1e-9 || bLo == 365.0 * 86400.0,
+        s"lag $lag outside [30,35]")
+      assert(bHi >= bLo && bHi <= 365.0 * 86400.0 + 1e-6)
+      assert(bHi - bLo <= 14.0 * 86400.0 + 1e-6)
+    }
+  }
+
+  test("GraftExtensions applies cleanly to a fresh extension set") {
+    new graft.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("emit writes numbered sql files and a workload doc") {
     val dir = java.nio.file.Files.createTempDirectory("wlg_emit").toString
     WorkloadGen.emit(dir, Seq(
