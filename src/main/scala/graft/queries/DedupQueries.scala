@@ -45,11 +45,16 @@ object DedupQueries {
     // (two md5s per shingle instead of K): h1,h2 < 2^60 so h1 + 7*h2
     // stays inside a signed 64-bit long.
     "q29_minhash_lsh" -> ((s, d) => {
-      val h1 = wordHash60(concat(lit("a|"), col("shingle")))
-      val h2 = wordHash60(concat(lit("b|"), col("shingle")))
+      // materialize h1/h2 once per shingle row — referencing the md5
+      // expressions inside each of the 8 aggregates would recompute them
+      // (no CSE across aggregate expressions)
+      val hashed = shingled(docs(s, d)).select(
+        col("doc_id"),
+        wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
+        wordHash60(concat(lit("b|"), col("shingle"))).as("h2"))
       val mins = (0 until K).map(i =>
-        min(h1 + lit(i.toLong) * h2).as(s"mh$i"))
-      val sigs = shingled(docs(s, d))
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+      val sigs = hashed
         .groupBy(col("doc_id"))
         .agg(mins.head, mins.tail: _*)
       val bands = (0 until Bands).map { j =>

@@ -257,6 +257,18 @@ object RelationalQueries {
         .orderBy(col("n_events"))
     }),
 
+    // A5/A6 amazon-Q5 shape: HAVING COUNT BETWEEN + ORDER BY agg DESC
+    // LIMIT over the events table (spec_amazon_Q5.yaml:14-16).
+    "q50_having_topk" -> ((s, d) => {
+      T(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .filter(col("n_events").between(5, 500))
+        .orderBy(col("sum_value").desc, col("user_id"))
+        .limit(100)
+    }),
+
     // A9 top-k frequent values (profiler top-k, K small here)
     "q20_topk_freq" -> ((s, d) => {
       T(s, d, "documents")
@@ -391,6 +403,11 @@ object RelationalQueries {
         |  SELECT user_id, session_idx, count(*) AS n_events
         |  FROM ids GROUP BY 1, 2)
         |SELECT CAST(n_events AS BIGINT) AS n_events, count(*) AS n_sessions
-        |FROM per_session GROUP BY 1 ORDER BY n_events""".stripMargin
+        |FROM per_session GROUP BY 1 ORDER BY n_events""".stripMargin,
+    "q50_having_topk" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY user_id
+        |HAVING count(*) BETWEEN 5 AND 500
+        |ORDER BY sum_value DESC, user_id LIMIT 100""".stripMargin
   )
 }
