@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking without a single-task window.
+  *
+  * `Window.orderBy` with no partition funnels every row through one
+  * task (round-1 ADVICE flagged exactly this in q16). The scalable
+  * pattern: range-partition by the sort key, compute per-partition
+  * counts, broadcast the tiny offset array, then assign ranks locally
+  * inside each partition. Total shuffle = one range exchange; driver
+  * traffic = numPartitions longs.
+  */
+object GlobalRanks {
+
+  /** Per-value average ranks (the tie semantics Spearman needs):
+    * avgRank(v) = minRank(v) + (count(v) - 1) / 2.
+    *
+    * Implementation: one hash agg to (value, count), then a range
+    * exchange over the distinct values; per-partition local cumsum plus
+    * a broadcast offset vector gives minRank. Output: (value, avg_rank).
+    */
+  def averageRanks(df: DataFrame, valueCol: String, partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions(col("v"))
+      .as[(Double, Long)]
+
+    // tiny job: per-partition total counts → exclusive prefix offsets
+    val perPart = counts.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator.single(i -> s)
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
+
+    counts.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var before = offsets(i)
+        it.map { case (v, c) =>
+          val avg = before + 1 + (c - 1) / 2.0 // ranks are 1-based
+          before += c
+          (v, avg)
+        }
+      }
+      .toDF("v", "avg_rank")
+  }
+
+  /** Spearman rank correlation of two numeric columns — Pearson on
+    * average ranks (reference computes it pandas-side on a sample,
+    * wlg/profiler/stats.py:283-310; this version is exact and
+    * distributed). Two hash joins against the small rank tables.
+    */
+  def spearman(df: DataFrame, c1: String, c2: String): Double = {
+    val r1 = averageRanks(df, c1).withColumnRenamed("avg_rank", "r1")
+    val r2 = averageRanks(df, c2).withColumnRenamed("avg_rank", "r2")
+    val joined = df
+      .select(col(c1).cast("double").as("v1"), col(c2).cast("double").as("v2"))
+      .filter(col("v1").isNotNull && col("v2").isNotNull)
+      .join(r1.withColumnRenamed("v", "v1"), "v1")
+      .join(r2.withColumnRenamed("v", "v2"), "v2")
+    joined.agg(corr(col("r1"), col("r2"))).collect()(0).getDouble(0)
+  }
+
+  /** Scalable ntile: global bucket assignment via the same offset trick
+    * (replaces `ntile(n) OVER (ORDER BY k)` for big tables). Ties get
+    * the bucket of their first occurrence, matching ntile over a unique
+    * key. Returns df plus a `bucket` column in [1, n].
+    */
+  def ntileByRange(df: DataFrame, orderCol: String, n: Int, partitions: Int = 32): DataFrame = {
+    val total = df.count()
+    val ranked = averageRanks(df, orderCol, partitions)
+      .withColumnRenamed("v", "__v")
+    // ntile semantics: first (total % n) buckets get ceil(total/n) rows
+    val base = total / n
+    val extra = total % n
+    val bucketOf = udf { minRankAvg: Double =>
+      val rank0 = (minRankAvg - 1).toLong // 0-based min rank for unique keys
+      val cut = extra * (base + 1)
+      if (rank0 < cut) (rank0 / (base + 1) + 1).toInt
+      else ((rank0 - cut) / base + extra + 1).toInt
+    }
+    df.join(ranked, df(orderCol).cast("double") === ranked("__v"))
+      .withColumn("bucket", bucketOf(col("avg_rank")))
+      .drop("__v", "avg_rank")
+  }
+}

@@ -48,6 +48,15 @@ object ProfileQueries {
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c_qty_price"),
         round(corr(col("l_quantity"), col("l_discount")), 6).as("c_qty_disc"),
         round(corr(col("l_extendedprice"), col("l_discount")), 6).as("c_price_disc"))
+    }),
+
+    // A14 Spearman rank correlation — exact, via the distributed
+    // average-rank machinery (no single-task global window; reference
+    // computes it pandas-side on a 50k sample, stats.py:283-310).
+    "q51_spearman" -> ((s, d) => {
+      val rho = graft.operators.GlobalRanks.spearman(
+        Tables.load(s, d, "lineitem"), "l_quantity", "l_extendedprice")
+      s.sql(s"SELECT CAST(round($rho, 6) AS DOUBLE) AS spearman")
     })
   )
 
@@ -71,6 +80,15 @@ object ProfileQueries {
       """SELECT round(corr(l_quantity, l_extendedprice),6) AS c_qty_price,
         | round(corr(l_quantity, l_discount),6) AS c_qty_disc,
         | round(corr(l_extendedprice, l_discount),6) AS c_price_disc
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "q51_spearman" ->
+      """WITH r AS (
+        |  SELECT
+        |    rank() OVER (ORDER BY l_quantity)
+        |      + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0 AS r1,
+        |    rank() OVER (ORDER BY l_extendedprice)
+        |      + (count(*) OVER (PARTITION BY l_extendedprice) - 1)/2.0 AS r2
+        |  FROM lineitem)
+        |SELECT CAST(round(corr(r1, r2), 6) AS DOUBLE) AS spearman FROM r""".stripMargin
   )
 }
