@@ -50,6 +50,23 @@ object StreamDemo {
     println(s"[stream-demo] stream groups=$nStream batch groups=$nBatch " +
       s"match=${nStream == nBatch}")
     streamed.orderBy(col("cnt").desc).show(5, truncate = false)
+
+    // streaming dedup cross-check
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(streamDir.toString)
+    val normalized =
+      if (stream2.schema("ts").dataType.typeName == "long")
+        stream2.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else stream2
+    val dq = EventStream.dedupeStream(normalized, "event_id")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    dq.awaitTermination(120000)
+    val nDedup = spark.table("deduped").count()
+    val nBatchDedup = batch.dropDuplicates("event_id", "ts").count()
+    println(s"[stream-demo] dedup stream=$nDedup batch=$nBatchDedup " +
+      s"match=${nDedup == nBatchDedup}")
     spark.stop()
   }
 }

@@ -27,6 +27,15 @@ object EventStream {
       .select(col("w.start").as("hour_ts"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup on an id column: state is bounded by the
+    * watermark horizon (ids older than the watermark are forgotten —
+    * the standard at-least-once → effectively-once pattern for
+    * training-data ingest).
+    */
+  def dedupeStream(events: DataFrame, idCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
   case class Event(ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, events: Int, sum: Double)

@@ -121,6 +121,29 @@ class SourcesStreamingSuite extends SparkTestBase {
   private def ts(h: Int, m: Int) =
     new java.sql.Timestamp(((h * 60 + m) * 60 + 86400) * 1000L)
 
+  test("streaming dedup drops in-watermark duplicate ids") {
+    val spark2 = spark
+    import spark2.implicits._
+    val srcDir = tmpDir("dedup_src")
+    val rows = (0 until 1000).map { i =>
+      // every third row duplicates the previous id at the same ts
+      val id = if (i % 3 == 2) (i - 1).toLong else i.toLong
+      (new java.sql.Timestamp(86400_000L + (id % 50) * 60000), id, "e", 1.0)
+    }.toDF("ts", "event_id", "event_type", "value")
+    rows.coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(rows.schema).parquet(srcDir)
+    val q = EventStream.dedupeStream(stream, "event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("dedup_test").count()
+    val want = rows.dropDuplicates("event_id", "ts").count()
+    assert(got == want, s"stream dedup $got vs batch $want")
+    assert(got < 1000, "duplicates must actually be dropped")
+  }
+
   test("multimodal: stub decode is deterministic, frames/resize plumb through") {
     val media = Multimodal.synthetic(spark, 90)
     assert(media.count() == 90)
