@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.ProfileQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
-      graft.queries.TpchQueries.queries
+      graft.queries.TpchQueries.queries ++
+      graft.queries.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.ProfileQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
-      graft.queries.TpchQueries.oracles
+      graft.queries.TpchQueries.oracles ++
+      graft.queries.MediaQueries.oracles
 }

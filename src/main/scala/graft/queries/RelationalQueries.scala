@@ -184,14 +184,12 @@ object RelationalQueries {
 
     // W1 ntile batch split (build_tpch_update_batches.py:62-63), made
     // deterministic by ordering on the key instead of rand(seed).
-    // Scale note: a global (unpartitioned) ntile window funnels all rows
-    // through one task — acceptable here only because the reference's
-    // batch splitter is itself a one-shot global shuffle; the scalable
-    // path for big tables is graft.table.BatchBuilder (range-based).
+    // Computed with the distributed rank machinery (range partition +
+    // broadcast offsets) instead of `ntile() OVER (ORDER BY ...)`, whose
+    // unpartitioned window funnels every row through one task; on the
+    // unique o_orderkey the bucket assignment is identical.
     "q16_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      T(s, d, "orders")
-        .withColumn("bucket", ntile(8).over(w))
+      graft.operators.GlobalRanks.ntileByRange(T(s, d, "orders"), "o_orderkey", 8)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("bucket"))
