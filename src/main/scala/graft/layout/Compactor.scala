@@ -35,8 +35,10 @@ object Compactor {
       bits = Some(manifest.bits),
       numFiles = Some(numFiles),
       recordKey = manifest.recordKey,
-      precombineCol = manifest.precombineCol)
-    LayoutWriter.write(df, tmp, spec, manifest.statsCols.diff(manifest.layoutCols))
+      precombineCol = manifest.precombineCol,
+      partitionBy = manifest.hivePartitions) // preserve hive partitioning
+    val tmpManifest =
+      LayoutWriter.write(df, tmp, spec, manifest.statsCols.diff(manifest.layoutCols))
 
     val dst = new Path(dir)
     val bak = new Path(dir.stripSuffix("/") + ".compact_old")
@@ -44,9 +46,18 @@ object Compactor {
     fs.rename(dst, bak)
     fs.rename(new Path(tmp), dst)
     fs.delete(bak, true)
-    // Manifest paths referenced the tmp dir; rebuild against the final path.
-    val files = ZoneMap.collectStats(spark, dir, manifest.statsCols)
-    val fixed = manifest.copy(files = files)
+    // The rename moved the files wholesale — the tmp manifest's stats are
+    // already correct, only the path prefixes changed. Rewriting them
+    // avoids a second full-table stats scan.
+    val tmpUri = new Path(tmp).toUri.toString
+    val dstUri = dst.toUri.toString
+    def rebase(p: String): String = {
+      val u = new Path(p).toUri.toString
+      if (u.startsWith(tmpUri)) dstUri + u.stripPrefix(tmpUri)
+      else u.replaceFirst(java.util.regex.Pattern.quote(tmp), dstUri)
+    }
+    val fixed = tmpManifest.copy(
+      files = tmpManifest.files.map(f => f.copy(path = rebase(f.path))))
     ZoneMap.write(dir, fixed)
     fixed
   }
@@ -62,6 +73,9 @@ object Compactor {
       preds: Seq[ZonePredicate],
       targetFileBytes: Long = DefaultTargetFileBytes): TableManifest = {
     val manifest = ZoneMap.read(dir)
+    require(manifest.hivePartitions.isEmpty,
+      "compactWhere does not support hive-partitioned tables yet: the " +
+        "file-move rewrite would drop partition-dir values — use compact()")
     val (affected, untouched) = manifest.files.partition(f =>
       preds.forall(_.mayMatch(f)))
     if (affected.length <= 1) return manifest // nothing to bin-pack

@@ -86,7 +86,8 @@ object LayoutWriter {
       statsCols = statsCols,
       recordKey = spec.recordKey,
       precombineCol = spec.precombineCol,
-      files = files)
+      files = files,
+      partitionCols = if (spec.partitionBy.nonEmpty) Some(spec.partitionBy) else None)
     ZoneMap.write(dir, manifest)
     manifest
   }
@@ -126,8 +127,9 @@ object LayoutWriter {
       case DateType => datediff(col(c), lit("1970-01-01").cast(DateType)).cast(DoubleType)
       case TimestampType | TimestampNTZType =>
         // NTZ values are interpreted in the (UTC) session zone — only the
-        // ordering matters for curve coordinates.
-        unix_timestamp(col(c).cast(TimestampType)).cast(DoubleType)
+        // ordering matters for curve coordinates. Fractional seconds via
+        // a double cast (matches ZoneMap's stats domain).
+        col(c).cast(TimestampType).cast(DoubleType)
       case StringType => stringPrefixCode(col(c))
       case dt => throw new IllegalArgumentException(s"cannot curve-order $c: $dt")
     }

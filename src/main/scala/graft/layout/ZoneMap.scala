@@ -40,7 +40,10 @@ case class TableManifest(
     statsCols: Seq[String],
     recordKey: Option[String],
     precombineCol: Option[String],
-    files: Seq[FileEntry]) {
+    files: Seq[FileEntry],
+    partitionCols: Option[Seq[String]] = None) { // hive partitionBy, if any
+
+  def hivePartitions: Seq[String] = partitionCols.getOrElse(Nil)
 
   def totalRows: Long = files.map(_.rows).sum
 
@@ -97,7 +100,10 @@ object ZoneMap {
       case _: NumericType => Some(col(c).cast(DoubleType))
       case DateType => Some(datediff(col(c), lit("1970-01-01").cast(DateType)).cast(DoubleType))
       case TimestampType | TimestampNTZType =>
-        Some(unix_timestamp(col(c).cast(TimestampType)).cast(DoubleType))
+        // fractional epoch seconds — truncating to whole seconds would
+        // understate max by up to 1s and let sub-second predicates prune
+        // files that still contain matches
+        Some(col(c).cast(TimestampType).cast(DoubleType))
       case _ => None
     }
 

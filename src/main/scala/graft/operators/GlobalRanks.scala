@@ -69,12 +69,16 @@ object GlobalRanks {
   }
 
   /** Scalable ntile: global bucket assignment via the same offset trick
-    * (replaces `ntile(n) OVER (ORDER BY k)` for big tables). Ties get
-    * the bucket of their first occurrence, matching ntile over a unique
-    * key. Returns df plus a `bucket` column in [1, n].
+    * (replaces `ntile(n) OVER (ORDER BY k)` for big tables). Matches SQL
+    * ntile exactly on a UNIQUE order key; with ties, all tied rows share
+    * the bucket of their group's middle rank (SQL ntile instead splits a
+    * tie group across buckets nondeterministically). Returns df plus a
+    * `bucket` column in [1, n].
     */
   def ntileByRange(df: DataFrame, orderCol: String, n: Int, partitions: Int = 32): DataFrame = {
+    require(n >= 1, "ntile bucket count must be >= 1")
     val total = df.count()
+    require(total > 0, "ntileByRange on an empty dataframe")
     val ranked = averageRanks(df, orderCol, partitions)
       .withColumnRenamed("v", "__v")
     // ntile semantics: first (total % n) buckets get ceil(total/n) rows
@@ -84,7 +88,9 @@ object GlobalRanks {
       val rank0 = (minRankAvg - 1).toLong // 0-based min rank for unique keys
       val cut = extra * (base + 1)
       if (rank0 < cut) (rank0 / (base + 1) + 1).toInt
-      else ((rank0 - cut) / base + extra + 1).toInt
+      // base == 0 implies total < n, where every rank0 < cut = total —
+      // this branch then only runs with base >= 1; max() is a belt.
+      else ((rank0 - cut) / math.max(base, 1L) + extra + 1).toInt
     }
     df.join(ranked, df(orderCol).cast("double") === ranked("__v"))
       .withColumn("bucket", bucketOf(col("avg_rank")))

@@ -18,7 +18,6 @@ class MetricsListener extends SparkListener {
       var executorCpuTimeNs: Long = 0L,
       var tasks: Int = 0)
 
-  private val jobToGroup = TrieMap.empty[Int, String]
   private val stageToGroup = TrieMap.empty[Int, String]
   private val groups = TrieMap.empty[String, GroupMetrics]
 
@@ -26,9 +25,13 @@ class MetricsListener extends SparkListener {
     val group = Option(e.properties)
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
       .getOrElse("")
-    jobToGroup(e.jobId) = group
     e.stageIds.foreach(stageToGroup(_) = group)
   }
+
+  // Bound state: a stage's mapping is dead once the stage completes
+  // (its TaskEnd events have already been delivered — the bus is FIFO).
+  override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+    stageToGroup.remove(e.stageInfo.stageId)
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val group = stageToGroup.getOrElse(e.stageId, "")

@@ -82,6 +82,10 @@ object QueryRunner {
     val planBytes = scans
       .flatMap(p => p.metrics.get("filesSize").map(_.value)).sum
 
+    // TaskEnd events arrive on an async bus — drain before snapshotting
+    // or the last tasks' metrics are still queued.
+    if (listener.isDefined)
+      org.apache.spark.graftbridge.SparkBridge.drainListenerBus(spark.sparkContext)
     val g = listener.map(_.snapshot(name))
     QueryMetrics(
       name = name,

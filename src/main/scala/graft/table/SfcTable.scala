@@ -27,7 +27,6 @@ class GraftFileIndex(
     spark: SparkSession,
     rootPath: Path,
     manifest: TableManifest,
-    fileStatuses: Seq[FileStatus],
     schema: StructType)
   extends InMemoryFileIndex(
     spark, Seq(rootPath), Map.empty, Some(schema), FileStatusCache.getOrCreate(spark)) {
@@ -66,32 +65,61 @@ class GraftFileIndex(
 
 /** Catalyst `Expression` → `ZonePredicate` translation. Conservative:
   * anything unrecognized yields no predicate (file kept).
+  *
+  * SOUNDNESS: the literal is only translated when its type lives in the
+  * SAME stats domain as the underlying attribute. A comparison like
+  * `CAST(dateCol AS TIMESTAMP) >= TIMESTAMP '...'` reaches us with a
+  * date-domain attribute (stats in epoch days) and a timestamp literal
+  * (micros); translating it naively would compare seconds against days
+  * and prune every file. Such cross-domain casts yield no predicate —
+  * the file is kept and Spark's row-level filter decides.
   */
 object ZoneTranslator {
 
-  private def attrName(e: Expression): Option[String] = e match {
-    case a: AttributeReference => Some(a.name)
-    case Cast(c, _, _, _) => attrName(c)
+  private sealed trait Domain
+  private case object NumD extends Domain
+  private case object DateD extends Domain
+  private case object TsD extends Domain
+  private case object StrD extends Domain
+
+  private def domainOf(dt: DataType): Option[Domain] = dt match {
+    case _: NumericType => Some(NumD)
+    case DateType => Some(DateD)
+    case TimestampType | TimestampNTZType => Some(TsD)
+    case StringType => Some(StrD)
     case _ => None
   }
 
-  /** Literal → the manifest's double domain (dates stored as epoch days,
-    * timestamps as epoch seconds).
+  /** Attribute name + the domain of its STORED type (casts unwrap for
+    * name resolution, but the stats domain is the attribute's own).
     */
-  private def litNum(l: Any, dt: DataType): Option[Double] = (l, dt) match {
-    case (null, _) => None
-    case (v: Number, _: NumericType) => Some(v.doubleValue())
-    case (v: Integer, DateType) => Some(v.doubleValue()) // days
-    case (v: java.lang.Long, TimestampType | TimestampNTZType) =>
-      Some(v.doubleValue() / 1e6) // micros → seconds
+  private def attr(e: Expression): Option[(String, Domain)] = e match {
+    case a: AttributeReference =>
+      domainOf(a.dataType).map(d => (a.name, d))
+    case Cast(c, _, _, _) => attr(c)
     case _ => None
   }
 
-  private def litStr(l: Any, dt: DataType): Option[String] = (l, dt) match {
-    case (null, _) => None
-    case (v, StringType) => Some(v.toString)
-    case _ => None
-  }
+  /** Literal → manifest double domain, ONLY when the literal's type
+    * matches the attribute's domain (dates: epoch days; timestamps:
+    * fractional epoch seconds; numerics: value).
+    */
+  private def litNum(l: Any, dt: DataType, attrDomain: Domain): Option[Double] =
+    (l, dt, attrDomain) match {
+      case (null, _, _) => None
+      case (v: Number, _: NumericType, NumD) => Some(v.doubleValue())
+      case (v: Integer, DateType, DateD) => Some(v.doubleValue()) // days
+      case (v: java.lang.Long, TimestampType | TimestampNTZType, TsD) =>
+        Some(v.doubleValue() / 1e6) // micros → seconds
+      case _ => None // cross-domain cast — not translatable soundly
+    }
+
+  private def litStr(l: Any, dt: DataType, attrDomain: Domain): Option[String] =
+    (l, dt, attrDomain) match {
+      case (null, _, _) => None
+      case (v, StringType, StrD) => Some(v.toString)
+      case _ => None
+    }
 
   def translate(e: Expression, schema: StructType): Seq[ZonePredicate] = e match {
     case CAnd(l, r) => translate(l, schema) ++ translate(r, schema)
@@ -106,10 +134,10 @@ object ZoneTranslator {
     case LessThanOrEqual(Literal(v, dt), a) => lower(a, v, dt, inclusive = true)
     case LessThan(Literal(v, dt), a) => lower(a, v, dt, inclusive = false)
     case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
-      attrName(a).toSeq.flatMap { c =>
+      attr(a).toSeq.flatMap { case (c, dom) =>
         val lits = list.collect { case Literal(v, dt) => (v, dt) }
-        val strs = lits.flatMap { case (v, dt) => litStr(v, dt) }
-        val nums = lits.flatMap { case (v, dt) => litNum(v, dt) }
+        val strs = lits.flatMap { case (v, dt) => litStr(v, dt, dom) }
+        val nums = lits.flatMap { case (v, dt) => litNum(v, dt, dom) }
         if (strs.length == lits.length) Seq(StrIn(c, strs))
         else if (nums.length == lits.length && nums.nonEmpty)
           Seq(NumBetween(c, nums.min, nums.max)) // coarse but sound
@@ -119,21 +147,21 @@ object ZoneTranslator {
   }
 
   private def point(a: Expression, v: Any, dt: DataType): Seq[ZonePredicate] =
-    attrName(a).toSeq.flatMap { c =>
-      litNum(v, dt).map(n => NumBetween(c, n, n)).orElse(
-        litStr(v, dt).map(s => StrBetween(c, s, s))).toSeq
+    attr(a).toSeq.flatMap { case (c, dom) =>
+      litNum(v, dt, dom).map(n => NumBetween(c, n, n)).orElse(
+        litStr(v, dt, dom).map(s => StrBetween(c, s, s))).toSeq
     }
 
   private def lower(a: Expression, v: Any, dt: DataType, inclusive: Boolean): Seq[ZonePredicate] =
-    attrName(a).toSeq.flatMap { c =>
-      litNum(v, dt).map(n => NumBetween(c, n, Double.MaxValue)).orElse(
-        litStr(v, dt).map(s => StrBetween(c, s, "￿" * 8))).toSeq
+    attr(a).toSeq.flatMap { case (c, dom) =>
+      litNum(v, dt, dom).map(n => NumBetween(c, n, Double.MaxValue)).orElse(
+        litStr(v, dt, dom).map(s => StrBetween(c, s, "￿" * 8))).toSeq
     }
 
   private def upper(a: Expression, v: Any, dt: DataType, inclusive: Boolean): Seq[ZonePredicate] =
-    attrName(a).toSeq.flatMap { c =>
-      litNum(v, dt).map(n => NumBetween(c, Double.MinValue, n)).orElse(
-        litStr(v, dt).map(s => StrBetween(c, "", s))).toSeq
+    attr(a).toSeq.flatMap { case (c, dom) =>
+      litNum(v, dt, dom).map(n => NumBetween(c, Double.MinValue, n)).orElse(
+        litStr(v, dt, dom).map(s => StrBetween(c, "", s))).toSeq
     }
 }
 
@@ -147,11 +175,8 @@ object SfcTable {
   def open(spark: SparkSession, dir: String): DataFrame = {
     val manifest = ZoneMap.read(dir)
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses = fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-")).toSeq
     val schema = spark.read.parquet(dir).schema
-    val index = new GraftFileIndex(spark, root, manifest, statuses, schema)
+    val index = new GraftFileIndex(spark, root, manifest, schema)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),

@@ -36,6 +36,9 @@ object Upserter {
     */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame): TableManifest = {
     val manifest = ZoneMap.read(dir)
+    require(manifest.hivePartitions.isEmpty,
+      "upsert does not support hive-partitioned tables yet: the file-move " +
+        "rewrite would drop partition-dir values")
     val key = manifest.recordKey.getOrElse(
       throw new IllegalArgumentException(s"$dir has no recordKey — cannot upsert"))
     val precombine = manifest.precombineCol

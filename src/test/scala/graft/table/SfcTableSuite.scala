@@ -73,4 +73,29 @@ class SfcTableSuite extends SparkTestBase {
     val t = SfcTable.open(spark, dir)
     assert(t.filter(col("x") > 5000).count() == 0)
   }
+
+  test("cross-domain casts never mistranslate: date column vs timestamp literal") {
+    val spark2 = spark
+    import spark2.implicits._
+    // DateType layout column — stats stored in epoch DAYS
+    val df = (0 until 2000).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"199${i % 5}-${1 + i % 12}%02d-15"))
+    }.toDF("id", "d")
+    val d2 = tmpDir("sfc_datecol")
+    LayoutWriter.write(df, d2, LayoutSpec("linear", Seq("d"), numFiles = Some(8)))
+    val t = SfcTable.open(spark, d2)
+    // the comparison forces Cast(d AS TIMESTAMP) vs a timestamp literal
+    // (micros); a naive translation compares micros-domain seconds with
+    // days-domain stats and prunes everything
+    val got = t.filter(col("d").cast("timestamp") >=
+      lit("1993-01-01 00:00:00").cast("timestamp")).count()
+    val want = df.filter(col("d") >= lit("1993-01-01").cast("date")).count()
+    assert(got == want && got > 0, s"got=$got want=$want")
+    // same-domain date literal still prunes
+    val m = graft.runner.QueryRunner.run(spark,
+      t.filter(col("d") >= lit("1994-06-01").cast("date")), "date_prune",
+      action = "collect")
+    assert(m.rows == df.filter(col("d") >= lit("1994-06-01").cast("date")).count())
+    assert(m.filesScanned < 8, s"date-domain predicate should prune: ${m.filesScanned}")
+  }
 }

@@ -9,6 +9,7 @@ rows sorted, values compared with float tolerance + exact match report).
 import sys, json, glob, os
 import duckdb
 import pandas as pd
+import numpy as np
 
 sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -39,9 +40,13 @@ for name, sql in sorted(oracle.items()):
     for c in o.columns:
         oc, sc = o[c], s[c]
         if pd.api.types.is_float_dtype(oc) or pd.api.types.is_float_dtype(sc):
-            # relative-or-absolute: 2-dp-rounded sums near a .005 boundary can
-            # legitimately differ by 0.01 between parallel and serial summation
-            tol = 1e-9 * oc.abs().fillna(0) + 0.011
+            # Two tolerance regimes: big 2-dp-rounded sums may differ by 0.01
+            # near a .005 boundary (parallel vs serial summation); small
+            # 6-dp-rounded metrics (ratios, correlations, similarities) must
+            # agree to their rounding precision — a blanket 0.011 would mask
+            # real bugs there. NB the driver's own gate is an exact hash.
+            big = oc.abs().fillna(0) > 10
+            tol = 1e-9 * oc.abs().fillna(0) + np.where(big, 0.011, 2e-6)
             ok = ((oc - sc).abs() <= tol) | (oc.isna() & sc.isna())
         else:
             try:
