@@ -63,6 +63,29 @@ object SimilarityQueries {
         .limit(20)
     }),
 
+    // IVF coarse quantization: assign every vector to its nearest of 16
+    // data-derived centroids (vec_id 0..15) by cosine; per-centroid
+    // population + mean similarity. This is the partition-assignment
+    // step of an IVF index — at scale each centroid's posting list is a
+    // separate partition and queries probe only the nearest lists.
+    "q35b_ivf_assign" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = withNorm(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")), "cemb", "cn")
+      val vecs = withNorm(e.select(col("vec_id"), col("embedding")), "embedding", "vn")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))
+      vecs.join(broadcast(cents))
+        .withColumn("sim",
+          round(vecDot(col("embedding"), col("cemb")) / (col("vn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          round(avg(col("sim")), 6).as("avg_sim"))
+        .orderBy(col("cid"))
+    }),
+
     // Random-hyperplane LSH: 16-bit signature from sign(dot(x, plane_j)),
     // planes = embeddings of vec_id 0..15 (deterministic, data-derived).
     // Output: the 10 most-populated buckets.
@@ -105,6 +128,19 @@ object SimilarityQueries {
          |  ${cosSql("a.embedding", "b.embedding")} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+    "q35b_ivf_assign" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ${cosSql("v.embedding", "c.cemb")} AS sim,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM embeddings v CROSS JOIN cents c)
+         |SELECT cid, count(*) AS n_assigned, round(avg(sim), 6) AS avg_sim
+         |FROM scored WHERE rn = 1
+         |GROUP BY cid ORDER BY cid""".stripMargin,
     "q34_ann_lsh_buckets" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS pid, embedding AS pemb FROM embeddings WHERE vec_id < 16),
