@@ -78,6 +78,18 @@ case class StrBetween(col: String, lo: String, hi: String) extends ZonePredicate
   }
 }
 
+/** value >= lo (lexicographic, unbounded above) on a string column.
+  * An explicit open upper bound — a "large" sentinel string is unsound
+  * (any finite sentinel is exceeded by some real string).
+  */
+case class StrAtLeast(col: String, lo: String) extends ZonePredicate {
+  def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
+    case None => true
+    case Some(r) if r.allNull => false
+    case Some(r) => r.maxStr.forall(_ >= lo)
+  }
+}
+
 /** value IN (set) on a string column — prunes on [min,max] containment. */
 case class StrIn(col: String, values: Seq[String]) extends ZonePredicate {
   def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {

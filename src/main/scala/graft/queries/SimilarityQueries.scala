@@ -81,8 +81,11 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy(col("cid"))
+        // avg over doubles is summation-order-dependent (round-2 hash
+        // mismatch): sum exactly in DECIMAL, divide once as a double
         .agg(count(lit(1)).as("n_assigned"),
-          round(avg(col("sim")), 6).as("avg_sim"))
+          round(sum(col("sim").cast("decimal(16,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_sim"))
         .orderBy(col("cid"))
     }),
 
@@ -138,7 +141,9 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${cosSql("v.embedding", "c.cemb")} DESC, c.cid) AS rn
          |  FROM embeddings v CROSS JOIN cents c)
-         |SELECT cid, count(*) AS n_assigned, round(avg(sim), 6) AS avg_sim
+         |SELECT cid, count(*) AS n_assigned,
+         |  round(CAST(sum(CAST(sim AS DECIMAL(16,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_sim
          |FROM scored WHERE rn = 1
          |GROUP BY cid ORDER BY cid""".stripMargin,
     "q34_ann_lsh_buckets" ->

@@ -13,16 +13,27 @@ import graft.Tables
   *
   * The SQL is dialect-shared: the exact same text runs on DuckDB as the
   * oracle (only rounding/aliasing conventions applied).
+  *
+  * Money sums accumulate in DECIMAL(18,4): double sums are
+  * summation-order-dependent, and Spark's parallel partial aggregation
+  * vs DuckDB's serial sum flipped the last rounded digit in round 2
+  * (q43_tpch10 hash mismatch). Casting each product to decimal before
+  * the sum is exact and order-independent in both engines; the result
+  * is cast back to double so the output schema is unchanged.
   */
 object TpchQueries {
 
   private def sql(text: String): (SparkSession, String) => DataFrame =
     (s, d) => { Tables.registerAll(s, d); s.sql(text) }
 
+  /** Order-independent money sum, rounded to 2dp as a double. */
+  private def moneySum(expr: String): String =
+    s"round(CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE), 2)"
+
   // Q3 — shipping-priority revenue of BUILDING customers.
   private val q3 =
-    """SELECT l_orderkey, o_orderdate,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    s"""SELECT l_orderkey, o_orderdate,
+      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -33,8 +44,8 @@ object TpchQueries {
 
   // Q5 — local-supplier volume per ASIA nation.
   private val q5 =
-    """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    s"""SELECT n_name,
+      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -46,7 +57,7 @@ object TpchQueries {
 
   // Q6 — forecast revenue change (pure scan-filter-agg).
   private val q6 =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    s"""SELECT ${moneySum("l_extendedprice * l_discount")} AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -54,8 +65,8 @@ object TpchQueries {
 
   // Q10 — returned-item reporting: top customers by lost revenue.
   private val q10 =
-    """SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    s"""SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
+      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
       |FROM customer, orders, lineitem, nation
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -64,11 +75,16 @@ object TpchQueries {
       |GROUP BY c_custkey, c_name, n_name, c_acctbal
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
-  // Q14 — promotion revenue share (CASE + LIKE over a join).
+  // Q14 — promotion revenue share (CASE + LIKE over a join). Both sums
+  // accumulate exactly in DECIMAL, then the ratio is one deterministic
+  // double division on each engine.
   private val q14 =
-    """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-      |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-      |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    """SELECT round(100.0
+      |    * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+      |      AS DECIMAL(18,4))) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -88,13 +104,16 @@ object TpchQueries {
       |ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
   // Q22 — global sales opportunity (scalar subquery + NOT EXISTS),
-  // adapted: nation key stands in for the phone country code.
+  // adapted: nation key stands in for the phone country code. The avg
+  // threshold is sum/count over DECIMAL so boundary rows can't flip
+  // between engines on float-sum ordering.
   private val q22 =
-    """SELECT c_nationkey, count(*) AS numcust,
-      |  round(sum(c_acctbal), 2) AS totacctbal
+    s"""SELECT c_nationkey, count(*) AS numcust,
+      |  ${moneySum("c_acctbal")} AS totacctbal
       |FROM customer
-      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-      |                   WHERE c_acctbal > 0.0)
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+      |                     AS DOUBLE) / count(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 

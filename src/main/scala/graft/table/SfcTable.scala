@@ -92,11 +92,38 @@ object ZoneTranslator {
 
   /** Attribute name + the domain of its STORED type (casts unwrap for
     * name resolution, but the stats domain is the attribute's own).
+    *
+    * Only casts that are monotone AND consistent with the manifest's
+    * double-stats space may be unwrapped. A narrowing cast like
+    * `CAST(doubleCol AS INT) = 5` truncates: a file with doubleCol in
+    * [5.3, 5.9] satisfies the predicate but its stats box misses 5.0 —
+    * unwrapping would prune it (silently wrong results). Likewise
+    * int→float / long→float round-to-nearest can round a value UP past
+    * a literal the double-space stats sit below. Unsafe casts yield no
+    * predicate; the file is kept and the row-level filter decides.
     */
+  private val intWidth: Map[DataType, Int] =
+    Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+
+  private def castSafe(from: DataType, to: DataType): Boolean = (from, to) match {
+    // widening integral→integral: exact, monotone
+    case (f, t) if intWidth.contains(f) && intWidth.contains(t) =>
+      intWidth(f) <= intWidth(t)
+    // →double IS the stats mapping itself (manifest stores doubles), so
+    // the predicate compares in exactly the stats space — always sound
+    case (f, DoubleType) if intWidth.contains(f) => true
+    case (FloatType, DoubleType) => true
+    // integral→decimal with room for every value: exact, monotone
+    case (f, t: DecimalType) if intWidth.contains(f) =>
+      t.precision - t.scale >= 19 ||
+        (f != LongType && t.precision - t.scale >= 10)
+    case _ => false
+  }
+
   private def attr(e: Expression): Option[(String, Domain)] = e match {
     case a: AttributeReference =>
       domainOf(a.dataType).map(d => (a.name, d))
-    case Cast(c, _, _, _) => attr(c)
+    case Cast(c, to, _, _) if castSafe(c.dataType, to) => attr(c)
     case _ => None
   }
 
@@ -155,7 +182,9 @@ object ZoneTranslator {
   private def lower(a: Expression, v: Any, dt: DataType, inclusive: Boolean): Seq[ZonePredicate] =
     attr(a).toSeq.flatMap { case (c, dom) =>
       litNum(v, dt, dom).map(n => NumBetween(c, n, Double.MaxValue)).orElse(
-        litStr(v, dt, dom).map(s => StrBetween(c, s, "￿" * 8))).toSeq
+        // explicitly unbounded above — any finite sentinel string is
+        // exceeded by some real string (e.g. 9+ leading U+FFFF chars)
+        litStr(v, dt, dom).map(s => StrAtLeast(c, s))).toSeq
     }
 
   private def upper(a: Expression, v: Any, dt: DataType, inclusive: Boolean): Seq[ZonePredicate] =
