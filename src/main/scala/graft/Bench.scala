@@ -36,18 +36,29 @@ object Bench {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
             return -1.0
+        } finally {
+          // leak-free AND honest: frames a builder registered via
+          // Materialize.track are dropped after EVERY run, so each
+          // measured run recomputes them exactly once (no warm cache
+          // carry-over — round 2's fake-fast q30/q31 pathology)
+          graft.runner.Materialize.releaseAll()
         }
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup (discarded)
-      // min of two measured runs: absorbs JIT/GC noise without hiding
-      // real cost (both runs execute the full pipeline)
-      name -> math.min(once(), once())
+      // two measured runs: min is the headline (absorbs JIT/GC noise);
+      // both runs are recorded so cross-query pollution stays visible
+      // (round-3 VERDICT #7)
+      val r1 = once(); val r2 = once()
+      (name, math.min(r1, r2), Seq(r1, r2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, rs) =>
+      "\"" + k + "\":[" + rs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

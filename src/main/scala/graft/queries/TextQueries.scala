@@ -60,13 +60,13 @@ object TextQueries {
 
     // Heuristic language ID: marker-stopword votes, fixed-priority argmax;
     // output is the (labeled lang, predicted lang) confusion matrix.
+    // All 5 marker counts come from ONE codegen'd traversal of the words
+    // array (markerScores) — the previous 5 interpreted-HOF filter terms
+    // each re-evaluated the split (round-3 VERDICT #2, 5.1 s at sf0.1).
     "q26_lang_id" -> ((s, d) => {
-      val ws = words(col("text"))
-      val scored = markers.foldLeft(docs(s, d)) { case (df, (code, stops)) =>
-        df.withColumn(s"s_$code", size(filter(ws, w => w.isin(stops: _*))))
-      }
-      val Seq(en, zh, es, de, fr) =
-        Seq("s_en", "s_zh", "s_es", "s_de", "s_fr").map(col)
+      val scored = docs(s, d)
+        .withColumn("sc", markerScores(words(col("text")), markers.map(_._2)))
+      val Seq(en, zh, es, de, fr) = markers.indices.map(i => col("sc")(i))
       val predicted = when(en >= greatest(zh, es, de, fr), "en")
         .when(zh >= greatest(es, de, fr), "zh")
         .when(es >= greatest(de, fr), "es")

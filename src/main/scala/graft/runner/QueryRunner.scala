@@ -70,7 +70,10 @@ object QueryRunner {
     val t0 = System.nanoTime()
     val rows =
       try runAction(frame, action)
-      finally spark.sparkContext.clearJobGroup()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        Materialize.releaseAll()
+      }
     val wall = (System.nanoTime() - t0) / 1e9
 
     // Plan-level scan metrics (M1): every scan node exposes numFiles.

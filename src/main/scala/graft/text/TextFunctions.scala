@@ -42,10 +42,19 @@ object TextFunctions {
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
   /** 60-bit SimHash of a words array: majority vote per bit over the
-    * (frequency-weighted) word hashes. Pure per-row expression — scales
-    * embarrassingly; the 60-term sum stays inside codegen.
+    * (frequency-weighted) word hashes. One md5 per word, all 60 bit-votes
+    * accumulated in a single codegen'd traversal ([[TextKernels]]) — the
+    * HOF formulation ([[simhash60Hof]]) recomputed the hash array up to
+    * 60x per row (round-3 VERDICT #1, 29 s at sf0.1).
     */
-  def simhash60(ws: Column): Column = {
+  def simhash60(ws: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      SimHash60(org.apache.spark.sql.graftbridge.Bridge.expression(ws)))
+
+  /** Reference HOF formulation of [[simhash60]] — kept as the parity
+    * oracle for TextKernelsSuite (matches the DuckDB SQL term-by-term).
+    */
+  def simhash60Hof(ws: Column): Column = {
     val hashes = transform(ws, wordHash60 _)
     val n = size(hashes)
     (0 until 60).map { i =>
@@ -54,6 +63,13 @@ object TextFunctions {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Per-marker-set word-membership counts (ARRAY<INT>, one count per
+    * set) in a single codegen'd traversal of the words array.
+    */
+  def markerScores(ws: Column, sets: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      WordMarkerScores(org.apache.spark.sql.graftbridge.Bridge.expression(ws), sets))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-hash kernels. Round-3 VERDICT #1: expressing SimHash as
+  * 60 higher-order-function terms recomputes the per-word md5 array up to
+  * 60x per row (HOFs are interpreted — no codegen, no common-subexpression
+  * elimination), which turned q31 into a 29 s scale-killer. These kernels
+  * hash each word exactly once and accumulate every bit-vote / marker
+  * count in a single traversal, invoked from codegen'd expressions (same
+  * pattern as [[FloatVecDot]]).
+  *
+  * Parity contract: [[hash60]] equals the SQL expression
+  * `conv(substring(md5(w),1,15),16,10)::long` (== DuckDB
+  * `('0x' || substr(md5(w),1,15))::BIGINT`) — the first 15 hex nibbles of
+  * the md5 digest, i.e. the top 60 bits — so the DuckDB oracles are
+  * unchanged. Verified against the HOF formulation in TextKernelsSuite.
+  */
+object TextKernels {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(bytes): first 8 digest bytes big-endian, dropping
+    * the low nibble of byte 7 == parse of the first 15 hex chars.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** 60-bit SimHash of a words array: per-bit majority vote over the
+    * (frequency-weighted) 60-bit word hashes, one md5 per word. Null
+    * elements count toward the total (size() semantics of the HOF
+    * formulation) but cast no votes.
+    */
+  def simhash60(ws: ArrayData): Long = {
+    val n = ws.numElements()
+    val votes = new Array[Long](60)
+    var i = 0
+    while (i < n) {
+      if (!ws.isNullAt(i)) {
+        val h = hash60(ws.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 60) { votes(b) += (h >>> b) & 1L; b += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) * 2 > n) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Per-marker-set membership counts over a words array in one traversal
+    * (q26 lang-ID: 5 interpreted `size(filter(ws, isin(...)))` terms each
+    * re-evaluated the split — round-3 VERDICT #2).
+    */
+  def markerScores(ws: ArrayData, sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val counts = new Array[Int](sets.length)
+    val n = ws.numElements()
+    var i = 0
+    while (i < n) {
+      if (!ws.isNullAt(i)) {
+        val w = ws.getUTF8String(i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(w)) counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+}
+
+/** `simhash60(ARRAY<STRING>) -> LONG` as a codegen'd expression. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `markerScores(ARRAY<STRING>) -> ARRAY<INT>`: element k counts how many
+  * words fall in the k-th marker set.
+  */
+case class WordMarkerScores(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_marker_scores"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>")
+  }
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    markerSets.map { s =>
+      val hs = new java.util.HashSet[UTF8String](s.size * 2)
+      s.foreach(w => hs.add(UTF8String.fromString(w)))
+      hs
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.markerScores(input.asInstanceOf[ArrayData], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.markerScores($c, $setsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

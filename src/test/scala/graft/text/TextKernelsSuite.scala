@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** Parity gates for the one-pass codegen kernels: each kernel must equal
+  * its (slow, interpreted, DuckDB-matching) HOF formulation bit-for-bit —
+  * that is what keeps the q26/q31 DuckDB oracles valid after the rewrite.
+  */
+class TextKernelsSuite extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsWords = {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+  }
+
+  test("hash60 kernel == conv(substring(md5,1,15),16,10) SQL expression") {
+    val rows = docsWords
+      .select(explode(col("ws")).as("w")).limit(2000)
+      .select(col("w"), wordHash60(col("w")).as("sql_h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      assert(TextKernels.hash60(w.getBytes("UTF-8")) === r.getLong(1),
+        s"hash60 mismatch for word '$w'")
+    }
+  }
+
+  test("SimHash60 expression == HOF formulation on real documents") {
+    val diff = docsWords
+      .select(simhash60(col("ws")).as("fast"), simhash60Hof(col("ws")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("SimHash60 handles empty arrays and nulls") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a','b','a')), (array('')), (CAST(NULL AS ARRAY<STRING>))
+        |AS t(ws)""".stripMargin)
+    val out = df.select(simhash60(col("ws")).as("h"),
+      simhash60Hof(col("ws")).as("ref")).collect()
+    out.filter(r => !r.isNullAt(0)).foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+    }
+    // intended difference: SQL-standard null-in/null-out, where the HOF's
+    // when(...).otherwise(0) chain collapses a NULL array to 0
+    assert(out.count(_.isNullAt(0)) === 1)
+    assert(out.count(_.isNullAt(1)) === 0)
+  }
+
+  test("markerScores == per-set size(filter(isin)) terms") {
+    val sets = Seq(Seq("the", "and", "of"), Seq("le", "la"), Seq("zzz_nohit"))
+    val slow = sets.zipWithIndex.map { case (stops, i) =>
+      size(filter(col("ws"), w => w.isin(stops: _*))).as(s"m$i")
+    }
+    val diff = docsWords
+      .withColumn("sc", markerScores(col("ws"), sets))
+      .select(col("sc"), struct(slow: _*).as("ref"))
+      .filter(col("sc")(0) =!= col("ref.m0") ||
+        col("sc")(1) =!= col("ref.m1") || col("sc")(2) =!= col("ref.m2"))
+      .count()
+    assert(diff === 0L)
+  }
+}
