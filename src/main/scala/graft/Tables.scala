@@ -32,6 +32,19 @@ object Tables {
     }
   }
 
+  /** Spread an under-split source across the session's parallelism.
+    * The test parquet files are single-row-group, so every scan arrives
+    * as ONE input split and anything per-row-expensive downstream
+    * (md5/shingle/simhash kernels, join probes) runs on one task. At
+    * production scale sources arrive pre-split into thousands of
+    * row-groups and the guard makes this a no-op — it never reshuffles
+    * an already-parallel 100 TB scan.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -28,6 +28,15 @@ object TextFunctions {
         i => concat_ws(" ", slice(ws, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct n-gram shingles in ONE codegen'd traversal — semantics of
+    * `array_distinct(shingles(ws, n))` (parity-tested in
+    * TextKernelsSuite); the HOF chain is interpreted and cost ~3 s at
+    * sf0.1 before any dedup work started.
+    */
+  def shinglesDistinct(ws: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DistinctShingles(org.apache.spark.sql.graftbridge.Bridge.expression(ws), n))
+
   /** MinHash over a shingle column (pre-exploded): the k-th hash of one
     * shingle. min() of this per doc gives the k-th signature component.
     * String min over md5 hex == numeric min over the 128-bit value.

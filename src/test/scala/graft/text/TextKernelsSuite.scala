@@ -53,6 +53,33 @@ class TextKernelsSuite extends SparkTestBase {
     assert(out.count(_.isNullAt(1)) === 0)
   }
 
+  test("shinglesDistinct == array_distinct(shingles(ws, n)) on real documents") {
+    for (n <- Seq(2, 3, 5)) {
+      val diff = docsWords
+        .select(shinglesDistinct(col("ws"), n).as("fast"),
+          array_distinct(shingles(col("ws"), n)).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+        .count()
+      assert(diff === 0L, s"shinglesDistinct mismatch at n=$n")
+    }
+  }
+
+  test("shinglesDistinct edge cases: short, exact-width, null array") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a','b')), (array('a','b','c')), (array('a','a','a','a')),
+        |  (array('')), (CAST(NULL AS ARRAY<STRING>))
+        |AS t(ws)""".stripMargin)
+    val rows = df.select(shinglesDistinct(col("ws"), 3).as("fast"),
+      array_distinct(shingles(col("ws"), 3)).as("slow")).collect()
+    rows.filter(r => !r.isNullAt(0)).foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // null-in/null-out vs the HOF's otherwise(array()) — same intended
+    // difference as SimHash60; shingled() only ever sees non-null text
+    assert(rows.count(_.isNullAt(0)) === 1)
+  }
+
   test("markerScores == per-set size(filter(isin)) terms") {
     val sets = Seq(Seq("the", "and", "of"), Seq("le", "la"), Seq("zzz_nohit"))
     val slow = sets.zipWithIndex.map { case (stops, i) =>
