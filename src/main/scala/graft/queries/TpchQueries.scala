@@ -117,14 +117,241 @@ object TpchQueries {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ---- round-4 streams -------------------------------------------------
+  // The remaining dbgen streams runnable against the reduced driver
+  // schema (no partsupp, no l_commitdate/l_receiptdate/l_shipmode,
+  // no p_container, no comments). Adaptations are noted per query; the
+  // join/subquery shape of each stream is preserved.
+
+  /** Exact decimal average rounded to 6dp (double avg is
+    * summation-order-dependent).
+    */
+  private def moneyAvg(expr: String): String =
+    s"round(CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)"
+
+  // Q1 — pricing summary report (full-scan agg zoo).
+  private val q1 =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${moneySum("l_quantity")} AS sum_qty,
+      |  ${moneySum("l_extendedprice")} AS sum_base_price,
+      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      |  ${moneySum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+      |  ${moneyAvg("l_quantity")} AS avg_qty,
+      |  ${moneyAvg("l_extendedprice")} AS avg_price,
+      |  ${moneyAvg("l_discount")} AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // Q4 — order-priority checking. Adapted: the "received after commit"
+  // lateness predicate becomes "shipped > 30 days after order" (schema
+  // has l_shipdate only; median ship lag is 35 days).
+  private val q4 =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // Q7 — volume shipping between two nations (dual nation join).
+  private val q7 =
+    s"""SELECT supp_nation, cust_nation, l_year,
+      |  ${moneySum("volume")} AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    l_extendedprice * (1 - l_discount) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |      AND TIMESTAMP '1997-12-31 00:00:00') AS shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // Q8 — national market share within a region. Adapted: p_type is a
+  // single word in this schema ('ECONOMY' for 'ECONOMY ANODIZED STEEL').
+  private val q8 =
+    """SELECT o_year,
+      |  round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+      |        ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+      |    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer,
+      |       nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |      AND TIMESTAMP '1997-12-31 00:00:00'
+      |    AND p_type = 'ECONOMY') AS all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // Q9 — product-type profit by nation and year. Adapted: no partsupp,
+  // so supply cost is proxied by 10% of p_retailprice per unit; 'green'
+  // parts become 'red' (this p_name vocabulary is color + noun).
+  private val q9 =
+    s"""SELECT nation, o_year, ${moneySum("amount")} AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    l_extendedprice * (1 - l_discount)
+      |      - 0.1 * p_retailprice * l_quantity AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%') AS profit
+      |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  // Q12 — shipping-priority classes. Adapted: l_linestatus stands in for
+  // l_shipmode, and "received late" becomes "shipped after order date".
+  private val q12 =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |      OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |      AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate > o_orderdate
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // Q13 — customer order-count distribution (left outer join + double
+  // grouping). Adapted: the o_comment NOT LIKE filter becomes an
+  // order-priority exclusion.
+  private val q13 =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) AS c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // Q15 — top supplier, via the dbgen three-statement stream file
+  // (CREATE VIEW; SELECT; DROP VIEW) executed through SqlScript. The
+  // revenue view keeps DECIMAL so the max-equality join is exact.
+  private val q15Script =
+    """-- TPC-H Q15 stream: view setup, measured select, teardown
+      |CREATE OR REPLACE TEMPORARY VIEW revenue0 AS
+      |SELECT l_suppkey AS supplier_no,
+      |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS total_revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY l_suppkey;
+      |
+      |SELECT s_suppkey, s_name,
+      |  round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+      |FROM supplier, revenue0
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+      |ORDER BY s_suppkey;
+      |
+      |DROP VIEW revenue0;""".stripMargin
+
+  /** Q15's oracle: identical semantics as one DuckDB statement (the view
+    * becomes a CTE).
+    */
+  private val q15Oracle =
+    """WITH revenue0 AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+      |FROM supplier, revenue0
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Q17 — small-quantity-order revenue (correlated scalar avg subquery).
+  // Adapted: no p_container, so the part filter is brand-only. The avg
+  // is exact: l_quantity values are whole numbers, so their double sum
+  // is order-independent.
+  private val q17 =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |    AS DOUBLE) / 7.0, 6) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // Q19 — discounted revenue over disjunctive brand/size/quantity arms
+  // (OR-of-ANDs pushed into one join). Adapted: p_size ranges stand in
+  // for the container lists, and the shipmode/shipinstruct arms are
+  // dropped with the columns.
+  private val q19 =
+    s"""SELECT ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |      AND l_quantity BETWEEN 1 AND 11)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |      AND l_quantity BETWEEN 10 AND 20)
+      |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |      AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  // Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS over
+  // the same fact). Adapted lateness: this supplier shipped strictly
+  // after every other supplier on a multi-supplier 'F' order.
+  private val q21 =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate >= l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
   private val texts = Map(
     "q40_tpch3" -> q3, "q41_tpch5" -> q5, "q42_tpch6" -> q6,
     "q43_tpch10" -> q10, "q44_tpch14" -> q14, "q45_tpch18" -> q18,
-    "q46_tpch22" -> q22)
+    "q46_tpch22" -> q22,
+    "q53_tpch1" -> q1, "q54_tpch4" -> q4, "q55_tpch7" -> q7,
+    "q56_tpch8" -> q8, "q57_tpch9" -> q9, "q58_tpch12" -> q12,
+    "q59_tpch13" -> q13, "q61_tpch17" -> q17, "q62_tpch19" -> q19,
+    "q63_tpch21" -> q21)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    texts.map { case (k, v) => k -> sql(v) }
+    texts.map { case (k, v) => k -> sql(v) } +
+      ("q60_tpch15" -> ((s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        graft.runner.SqlScript.run(s, q15Script)
+      }))
 
-  /** The oracle runs the identical text — the SQL is dialect-shared. */
-  val oracles: Map[String, String] = texts
+  /** The oracle runs the identical text — the SQL is dialect-shared —
+    * except Q15, whose three-statement stream collapses to one CTE query.
+    */
+  val oracles: Map[String, String] = texts + ("q60_tpch15" -> q15Oracle)
 }
