@@ -101,6 +101,29 @@ object QueryRunner {
       executorCpuTimeNs = g.map(_.executorCpuTimeNs).getOrElse(0L))
   }
 
+  /** Table-level cache control (L11; reference: run_queries.py:551-566
+    * maybe_cache_table): `catalog` = SQL `CACHE TABLE` (eager since
+    * Spark 3), `df` = persist + materialize the view's frame, `none` =
+    * no-op.
+    */
+  def cacheTable(spark: SparkSession, table: String, mode: String): Unit = mode match {
+    case "none" => ()
+    case "catalog" => spark.sql(s"CACHE TABLE $table"); ()
+    case "df" =>
+      val df = spark.table(table)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count(); ()
+    case other => throw new IllegalArgumentException(s"unknown cache mode $other")
+  }
+
+  /** Inverse of [[cacheTable]] (run_queries.py:562-566). */
+  def uncacheTable(spark: SparkSession, table: String, mode: String): Unit = mode match {
+    case "none" => ()
+    case "catalog" => spark.sql(s"UNCACHE TABLE $table"); ()
+    case "df" => spark.table(table).unpersist(); ()
+    case other => throw new IllegalArgumentException(s"unknown cache mode $other")
+  }
+
   /** Results CSV sink (S13; reference: run_queries.py:734-768). */
   def writeCsv(path: String, rows: Seq[QueryMetrics]): Unit = {
     val header = "name,rows,wall_sec,files_scanned,bytes_scanned," +

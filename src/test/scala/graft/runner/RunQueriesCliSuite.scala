@@ -1,0 +1,87 @@
+package graft.runner
+
+import graft.SparkTestBase
+import graft.cli.RunQueries
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class RunQueriesCliSuite extends SparkTestBase {
+
+  private def writeSql(dir: String, name: String, text: String): Unit =
+    Files.write(Paths.get(dir, name), text.getBytes("UTF-8"))
+
+  test("runDir: sorted *.sql with {{tbl}} substitution -> 14-col CSV") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tableDir = tmpDir("cli_table")
+    (1 to 1000).map(i => (i.toLong, i % 7, i * 1.5)).toDF("id", "k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(tableDir)
+
+    val qDir = tmpDir("cli_queries")
+    writeSql(qDir, "q2_agg.sql",
+      "SELECT k, count(*) AS n FROM {{tbl}} GROUP BY k ORDER BY k")
+    writeSql(qDir, "q1_filter.sql",
+      "SELECT * FROM {{tbl}} WHERE id < 10 ORDER BY id")
+    // a multi-statement stream file: view setup, measured select, teardown
+    writeSql(qDir, "q3_view.sql",
+      """CREATE OR REPLACE TEMPORARY VIEW cli_v AS
+        |  SELECT k, sum(v) AS sv FROM {{tbl}} GROUP BY k;
+        |SELECT count(*) AS n FROM cli_v;
+        |DROP VIEW cli_v;""".stripMargin)
+
+    val view = RunQueries.registerTable(spark, tableDir, "cli_tbl")
+    val cfg = RunQueries.Config(table = tableDir, queriesDir = qDir, warmup = true)
+    val results = RunQueries.runDir(spark, cfg, view)
+
+    assert(results.map(_.query) === Seq("q1_filter.sql", "q2_agg.sql", "q3_view.sql"),
+      "files must run in sorted order")
+    assert(results.find(_.query == "q1_filter.sql").get.metrics.rows === 9)
+    assert(results.find(_.query == "q2_agg.sql").get.metrics.rows === 7)
+    assert(results.find(_.query == "q3_view.sql").get.metrics.rows === 1)
+    assert(results.forall(_.metrics.wallSec > 0))
+    assert(results.forall(_.inputFileBytes > 0), "df.inputFiles must resolve sizes")
+
+    val csv = tmpDir("cli_out") + "/results.csv"
+    RunQueries.writeCsv(csv, "graft", results)
+    val lines = Files.readAllLines(Paths.get(csv))
+    assert(lines.get(0) === RunQueries.CsvHeader)
+    assert(lines.get(0).split(",").length === 14, "reference CSV is 14 columns")
+    assert(lines.size() === 4)
+    assert(lines.get(1).split(",", -1).length === 14)
+    assert(lines.get(1).startsWith("graft,q1_filter.sql,"))
+  }
+
+  test("parse: flags round-trip and bad input rejected") {
+    val c = RunQueries.parse(Array("--table", "/t", "--queries-dir", "/q",
+      "--warmup", "--cache", "catalog", "--action", "count",
+      "--output-csv", "/tmp/x.csv", "--broadcast-hint"))
+    assert(c === RunQueries.Config("/t", "/q", "/tmp/x.csv", warmup = true,
+      cache = "catalog", action = "count", broadcastHint = true))
+    intercept[IllegalArgumentException](RunQueries.parse(Array("--table", "/t")))
+    intercept[IllegalArgumentException](
+      RunQueries.parse(Array("--table", "/t", "--queries-dir", "/q", "--cache", "bogus")))
+  }
+
+  test("cacheTable modes: none, catalog (CACHE/UNCACHE TABLE), df") {
+    val spark2 = spark
+    import spark2.implicits._
+    (1 to 100).map(i => (i, i * 2)).toDF("a", "b")
+      .createOrReplaceTempView("cache_mode_t")
+
+    QueryRunner.cacheTable(spark, "cache_mode_t", "none")
+    assert(!spark.catalog.isCached("cache_mode_t"))
+
+    QueryRunner.cacheTable(spark, "cache_mode_t", "catalog")
+    assert(spark.catalog.isCached("cache_mode_t"))
+    QueryRunner.uncacheTable(spark, "cache_mode_t", "catalog")
+    assert(!spark.catalog.isCached("cache_mode_t"))
+
+    QueryRunner.cacheTable(spark, "cache_mode_t", "df")
+    assert(spark.catalog.isCached("cache_mode_t"))
+    QueryRunner.uncacheTable(spark, "cache_mode_t", "df")
+    assert(!spark.catalog.isCached("cache_mode_t"))
+
+    intercept[IllegalArgumentException](
+      QueryRunner.cacheTable(spark, "cache_mode_t", "bogus"))
+  }
+}
