@@ -63,6 +63,50 @@ object SimilarityQueries {
         .limit(20)
     }),
 
+    // Top-20 most-similar pairs restricted to LSH band buckets — the
+    // linear-ish scale twin of q33 (round-3 VERDICT #6). The 16-bit
+    // hyperplane signature splits into 4 bands of 4 bits; only pairs
+    // sharing a full band are scored, so pair generation is bounded by
+    // bucket sizes instead of O(n^2). The banding is part of the
+    // operator's DEFINED semantics and the DuckDB oracle applies the
+    // identical banding — verification is exact by construction and does
+    // not hinge on recall. Recall itself is the usual LSH tradeoff:
+    // measured 16/20 vs brute-force q33 at sf0.1 on THIS corpus, whose
+    // top pairs are only cos~0.5-0.6 (the synthetic embeddings contain
+    // no true near-dups; at cos>=0.95, 4x4 banding retrieves ~96% —
+    // 1-(1-(1-theta/pi)^4)^4). More planes sharpen both recall and
+    // bucket granularity at scale.
+    "q33b_emb_top_pairs_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+      val sig = (0 until 16).map { j =>
+        val p = typedlit(planes(j)).cast("array<float>")
+        when(vecDot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // signature + norm computed once per vector (runner-owned persist:
+      // both band-join sides read the 16 plane dots from cache)
+      val sigs = graft.runner.Materialize.track(
+        withNorm(e.select(col("vec_id"), col("embedding")), "embedding", "n")
+          .withColumn("signature", sig))
+      val bandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("signature"), 4 * j).bitwiseAND(lit(0xFL)).as("bv"))): _*)).as("b"))
+      val a = bandRows.select(col("b").as("ba"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("n").as("na"))
+      val b2 = bandRows.select(col("b").as("bb"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("n").as("nb"))
+      a.join(b2, col("ba") === col("bb") && col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+        .distinct() // a pair can share both bands
+        .orderBy(col("sim").desc, col("va"), col("vb"))
+        .limit(20)
+    }),
+
     // IVF coarse quantization: assign every vector to its nearest of 16
     // data-derived centroids (vec_id 0..15) by cosine; per-centroid
     // population + mean similarity. This is the partition-assignment
@@ -130,6 +174,28 @@ object SimilarityQueries {
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
          |  ${cosSql("a.embedding", "b.embedding")} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+    "q33b_emb_top_pairs_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS pid, embedding AS pemb FROM embeddings WHERE vec_id < 16),
+         |bits AS (
+         |  SELECT x.vec_id,
+         |    CASE WHEN ${dotSql("x.embedding", "p.pemb")} > 0
+         |         THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END AS bit
+         |  FROM embeddings x CROSS JOIN planes p),
+         |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS signature
+         |         FROM bits GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, band, (signature >> (4 * band)) & 15 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) AS bx),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+         |SELECT va, vb, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |FROM cand
+         |JOIN embeddings ea ON va = ea.vec_id
+         |JOIN embeddings eb ON vb = eb.vec_id
          |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
     "q35b_ivf_assign" ->
       s"""WITH cents AS (
