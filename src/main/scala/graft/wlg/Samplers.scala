@@ -70,6 +70,23 @@ object Samplers {
     l
   }
 
+  /** Copula fill mode (G3 wired into G4's planned-points protocol):
+    * n rows of correlated CDF positions, each row phi(z) with
+    * z ~ N(0, equicorrelation(rho)). fill() maps position u to the
+    * window [u·(1-sel), u·(1-sel)+sel] per range param, so correlated
+    * positions yield correlated windows while every param keeps its own
+    * marginal selectivity — the generalization of [[sampleCopula]]'s
+    * single joint target to per-param targets.
+    */
+  def copulaPoints(dims: Int, n: Int, rho: Double, rnd: Random): Seq[Seq[Double]] = {
+    val r = math.max(-0.99, math.min(0.99, rho))
+    val l = choleskyEquicorr(dims, r)
+    (0 until n).map { _ =>
+      val g = Array.fill(dims)(rnd.nextGaussian())
+      (0 until dims).map(i => phi((0 to i).map(j => l(i)(j) * g(j)).sum))
+    }
+  }
+
   /** G4 grid mode: ⌈n^(1/d)⌉ evenly spaced CDF points per dim, cartesian
     * product truncated to n (wlg/cli/main.py:206-249).
     */

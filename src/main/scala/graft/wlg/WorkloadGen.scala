@@ -41,8 +41,9 @@ object WorkloadGen {
       params: Seq[ParamRule],
       constraints: Seq[String] = Nil,
       n: Int = 10,
-      mode: String = "random", // random | grid | lhs (grid/lhs over range params)
-      seed: Long = 42L)
+      mode: String = "random", // random | grid | lhs | copula (over range params)
+      seed: Long = 42L,
+      rho: Double = 0.4) // copula equicorrelation (predicates.py:51 default)
 
   case class QueryInstance(template: String, sql: String, params: Map[String, String])
 
@@ -76,6 +77,8 @@ object WorkloadGen {
         Some(Samplers.gridPoints(rangeRules.length, spec.n))
       case "lhs" if rangeRules.nonEmpty =>
         Some(Samplers.lhsPoints(rangeRules.length, spec.n, rnd))
+      case "copula" if rangeRules.nonEmpty =>
+        Some(Samplers.copulaPoints(rangeRules.length, spec.n, spec.rho, rnd))
       case _ => None
     }
 

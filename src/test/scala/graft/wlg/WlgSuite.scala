@@ -142,6 +142,127 @@ class WlgSuite extends AnyFunSuite {
     }
   }
 
+  test("copulaPoints: rho controls correlation of the planned positions") {
+    def corr(ps: Seq[Seq[Double]]): Double = {
+      val x = ps.map(_(0)); val y = ps.map(_(1))
+      val n = ps.length
+      val mx = x.sum / n; val my = y.sum / n
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(x.map(a => (a - mx) * (a - mx)).sum)
+      val sy = math.sqrt(y.map(b => (b - my) * (b - my)).sum)
+      cov / (sx * sy)
+    }
+    val hi = corr(Samplers.copulaPoints(2, 500, 0.9, new Random(11)))
+    val lo = corr(Samplers.copulaPoints(2, 500, 0.0, new Random(11)))
+    assert(hi > 0.7, s"rho=0.9 sample corr $hi")
+    assert(math.abs(lo) < 0.15, s"rho=0 sample corr $lo")
+    assert(Samplers.copulaPoints(3, 50, 0.5, new Random(1))
+      .forall(_.forall(u => u >= 0 && u <= 1)))
+  }
+
+  test("fill mode=copula generates correlated 2-D range windows") {
+    val stats = graft.profile.Profiler.TableStats(
+      rows = 1000,
+      columns = Seq("x", "y").map(c => graft.profile.Profiler.ColumnStats(
+        c, "numeric", 1000, 0, Some(0.0), Some(100.0),
+        Map("0.5" -> 50.0), 100, Nil,
+        Some((Seq(0.0, 50.0, 100.0), Seq(500L, 500L))))),
+      correlations = Nil)
+    val spec = WorkloadGen.TemplateSpec(
+      name = "cop",
+      sql = "SELECT count(*) FROM {{tbl}} WHERE x BETWEEN :a_lo AND :a_hi" +
+        " AND y BETWEEN :b_lo AND :b_hi",
+      params = Seq(
+        WorkloadGen.RangeParam("a", "x", 0.1),
+        WorkloadGen.RangeParam("b", "y", 0.2)),
+      n = 200, mode = "copula", rho = 0.9)
+    val qs = WorkloadGen.fill(spec, stats, "t")
+    assert(qs.length == 200)
+    // each param keeps its own marginal selectivity...
+    qs.foreach { q =>
+      assert(math.abs((q.params("a_hi").toDouble - q.params("a_lo").toDouble) / 100.0 - 0.1) < 1e-6)
+      assert(math.abs((q.params("b_hi").toDouble - q.params("b_lo").toDouble) / 100.0 - 0.2) < 1e-6)
+    }
+    // ...and the window POSITIONS are correlated across params
+    val x = qs.map(_.params("a_lo").toDouble)
+    val y = qs.map(_.params("b_lo").toDouble)
+    val mx = x.sum / x.length; val my = y.sum / y.length
+    val r = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      (math.sqrt(x.map(a => (a - mx) * (a - mx)).sum) *
+        math.sqrt(y.map(b => (b - my) * (b - my)).sum))
+    assert(r > 0.7, s"window-position correlation $r under rho=0.9")
+    // determinism under the seed
+    assert(WorkloadGen.fill(spec, stats, "t") == qs)
+  }
+
+  test("YAML spec round-trip: parseSpec(toYaml(specs)) == specs") {
+    val specs = Seq(WorkloadGen.TemplateSpec(
+      name = "q1",
+      sql = "SELECT count(*) FROM {{tbl}}\nWHERE v BETWEEN :r_lo AND :r_hi\n" +
+        "  AND d BETWEEN :w_lo AND :w_hi AND k = :e AND c IN (:cw)",
+      params = Seq(
+        WorkloadGen.RangeParam("r", "v", 0.05),
+        WorkloadGen.IntervalParam("i", "v", 0.1, intAlign = true),
+        WorkloadGen.EqParam("e", "k"),
+        WorkloadGen.DateLagParam("w", "d", "r", 2, 30, 14),
+        WorkloadGen.CatWindowParam("cw", "c", 3)),
+      constraints = Seq("r_hi >= r_lo", "w_lo >= r_lo"),
+      n = 7, mode = "copula", seed = 99L, rho = 0.6))
+    val yaml = YamlSpec.toYaml(specs)
+    val back = YamlSpec.parseSpec(yaml)
+    assert(back == specs, s"round-trip mismatch:\n$yaml")
+    // and a second emit is a fixpoint
+    assert(YamlSpec.toYaml(back) == yaml)
+  }
+
+  test("YAML parser handles the reference spec shape (comments, flow, blocks)") {
+    val doc =
+      """# spec in the reference's shape (workload_spec/spec_tpch_Q1.yaml)
+        |generation: {n: 10, mode: random, seed: 42}
+        |
+        |templates:
+        |  - id: DATES_A
+        |    sql: |
+        |      SELECT l_orderkey FROM {{tbl}}
+        |      WHERE l_shipdate BETWEEN DATE ':sd_lo' AND DATE ':sd_hi'
+        |    params:
+        |      sd_lo: {type: date}                               # comment; with semicolon
+        |      sd_hi: {type: date, constraint: "sd_hi >= sd_lo"}
+        |    interval_rules:
+        |      - {column: l_shipdate, lo: sd_lo, hi: sd_hi, type: date, ratio_range: [0.05, 0.12]}
+        |      - column: l_receiptdate
+        |        lo: rd_lo
+        |        hi: rd_hi
+        |        align_with: {lo: sd_lo, hi: sd_hi}
+        |        lag_days: [2, 30]
+        |        clip_to_domain: true
+        |""".stripMargin
+    val y = YamlSpec.parse(doc).asMap
+    assert(y("generation").asMap("n").str == "10")
+    val t = y("templates").asSeq.head.asMap
+    assert(t("id").str == "DATES_A")
+    assert(t("sql").str.contains("BETWEEN DATE ':sd_lo'"))
+    assert(t("params").asMap("sd_hi").asMap("constraint").str == "sd_hi >= sd_lo")
+    val rules = t("interval_rules").asSeq
+    assert(rules.length == 2)
+    assert(rules(0).asMap("ratio_range").asSeq.map(_.str) == Seq("0.05", "0.12"))
+    assert(rules(1).asMap("align_with").asMap("lo").str == "sd_lo")
+    assert(rules(1).asMap("lag_days").asSeq.map(_.str) == Seq("2", "30"))
+    assert(rules(1).asMap("clip_to_domain").str == "true")
+  }
+
+  test("workload YAML write/read round-trip (yaml_emit equivalent)") {
+    val dir = java.nio.file.Files.createTempDirectory("wlg_yaml").toString
+    val instances = Seq(
+      WorkloadGen.QueryInstance("t1",
+        "SELECT count(*) FROM lineitem\nWHERE v BETWEEN 3 AND 9",
+        Map("r_lo" -> "3", "r_hi" -> "9")),
+      WorkloadGen.QueryInstance("t2", "SELECT 'it''s' AS s", Map.empty))
+    val p = s"$dir/workload.yaml"
+    YamlSpec.writeWorkloadYaml(p, instances)
+    assert(YamlSpec.readWorkloadYaml(p) == instances)
+  }
+
   test("GraftExtensions applies cleanly to a fresh extension set") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
