@@ -66,6 +66,9 @@ object Compactor {
     * delta_write_layout.py:136-138,195-219): only files whose zone
     * intersects `preds` are rewritten; the rest of the table (files and
     * manifest entries) is untouched. Cost is O(matching files).
+    * Hive-partitioned tables are supported: the file-list read keeps the
+    * partition columns via basePath and the staged rewrite moves part
+    * files back under their partition subdirs ([[StagedRewrite]]).
     */
   def compactWhere(
       spark: SparkSession,
@@ -73,9 +76,7 @@ object Compactor {
       preds: Seq[ZonePredicate],
       targetFileBytes: Long = DefaultTargetFileBytes): TableManifest = {
     val manifest = ZoneMap.read(dir)
-    require(manifest.hivePartitions.isEmpty,
-      "compactWhere does not support hive-partitioned tables yet: the " +
-        "file-move rewrite would drop partition-dir values — use compact()")
+    val partitioned = manifest.hivePartitions.nonEmpty
     val (affected, untouched) = manifest.files.partition(f =>
       preds.forall(_.mayMatch(f)))
     if (affected.length <= 1) return manifest // nothing to bin-pack
@@ -86,7 +87,7 @@ object Compactor {
     val numFiles = math.max(1,
       math.ceil(affectedBytes.toDouble / targetFileBytes).toInt)
 
-    val df0 = spark.read.parquet(affected.map(_.path): _*)
+    val df0 = StagedRewrite.readFiles(spark, dir, affected.map(_.path), partitioned)
     val keys =
       if (manifest.layoutCols.isEmpty) Nil
       else LayoutWriter.curveKeyOrCols(
@@ -95,21 +96,14 @@ object Compactor {
       if (keys.isEmpty) df0.repartition(numFiles)
       else df0.repartitionByRange(numFiles, keys: _*).sortWithinPartitions(keys: _*)
     val staging = dir.stripSuffix("/") + ".compactw_tmp"
-    arranged.write.mode("overwrite").parquet(staging)
-    val moved = fs.listStatus(new Path(staging))
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map { s =>
-        val dst = new Path(dir, s.getPath.getName)
-        fs.rename(s.getPath, dst)
-        dst.toUri.toString
-      }.toSeq
-    affected.foreach(f => fs.delete(new Path(new java.net.URI(f.path)), false))
-    fs.delete(new Path(staging), true)
+    val moved = StagedRewrite.writeAndMove(
+      spark, dir, staging, arranged, manifest.hivePartitions)
+    StagedRewrite.deleteFiles(fs, affected)
 
     val newEntries =
       if (moved.isEmpty) Seq.empty[FileEntry]
       else ZoneMap.collectStatsDf(
-        spark.read.parquet(moved: _*), manifest.statsCols)
+        StagedRewrite.readFiles(spark, dir, moved, partitioned), manifest.statsCols)
     val updated = manifest.copy(files = untouched ++ newEntries)
     ZoneMap.write(dir, updated)
     updated

@@ -1,0 +1,66 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared mechanics for partial-table rewrites (scoped compaction L6,
+  * keyed upsert L9) that also work on hive-partitioned tables — the
+  * round-3 gap: a naive `spark.read.parquet(files)` loses partition
+  * columns, and a flat file-move drops the partition-dir values
+  * entirely (reference compacts and upserts partitioned tables
+  * routinely: delta_write_layout.py:136-138, hudi_upsert.py:217-228).
+  */
+object StagedRewrite {
+
+  /** Read an explicit file list; with `partitioned`, `basePath` keeps the
+    * hive partition columns in the schema.
+    */
+  def readFiles(
+      spark: SparkSession,
+      dir: String,
+      paths: Seq[String],
+      partitioned: Boolean): DataFrame = {
+    val r = spark.read
+    (if (partitioned) r.option("basePath", dir) else r).parquet(paths: _*)
+  }
+
+  /** Write `df` to `staging` (partitionBy when the table is partitioned),
+    * then move every part file into `dir` PRESERVING its
+    * partition-relative subpath (`p=1/part-xxx.parquet` stays under
+    * `dir/p=1/`). Part names are UUID-unique, so moves cannot collide
+    * with surviving files. Returns the moved files' URIs.
+    */
+  def writeAndMove(
+      spark: SparkSession,
+      dir: String,
+      staging: String,
+      df: DataFrame,
+      partitionCols: Seq[String]): Seq[String] = {
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(staging)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingPath = new Path(staging)
+    val stagingUri = stagingPath.toUri.getPath
+    def partFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) partFiles(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s.getPath)
+        else Nil
+      }
+    val moved = partFiles(stagingPath).map { src =>
+      val rel = src.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
+      val dst = new Path(dir, rel)
+      fs.mkdirs(dst.getParent)
+      fs.rename(src, dst)
+      dst.toUri.toString
+    }
+    fs.delete(stagingPath, true)
+    moved
+  }
+
+  /** Delete `files` (by manifest URI) from the table. */
+  def deleteFiles(fs: FileSystem, files: Seq[FileEntry]): Unit =
+    files.foreach(f => fs.delete(new Path(new java.net.URI(f.path)), false))
+}

@@ -36,9 +36,7 @@ object Upserter {
     */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame): TableManifest = {
     val manifest = ZoneMap.read(dir)
-    require(manifest.hivePartitions.isEmpty,
-      "upsert does not support hive-partitioned tables yet: the file-move " +
-        "rewrite would drop partition-dir values")
+    val partitioned = manifest.hivePartitions.nonEmpty
     val key = manifest.recordKey.getOrElse(
       throw new IllegalArgumentException(s"$dir has no recordKey — cannot upsert"))
     val precombine = manifest.precombineCol
@@ -58,7 +56,7 @@ object Upserter {
     val existing =
       if (affected.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
-      else spark.read.parquet(affected.map(_.path): _*)
+      else StagedRewrite.readFiles(spark, dir, affected.map(_.path), partitioned)
 
     // Dedup: max precombine wins; the incoming batch wins ties (__src=1).
     val merged = existing.withColumn("__src", lit(0))
@@ -73,26 +71,20 @@ object Upserter {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
 
-    // Stage the rewrite, then move the (uuid-unique) part files in.
+    // Stage the rewrite, then move the (uuid-unique) part files in —
+    // under their partition subdirs when the table is hive-partitioned.
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir.stripSuffix("/") + ".upsert_tmp"
-    deduped.write.mode("overwrite").parquet(staging)
-    val moved = fs.listStatus(new Path(staging))
-      .filter(s => s.getPath.getName.startsWith("part-"))
-      .map { s =>
-        val dst = new Path(dir, s.getPath.getName)
-        fs.rename(s.getPath, dst)
-        dst.toUri.toString
-      }.toSeq
-    affected.foreach(f => fs.delete(new Path(new java.net.URI(f.path)), false))
-    fs.delete(new Path(staging), true)
+    val moved = StagedRewrite.writeAndMove(
+      spark, dir, staging, deduped, manifest.hivePartitions)
+    StagedRewrite.deleteFiles(fs, affected)
 
     // Manifest: stats for the new files only (distributed scan of just
     // those files), untouched entries carried over.
     val newEntries =
       if (moved.isEmpty) Seq.empty[FileEntry]
       else ZoneMap.collectStatsDf(
-        spark.read.parquet(moved: _*), manifest.statsCols)
+        StagedRewrite.readFiles(spark, dir, moved, partitioned), manifest.statsCols)
     val updated = manifest.copy(files = untouched ++ newEntries)
     ZoneMap.write(dir, updated)
     updated

@@ -188,6 +188,32 @@ class LayoutSpecSuite extends SparkTestBase {
     assert(lowSum == origLow)
   }
 
+  test("scoped compaction on a hive-partitioned table preserves partition dirs") {
+    val dir = tmpDir("graft_compactw_part")
+    LayoutWriter.write(data, dir,
+      LayoutSpec("linear", Seq("x"), numFiles = Some(8),
+        partitionBy = Seq("cat")))
+    val before = ZoneMap.read(dir)
+    val after = Compactor.compactWhere(spark, dir,
+      Seq(NumBetween("x", 0, 499)), targetFileBytes = 512L * 1024 * 1024)
+
+    assert(after.totalRows == 20000L)
+    assert(after.files.length < before.files.length)
+    // every rewritten file landed back under a cat=... partition subdir
+    val newPaths = after.files.map(_.path).toSet -- before.files.map(_.path).toSet
+    assert(newPaths.nonEmpty)
+    newPaths.foreach(p => assert(p.contains("cat="), s"file outside partition dir: $p"))
+    // the table still reads whole, with partition values intact
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 20000L)
+    assert(got.groupBy("cat").count().count() == 20L, "all 20 cat values survive")
+    val lowSum = got.filter(col("x") < 500).agg(sum("id")).collect()(0).getLong(0)
+    assert(lowSum == data.filter(col("x") < 500).agg(sum("id")).collect()(0).getLong(0))
+    // partition pruning still fires on the compacted table
+    val planStr = got.filter(col("cat") === "cat05").queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), planStr.take(300))
+  }
+
   test("compactor rewrites to fewer files, preserves rows and layout") {
     val dir = tmpDir("graft_compact")
     LayoutWriter.write(data, dir, LayoutSpec("zorder", Seq("x", "y"), numFiles = Some(32)))

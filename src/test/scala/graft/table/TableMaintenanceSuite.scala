@@ -58,6 +58,36 @@ class TableMaintenanceSuite extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("upsert on a hive-partitioned table preserves partition dirs and values") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_upsert_part")
+    val parted = base.withColumn("region", concat(lit("r"), ($"k" % 4).cast("string")))
+    LayoutWriter.write(parted, dir,
+      LayoutSpec("linear", Seq("k"), numFiles = Some(8),
+        recordKey = Some("k"), precombineCol = Some("version"),
+        partitionBy = Seq("region")))
+
+    val batch = Seq(
+      (6L, "updated6", 1.0, 2L, "r2"), // update inside existing partition
+      (20002L, "new", 9.0, 1L, "r9")) // insert creating a NEW partition
+      .toDF("k", "payload", "price", "version", "region")
+    val m = Upserter.upsert(spark, dir, batch)
+
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 10001)
+    assert(got.filter($"k" === 6L).select("payload").as[String].head() == "updated6")
+    assert(got.filter($"k" === 6L).select("region").as[String].head() == "r2",
+      "partition value must survive the rewrite")
+    assert(got.filter($"k" === 20002L).select("region").as[String].head() == "r9")
+    assert(new java.io.File(dir, "region=r9").isDirectory,
+      "insert must create its partition dir")
+    assert(m.totalRows == 10001)
+    // rewritten files live under partition subdirs, not the table root
+    m.files.foreach(f => assert(f.path.contains("region="),
+      s"file outside partition dir: ${f.path}"))
+  }
+
   test("upsert aligns batch schema (missing column becomes null)") {
     val spark2 = spark
     import spark2.implicits._
