@@ -58,6 +58,27 @@ case class TableManifest(
 /** A file-prunable conjunct over one layout/stats column. */
 sealed trait ZonePredicate { def col: String; def mayMatch(f: FileEntry): Boolean }
 
+/** Code-point string comparison — the order Spark itself uses for string
+  * min/max stats and row filters (UTF8String compares UTF-8 bytes ==
+  * code points). Java's String.compareTo compares UTF-16 code units,
+  * which disagrees for supplementary-plane text (surrogates 0xD800-DFFF
+  * sort below 0xE000-FFFF but encode code points ABOVE 0xFFFF) — string
+  * pruning on that order could drop files that contain matches.
+  */
+object StrOrder {
+  def compare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+  def lte(a: String, b: String): Boolean = compare(a, b) <= 0
+  def gte(a: String, b: String): Boolean = compare(a, b) >= 0
+}
+
 /** value BETWEEN lo AND hi on a numeric/date/timestamp column (double repr). */
 case class NumBetween(col: String, lo: Double, hi: Double) extends ZonePredicate {
   def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
@@ -74,7 +95,7 @@ case class StrBetween(col: String, lo: String, hi: String) extends ZonePredicate
     case None => true
     case Some(r) if r.allNull => false
     case Some(r) =>
-      r.minStr.forall(_ <= hi) && r.maxStr.forall(_ >= lo)
+      r.minStr.forall(StrOrder.lte(_, hi)) && r.maxStr.forall(StrOrder.gte(_, lo))
   }
 }
 
@@ -86,7 +107,7 @@ case class StrAtLeast(col: String, lo: String) extends ZonePredicate {
   def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
     case None => true
     case Some(r) if r.allNull => false
-    case Some(r) => r.maxStr.forall(_ >= lo)
+    case Some(r) => r.maxStr.forall(StrOrder.gte(_, lo))
   }
 }
 
@@ -96,7 +117,8 @@ case class StrIn(col: String, values: Seq[String]) extends ZonePredicate {
     case None => true
     case Some(r) if r.allNull => false
     case Some(r) =>
-      values.exists(v => r.minStr.forall(_ <= v) && r.maxStr.forall(_ >= v))
+      values.exists(v =>
+        r.minStr.forall(StrOrder.lte(_, v)) && r.maxStr.forall(StrOrder.gte(_, v)))
   }
 }
 

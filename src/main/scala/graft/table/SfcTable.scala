@@ -135,6 +135,13 @@ object ZoneTranslator {
     (l, dt, attrDomain) match {
       case (null, _, _) => None
       case (v: Number, _: NumericType, NumD) => Some(v.doubleValue())
+      // Decimal is not a java.lang.Number — without this arm the
+      // castSafe integral→decimal unwrap produced no predicate at all
+      // (round-3 ADVICE). toDouble rounds to nearest, which cannot skip
+      // past a representable double, and integral column stats ARE
+      // representable doubles — so the rounded bound keeps every file
+      // the exact bound would (monotone, sound).
+      case (v: Decimal, _: DecimalType, NumD) => Some(v.toDouble)
       case (v: Integer, DateType, DateD) => Some(v.doubleValue()) // days
       case (v: java.lang.Long, TimestampType | TimestampNTZType, TsD) =>
         Some(v.doubleValue() / 1e6) // micros → seconds

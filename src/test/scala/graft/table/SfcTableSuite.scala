@@ -69,6 +69,38 @@ class SfcTableSuite extends SparkTestBase {
     assert(m.filesScanned <= 16 && m.filesScanned >= 1)
   }
 
+  test("decimal literal vs integral column prunes (castSafe decimal arm)") {
+    val t = SfcTable.open(spark, dir)
+    // int col vs fractional decimal literal: Catalyst widens x to
+    // DECIMAL, which castSafe unwraps and litNum's Decimal arm
+    // translates — previously inert, no pruning (round-3 ADVICE)
+    val m = QueryRunner.run(spark,
+      t.filter(expr("x >= 990.5")), "dec_pred", action = "collect")
+    assert(m.filesScanned < 16, s"decimal bound should prune: ${m.filesScanned}")
+    // and the result matches the plain scan
+    val got = t.filter(expr("x >= 990.5")).agg(sum("id")).collect()(0)
+    val want = spark.read.parquet(dir).filter(expr("x >= 990.5"))
+      .agg(sum("id")).collect()(0)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("string zone order is code-point order (supplementary plane)") {
+    import graft.layout._
+    // file whose max string is an emoji (U+1F600, surrogate pair): in
+    // UTF-16 code-unit order it sorts BELOW ￿, in code-point (==
+    // Spark UTF8String) order it sorts ABOVE — the old Java-string
+    // compare pruned this file for `c >= "￿"` though it matches
+    val f = FileEntry("file:/f", 10,
+      Map("c" -> ColRange(None, None, Some("a"), Some("😀"), allNull = false)))
+    assert(StrAtLeast("c", "￿").mayMatch(f),
+      "supplementary-plane max must not be pruned by a BMP lower bound")
+    assert(StrBetween("c", "￿", "😀").mayMatch(f))
+    assert(StrIn("c", Seq("😀")).mayMatch(f))
+    assert(StrOrder.compare("￿", "😀") < 0)
+    assert(StrOrder.compare("abc", "abd") < 0 && StrOrder.compare("ab", "ab") == 0
+      && StrOrder.compare("abc", "ab") > 0)
+  }
+
   test("empty result predicates still return correct empty output") {
     val t = SfcTable.open(spark, dir)
     assert(t.filter(col("x") > 5000).count() == 0)
