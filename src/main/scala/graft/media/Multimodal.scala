@@ -86,7 +86,8 @@ object Multimodal {
       .filter(col("kind") === "video")
       .withColumn("frame_ms",
         explode(sequence(lit(0), col("durationMs"), lit(everyMs))))
-      .select(col("media_id"), col("frame_ms"), col("width"), col("height"))
+      .select(col("media_id"), col("kind"), col("frame_ms"),
+        col("width"), col("height"))
   }
 
   /** Resize metadata transform (the pixel work is in the stubbed codec;
@@ -99,7 +100,7 @@ object Multimodal {
         least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
       .withColumn("out_w", ceil(col("width") * col("scale")).cast("int"))
       .withColumn("out_h", ceil(col("height") * col("scale")).cast("int"))
-      .select(col("media_id"), col("width"), col("height"),
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
         col("out_w"), col("out_h"))
   }
 }

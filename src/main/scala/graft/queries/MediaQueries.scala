@@ -27,9 +27,67 @@ object MediaQueries {
           sum(when(col("decodeOk"), 1L).otherwise(0L)).as("n_ok"))
         .join(broadcast(frames))
         .orderBy(col("kind"))
+    }),
+
+    // The oracle-checked sibling: metadata + frame-sampling + resize-plan
+    // aggregation per kind — every non-stub stage of the multimodal
+    // pipeline, verified exactly (the synthetic corpus metadata is pure
+    // index arithmetic both engines can compute).
+    "q52b_media_meta" -> ((s, _) => {
+      val ds = Multimodal.synthetic(s, 600)
+      val base = ds.toDF().groupBy(col("kind")).agg(
+        count(lit(1)).as("n_media"),
+        sum(length(col("bytes"))).cast("long").as("sum_bytes"))
+      val fr = Multimodal.sampleFrames(ds, everyMs = 500)
+        .groupBy(col("kind")).agg(count(lit(1)).as("n_frames"))
+      val rz = Multimodal.resizePlan(ds, maxSide = 96)
+        .groupBy(col("kind")).agg(
+          sum(col("out_w")).cast("long").as("sum_out_w"),
+          sum(col("out_h")).cast("long").as("sum_out_h"))
+      base.join(fr, Seq("kind"), "left").join(rz, Seq("kind"), "left")
+        .select(col("kind"), col("n_media"), col("sum_bytes"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("sum_out_w"), lit(0L)).as("sum_out_w"),
+          coalesce(col("sum_out_h"), lit(0L)).as("sum_out_h"))
+        .orderBy(col("kind"))
     })
   )
 
-  /** No oracle — stubbed decode has no SQL equivalent; rows-only check. */
-  val oracles: Map[String, String] = Map.empty
+  /** q52's stubbed decode has no SQL equivalent (rows-only check), but
+    * everything AROUND the stub is deterministic integer/double math —
+    * q52b runs the metadata, frame-sampling, and resize-plan pipeline
+    * over the same synthetic corpus and IS oracle-checked: DuckDB
+    * reconstructs the corpus metadata from the same index arithmetic
+    * (synthetic() at Multimodal.scala:39-52) via generate_series.
+    */
+  val oracles: Map[String, String] = Map(
+    "q52b_media_meta" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE WHEN i % 3 <> 1 THEN 64 + (i % 4) * 32 ELSE 0 END AS width,
+        |    CASE WHEN i % 3 <> 1 THEN 64 ELSE 0 END AS height,
+        |    CASE WHEN i % 3 = 0 THEN 0 ELSE 1000 + (i % 10) * 500 END AS duration_ms,
+        |    256 + (i % 512) AS n_bytes
+        |  FROM range(600) t(i)),
+        |base AS (
+        |  SELECT kind, count(*) AS n_media,
+        |    CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+        |  FROM m GROUP BY kind),
+        |fr AS (
+        |  SELECT kind, CAST(sum(duration_ms // 500 + 1) AS BIGINT) AS n_frames
+        |  FROM m WHERE kind = 'video' GROUP BY kind),
+        |rz AS (
+        |  SELECT kind,
+        |    CAST(sum(CAST(ceil(width * least(1.0, 96.0 / greatest(width, height))) AS INT)) AS BIGINT) AS sum_out_w,
+        |    CAST(sum(CAST(ceil(height * least(1.0, 96.0 / greatest(width, height))) AS INT)) AS BIGINT) AS sum_out_h
+        |  FROM m WHERE kind IN ('image', 'video') GROUP BY kind)
+        |SELECT base.kind, n_media, sum_bytes,
+        |  coalesce(n_frames, 0) AS n_frames,
+        |  coalesce(sum_out_w, 0) AS sum_out_w,
+        |  coalesce(sum_out_h, 0) AS sum_out_h
+        |FROM base
+        |LEFT JOIN fr ON base.kind = fr.kind
+        |LEFT JOIN rz ON base.kind = rz.kind
+        |ORDER BY base.kind""".stripMargin)
 }
