@@ -26,17 +26,47 @@ object Advisor {
   case object NullPred extends PredType { val weight = 1.0 }
   case object JoinPred extends PredType { val weight = 0.0 }
 
-  case class PredEvent(column: String, ptype: PredType, inOr: Boolean, queryId: Int)
+  case class PredEvent(column: String, ptype: PredType, inOr: Boolean, queryId: Int,
+      table: String = "")
 
-  /** V1: parse one SQL text and collect classified predicate events. */
+  /** V1: parse one SQL text and collect classified predicate events.
+    * Each event carries its table attribution (qualified refs via the
+    * alias map; unqualified refs attributed when the query reads exactly
+    * one relation — the reference's alias-map heuristic,
+    * sql_layout_toolkit.py:328-376).
+    */
   def extract(spark: SparkSession, sql: String, queryId: Int = 0): Seq[PredEvent] = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val events = scala.collection.mutable.ArrayBuffer.empty[PredEvent]
+
+    val aliases = scala.collection.mutable.Map.empty[String, String]
+    val relations = scala.collection.mutable.ArrayBuffer.empty[String]
+    plan.foreach {
+      case SubqueryAlias(ident, child: UnresolvedRelation) =>
+        aliases(ident.name.toLowerCase) = child.multipartIdentifier.last.toLowerCase
+      case r: UnresolvedRelation =>
+        relations += r.multipartIdentifier.last.toLowerCase
+      case _ =>
+    }
+    val singleTable = relations.distinct match {
+      case scala.collection.mutable.ArrayBuffer(only) => Some(only)
+      case _ => None
+    }
+    def tableOf(a: UnresolvedAttribute): String =
+      if (a.nameParts.length > 1) {
+        val q = a.nameParts(a.nameParts.length - 2).toLowerCase
+        aliases.getOrElse(q, q)
+      } else singleTable.getOrElse("")
 
     def colName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
       case Cast(c, _, _, _) => colName(c)
       case _ => None
+    }
+    def colTable(e: Expression): String = e match {
+      case a: UnresolvedAttribute => tableOf(a)
+      case Cast(c, _, _, _) => colTable(c)
+      case _ => ""
     }
     def isLit(e: Expression): Boolean = e match {
       case _: Literal => true
@@ -49,25 +79,29 @@ object Advisor {
       case Or(l, r) => classify(l, inOr = true); classify(r, inOr = true)
       case Not(c) => classify(c, inOr)
       case EqualTo(l, r) if colName(l).isDefined && isLit(r) =>
-        events += PredEvent(colName(l).get, EqPred, inOr, queryId)
+        events += PredEvent(colName(l).get, EqPred, inOr, queryId, colTable(l))
       case EqualTo(l, r) if colName(r).isDefined && isLit(l) =>
-        events += PredEvent(colName(r).get, EqPred, inOr, queryId)
+        events += PredEvent(colName(r).get, EqPred, inOr, queryId, colTable(r))
       case EqualTo(l, r) if colName(l).isDefined && colName(r).isDefined =>
-        events += PredEvent(colName(l).get, JoinPred, inOr, queryId)
-        events += PredEvent(colName(r).get, JoinPred, inOr, queryId)
+        events += PredEvent(colName(l).get, JoinPred, inOr, queryId, colTable(l))
+        events += PredEvent(colName(r).get, JoinPred, inOr, queryId, colTable(r))
       case In(v, _) if colName(v).isDefined =>
-        events += PredEvent(colName(v).get, InPred, inOr, queryId)
+        events += PredEvent(colName(v).get, InPred, inOr, queryId, colTable(v))
       case b @ (_: GreaterThan | _: GreaterThanOrEqual |
           _: LessThan | _: LessThanOrEqual) =>
         val bc = b.asInstanceOf[BinaryComparison]
-        colName(bc.left).orElse(colName(bc.right)).foreach(c =>
-          events += PredEvent(c, RangePred, inOr, queryId))
+        val side = if (colName(bc.left).isDefined) bc.left else bc.right
+        colName(side).foreach(c =>
+          events += PredEvent(c, RangePred, inOr, queryId, colTable(side)))
       case l: Like =>
-        colName(l.left).foreach(c => events += PredEvent(c, LikePred, inOr, queryId))
+        colName(l.left).foreach(c =>
+          events += PredEvent(c, LikePred, inOr, queryId, colTable(l.left)))
       case IsNull(c) =>
-        colName(c).foreach(cc => events += PredEvent(cc, NullPred, inOr, queryId))
+        colName(c).foreach(cc =>
+          events += PredEvent(cc, NullPred, inOr, queryId, colTable(c)))
       case IsNotNull(c) =>
-        colName(c).foreach(cc => events += PredEvent(cc, NullPred, inOr, queryId))
+        colName(c).foreach(cc =>
+          events += PredEvent(cc, NullPred, inOr, queryId, colTable(c)))
       case _ => // other expressions carry no layout signal
     }
 
@@ -143,5 +177,68 @@ object Advisor {
       ComboScore(ordered,
         anchors + 1.25 * cooc + 0.75 * coverage + 0.15 * leading, coverage)
     }.toSeq.sortBy(-_.score).take(top)
+  }
+
+  case class TableRecommendation(
+      table: String,
+      layoutOpportunityScore: Double,
+      totalScore: Double,
+      filterEvents: Int,
+      joinEvents: Int,
+      candidateColumns: Int,
+      cooccurPairSum: Double,
+      cooccurPairMax: Double,
+      queryCoverage: Int,
+      topColumns: Seq[String],
+      eligibleForMultiColLayout: Boolean)
+
+  /** V5: rank TABLES by expected layout-tuning payoff (the reference's
+    * stacked per-table recommendation, sql_layout_toolkit.py:910-1001):
+    * per-table column-score totals + filter/join event counts + in-query
+    * column co-occurrence, with an explicit multi-column-eligibility
+    * flag that leads the sort. Candidate columns are those with filter
+    * or join usage, dropping unique-like filter-only columns (weak
+    * anchors; join keys are kept even when unique).
+    */
+  def recommendTables(
+      events: Seq[PredEvent],
+      kinds: Map[String, String] = Map.empty,
+      uniqueRatio: Map[String, Double] = Map.empty,
+      minCandidateColumns: Int = 2,
+      top: Int = 8): Seq[TableRecommendation] = {
+    val attributed = events.filter(_.table.nonEmpty)
+    attributed.groupBy(_.table).map { case (table, evs) =>
+      val cols = scoreColumns(evs, kinds, uniqueRatio)
+      val candidates = cols.filter { c =>
+        val used = c.filters > 0 || c.joins > 0
+        val uniqueLike = uniqueRatio.get(c.column).exists(_ > 0.95)
+        used && (!uniqueLike || c.joins > 0)
+      }
+      // co-occurrence: unordered column pairs of THIS table appearing in
+      // the same query, counted across the workload
+      val pairCounts = evs.groupBy(_.queryId).values.toSeq
+        .flatMap(q => q.map(_.column).distinct.sorted.combinations(2).map(_.mkString("|")))
+        .groupBy(identity).map(_._2.size.toDouble).toSeq
+      val pairSum = pairCounts.sum
+      val pairMax = if (pairCounts.isEmpty) 0.0 else pairCounts.max
+      val filterEvents = evs.count(_.ptype != JoinPred)
+      val joinEvents = evs.count(_.ptype == JoinPred)
+      val totalScore = cols.map(_.score).sum
+      TableRecommendation(
+        table = table,
+        layoutOpportunityScore = totalScore + 0.25 * filterEvents +
+          0.10 * joinEvents + 0.75 * pairSum + 1.50 * pairMax,
+        totalScore = totalScore,
+        filterEvents = filterEvents,
+        joinEvents = joinEvents,
+        candidateColumns = candidates.length,
+        cooccurPairSum = pairSum,
+        cooccurPairMax = pairMax,
+        queryCoverage = evs.map(_.queryId).distinct.length,
+        topColumns = candidates.take(5).map(_.column),
+        eligibleForMultiColLayout = candidates.length >= minCandidateColumns)
+    }.toSeq.sortBy(r => (!r.eligibleForMultiColLayout,
+      -r.layoutOpportunityScore, -r.candidateColumns, -r.queryCoverage))
+      .take(top)
   }
 }

@@ -52,6 +52,50 @@ class AdvisorSuite extends SparkTestBase {
     assert(withPenalty < without)
   }
 
+  test("table attribution: aliases, qualifiers, single-table fallback") {
+    val evs = Advisor.extract(spark,
+      """SELECT * FROM lineitem l JOIN orders ON l.l_orderkey = orders.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND orders.o_totalprice > 100""".stripMargin)
+    assert(evs.find(_.column == "l_shipdate").get.table == "lineitem",
+      "alias l must resolve to lineitem")
+    assert(evs.find(_.column == "o_totalprice").get.table == "orders")
+    assert(evs.find(_.column == "l_orderkey").get.table == "lineitem")
+    // unqualified single-table query attributes to the only relation
+    val single = Advisor.extract(spark,
+      "SELECT * FROM part WHERE p_size BETWEEN 1 AND 5")
+    assert(single.forall(_.table == "part"))
+    // unqualified ref in a two-table query stays unattributed, not guessed
+    val ambiguous = Advisor.extract(spark,
+      "SELECT * FROM a JOIN b ON a.k = b.k WHERE x > 1")
+    assert(ambiguous.find(_.column == "x").get.table == "")
+  }
+
+  test("table recommendation ranks filter-rich tables first with eligibility") {
+    val workload = Seq(
+      "SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 24",
+      "SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.03 AND 0.07",
+      "SELECT * FROM lineitem l JOIN nation n ON l.l_suppkey = n.n_nationkey WHERE l.l_quantity > 10")
+    val evs = workload.zipWithIndex.flatMap { case (q, i) => Advisor.extract(spark, q, i) }
+    val recs = Advisor.recommendTables(evs)
+    assert(recs.head.table == "lineitem", recs.toString)
+    assert(recs.head.eligibleForMultiColLayout,
+      "lineitem has 3+ filter columns — multi-col eligible")
+    assert(recs.head.topColumns.nonEmpty && recs.head.topColumns.length <= 5)
+    assert(recs.head.queryCoverage == 3)
+    assert(recs.head.cooccurPairSum > 0, "co-filtered columns must count as pairs")
+    val nation = recs.find(_.table == "nation").get
+    assert(!nation.eligibleForMultiColLayout,
+      "join key only (one usable column) is not multi-col")
+    assert(nation.candidateColumns == 1)
+    // unique-like filter-only columns are dropped; unique join keys kept
+    val uniq = Advisor.recommendTables(evs,
+      uniqueRatio = Map("l_shipdate" -> 0.99, "l_suppkey" -> 0.99))
+    val li = uniq.find(_.table == "lineitem").get
+    assert(!li.topColumns.contains("l_shipdate"), "unique-like filter col dropped")
+    assert(li.topColumns.contains("l_suppkey"), "unique join key kept")
+  }
+
   test("combo recommendation pairs co-occurring columns, leader first") {
     val combos = Advisor.recommendCombos(events, k = 2,
       kinds = Map("l_shipdate" -> "datetime"))
