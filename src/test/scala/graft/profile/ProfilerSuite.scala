@@ -55,6 +55,21 @@ class ProfilerSuite extends SparkTestBase {
     assert(back.columns.map(_.cardinality) == ts.columns.map(_.cardinality))
   }
 
+  test("stats YAML round-trip (dist_store stats.yaml shape) is exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 200).map(i => (i, i * 0.5, s"it's v${i % 3}")).toDF("n", "x", "s")
+    val ts = Profiler.profile(df)
+    val p = tmpDir("graft_stats_yaml") + "/stats.yaml"
+    StatsIO.writeYaml(p, ts)
+    val back = StatsIO.readYaml(p)
+    assert(back == ts, "YAML stats round-trip must be lossless")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    assert(text.startsWith("columns:"), "reference stats.yaml shape")
+    assert(text.contains("metadata:"))
+  }
+
   test("UniDist: invCdf/cdf round-trip and monotonicity") {
     val dist = UniDist(Seq(0.0, 10.0, 20.0, 40.0), Seq(100L, 200L, 100L))
     assert(dist.invCdf(0.0) == 0.0)
