@@ -77,6 +77,40 @@ class PlanAuditSuite extends SparkTestBase {
     assert(nodes.exists(_.contains("WholeStageCodegen")), nodes.toString)
   }
 
+  test("TPC-H streams: dims broadcast, aggs are partial+final, no cartesians") {
+    // the heaviest new streams: multi-way joins (Q7/Q8/Q9), the
+    // EXISTS/NOT EXISTS pair (Q21), and the left-join distribution (Q13)
+    for (q <- Seq("q55_tpch7", "q56_tpch8", "q57_tpch9", "q59_tpch13", "q63_tpch21")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: small dims must broadcast\n" + p.take(600))
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"$q: expected partial+final aggregation")
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+  }
+
+  test("Q21's correlated EXISTS/NOT-EXISTS become semi/anti joins, not subquery loops") {
+    val p = plan("q63_tpch21")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      "EXISTS must plan as a semi join:\n" + p.take(800))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+  }
+
+  test("simhash/shingle kernels stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs.select(simhash60(words(col("text"))).as("h"))
+    val nodes = executedNodes(sh)
+    assert(nodes.exists(_.contains("WholeStageCodegen")),
+      s"SimHash60 broke codegen: $nodes")
+    val shingled = docs.select(explode(shinglesDistinct(words(col("text")), 3)).as("s"))
+    val n2 = executedNodes(shingled)
+    assert(n2.exists(_.contains("WholeStageCodegen")),
+      s"DistinctShingles broke codegen: $n2")
+  }
+
   test("no accidental cartesian products in the relational queries") {
     // q14/q33-style broadcast nested loop joins are intentional
     // (scalar-subquery cross and non-equi pair join); plain
