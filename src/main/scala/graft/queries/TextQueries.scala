@@ -16,6 +16,13 @@ object TextQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** GPT-2-shaped pre-tokenizer regex, restricted to constructs RE2 also
+    * supports (no lookahead): contraction suffixes, optionally
+    * space-prefixed letter / digit / punctuation runs, whitespace runs.
+    */
+  private val BpeIshPattern =
+    "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9']+|\\s+"
+
   // Stopword marker sets for the language-ID heuristic. Fixed priority
   // order (en > zh > es > de > fr) breaks score ties deterministically.
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -26,15 +33,22 @@ object TextQueries {
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token counting (whitespace tokens) per language.
+    // Token counting per language: whitespace tokens AND a BPE-style
+    // pre-tokenizer count (GPT-2-shaped regex, lookahead-free so the
+    // same pattern runs in Java regex and DuckDB's RE2: contractions,
+    // space-prefixed word/number/punctuation runs, residual whitespace).
     "q24_token_count" -> ((s, d) => {
       docs(s, d)
         .withColumn("n_tok", size(words(col("text"))))
+        .withColumn("n_bpe",
+          size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0))))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("total_tokens"),
           round(avg(col("n_tok")), 6).as("avg_tokens"),
-          max(col("n_tok")).as("max_tokens"))
+          max(col("n_tok")).as("max_tokens"),
+          sum(col("n_bpe")).as("total_bpe_tokens"),
+          round(avg(col("n_bpe")), 6).as("avg_bpe_tokens"))
         .orderBy(col("lang"))
     }),
 
@@ -101,8 +115,13 @@ object TextQueries {
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         | round(avg(n_tok),6) AS avg_tokens,
-        | CAST(max(n_tok) AS INTEGER) AS max_tokens
-        |FROM (SELECT lang, len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        | CAST(max(n_tok) AS INTEGER) AS max_tokens,
+        | CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+        | round(avg(n_bpe),6) AS avg_bpe_tokens
+        |FROM (SELECT lang,
+        |        len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+        |        len(regexp_extract_all(text,
+        |          '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+')) AS n_bpe
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q25_text_quality" ->
