@@ -42,6 +42,28 @@ object EventStream {
   case class Session(user_id: Long, startTs: java.sql.Timestamp,
       endTs: java.sql.Timestamp, events: Int, sumValue: Double)
 
+  /** Stream-static enrichment: join the stream against a static
+    * dimension frame. The static side re-resolves per micro-batch
+    * (standard Spark stream-static join semantics) and broadcasts when
+    * small — state-free, unlike stream-stream joins.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Continuous keyed ingest: every micro-batch copy-on-write-upserts
+    * into a graft layout table (record key + precombine from the
+    * table's manifest) — the streaming half of the Hudi-style sink.
+    * Caller starts/stops the returned writer; exactly-once per batch
+    * comes from the upsert's precombine semantics (replayed batches
+    * re-apply the same latest-wins outcome).
+    */
+  def upsertSink(events: DataFrame, tableDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { graft.table.Upserter.upsert(batch.sparkSession, tableDir, batch); () }
+    }
+
   /** Gap-based sessionization (30-min inactivity closes a session) via
     * flatMapGroupsWithState with an event-time timeout.
     */

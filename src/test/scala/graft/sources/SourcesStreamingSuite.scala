@@ -121,6 +121,63 @@ class SourcesStreamingSuite extends SparkTestBase {
   private def ts(h: Int, m: Int) =
     new java.sql.Timestamp(((h * 60 + m) * 60 + 86400) * 1000L)
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    val spark2 = spark
+    import spark2.implicits._
+    val srcDir = tmpDir("stream_enrich")
+    val events = (0 until 300).map { i =>
+      (new java.sql.Timestamp(1000L * i), (i % 7).toLong, s"type${i % 3}", i * 1.0)
+    }.toDF("ts", "user_id", "event_type", "value")
+    events.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val dim = (0L until 7L).map(u => (u, s"segment${u % 2}")).toDF("user_id", "segment")
+
+    val enriched = EventStream.enrich(
+      spark.readStream.schema(events.schema).parquet(srcDir), dim, "user_id")
+      .groupBy($"segment").agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("enrich_test").orderBy("segment").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = events.join(dim, Seq("user_id")).groupBy($"segment")
+      .agg(count(lit(1)).as("n")).orderBy("segment").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("streaming upsert sink converges the layout table to latest-wins state") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tableDir = tmpDir("stream_upsert_tbl")
+    graft.layout.LayoutWriter.write(
+      (1 to 50).map(k => (k.toLong, s"v$k", 0L)).toDF("k", "payload", "version"),
+      tableDir,
+      graft.layout.LayoutWriter.LayoutSpec("linear", Seq("k"), numFiles = Some(4),
+        recordKey = Some("k"), precombineCol = Some("version")))
+
+    // batch stream: updates for k=1..10 (version 2) and inserts k=51..55
+    val srcDir = tmpDir("stream_upsert_src")
+    ((1 to 10).map(k => (k.toLong, s"upd$k", 2L)) ++
+      (51 to 55).map(k => (k.toLong, s"new$k", 1L)))
+      .toDF("k", "payload", "version")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = EventStream.upsertSink(stream, tableDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(tableDir)
+    assert(got.count() == 55)
+    assert(got.filter($"k" === 3L).select("payload").as[String].head() == "upd3")
+    assert(got.filter($"k" === 20L).select("payload").as[String].head() == "v20",
+      "rows outside the batch key range survive")
+    assert(got.filter($"k" === 53L).count() == 1)
+    assert(graft.layout.ZoneMap.read(tableDir).totalRows == 55)
+  }
+
   test("streaming dedup drops in-watermark duplicate ids") {
     val spark2 = spark
     import spark2.implicits._
