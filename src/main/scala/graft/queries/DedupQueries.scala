@@ -128,6 +128,33 @@ object DedupQueries {
         .orderBy(col("jaccard").desc, col("da"), col("db"))
     }),
 
+    // Near-dup REMOVAL (not just detection): per-language counts of the
+    // documents retained after dropping every doc that has a
+    // smaller-id neighbor at hamming <= 3 — the "keep one
+    // representative" step a dedup pipeline actually applies. The drop
+    // set comes from the same exact banded join as q31; removal is one
+    // broadcast anti-join (the drop set is near-dup-sized, tiny).
+    "q31b_simhash_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val h = graft.runner.Materialize.track(dd
+        .select(col("doc_id"), simhash60(words(col("text"))).as("sh")))
+      val bandRows = h.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))
+      val a = bandRows.as("a"); val b = bandRows.as("b")
+      val dropped = a
+        .join(b, col("a.b.band") === col("b.b.band")
+          && col("a.b.bv") === col("b.b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+        .filter(hamming(col("a.sh"), col("b.sh")) <= 3)
+        .select(col("b.doc_id").as("doc_id"))
+        .distinct()
+      dd.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_retained"))
+        .orderBy(col("lang"))
+    }),
+
     // SimHash near-dup pairs at hamming <= 3 via the exact 4-band join.
     // The (doc_id, sh) frame is tiny (16 bytes/doc) and feeds both join
     // sides — materialize once per run (runner-owned).
@@ -210,6 +237,21 @@ object DedupQueries {
          |JOIN sizes sb ON db = sb.doc_id
          |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.5
          |ORDER BY jaccard DESC, da, db""".stripMargin,
+    "q31b_simhash_dedup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $simhashExpr AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+         |            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hashes
+         |        FROM documents)),
+         |dropped AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+         |SELECT lang, count(*) AS n_retained
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q31_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, $simhashExpr AS sh
