@@ -54,6 +54,10 @@ object ProfileQueries {
     // average-rank machinery (no single-task global window; reference
     // computes it pandas-side on a 50k sample, stats.py:283-310).
     "q51_spearman" -> ((s, d) => {
+      // NOT Tables.parallelized: spearman consumes the frame three
+      // times (two rank passes + the join), and an up-front repartition
+      // re-shuffles the whole fact per consumer — measured 2.0 -> 5.3 s
+      // at sf0.1. The column-pruned direct scans are cheaper.
       val rho = graft.operators.GlobalRanks.spearman(
         Tables.load(s, d, "lineitem"), "l_quantity", "l_extendedprice")
       s.sql(s"SELECT CAST(round($rho, 6) AS DOUBLE) AS spearman")
