@@ -51,6 +51,30 @@ class RunQueriesCliSuite extends SparkTestBase {
     assert(lines.get(1).startsWith("graft,q1_filter.sql,"))
   }
 
+  test("runDir over a layout table: zone-map skipping shows in files_scanned") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tableDir = tmpDir("cli_layout_tbl")
+    val df = (1 to 30000).map(i => (i.toLong, i % 1000, (i % 97) * 1.0))
+      .toDF("id", "x", "y")
+    graft.layout.LayoutWriter.write(df, tableDir,
+      graft.layout.LayoutWriter.LayoutSpec("linear", Seq("x"), numFiles = Some(12)))
+
+    val qDir = tmpDir("cli_layout_q")
+    writeSql(qDir, "q_narrow.sql",
+      "SELECT count(*) AS c FROM {{tbl}} WHERE x BETWEEN 100 AND 120")
+    writeSql(qDir, "q_full.sql", "SELECT count(*) AS c FROM {{tbl}}")
+
+    val view = RunQueries.registerTable(spark, tableDir, "cli_layout")
+    val rs = RunQueries.runDir(spark,
+      RunQueries.Config(table = tableDir, queriesDir = qDir), view)
+    val narrow = rs.find(_.query == "q_narrow.sql").get.metrics
+    val full = rs.find(_.query == "q_full.sql").get.metrics
+    assert(full.filesScanned == 12, s"full scan saw ${full.filesScanned}")
+    assert(narrow.filesScanned < full.filesScanned,
+      s"zone-map skipping must show in the CSV: ${narrow.filesScanned} vs ${full.filesScanned}")
+  }
+
   test("parse: flags round-trip and bad input rejected") {
     val c = RunQueries.parse(Array("--table", "/t", "--queries-dir", "/q",
       "--warmup", "--cache", "catalog", "--action", "count",
