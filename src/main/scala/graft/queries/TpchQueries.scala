@@ -334,6 +334,80 @@ object TpchQueries {
       |      AND l3.l_shipdate >= l1.l_shipdate)
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
+  // Q2 — min-cost supplier per part (correlated scalar-min subquery over
+  // the same join tree). Adapted: no partsupp, so unit price
+  // l_extendedprice/l_quantity stands in for ps_supplycost, with
+  // lineitem as the part-supplier link. The division is one double op
+  // per row and min() is order-independent, so the equality boundary is
+  // engine-stable.
+  private val q2 =
+    """SELECT DISTINCT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+      |  p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 15 AND p_type = 'ECONOMY'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice / l_quantity = (
+      |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // Q11 — important stock (grouped values vs a scalar-subquery fraction
+  // of the total). Adapted: part revenue from one nation's suppliers
+  // stands in for ps_supplycost*ps_availqty; both sides of the fraction
+  // comparison accumulate in DECIMAL so the boundary cannot flip.
+  private val q11 =
+    """SELECT l_partkey, value FROM (
+      |  SELECT l_partkey,
+      |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+      |      AS value
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_7'
+      |  GROUP BY l_partkey) AS t
+      |WHERE value > (
+      |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_7')
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // Q16 — parts/supplier relationship (distinct-count over a join with a
+  // NOT IN exclusion subquery). Adapted: lineitem links parts to
+  // suppliers, and negative account balance proxies the
+  // customer-complaints supplier exclusion.
+  private val q16 =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 7, 10, 14, 19, 25, 28, 32, 36)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // Q20 — suppliers with excess stock (IN over a grouped HAVING
+  // subquery). Adapted: shipped quantity of 'red' parts in a year
+  // stands in for availqty vs half the year's demand.
+  private val q20 =
+    """SELECT s_suppkey, s_name
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem, part
+      |    WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l_suppkey
+      |    HAVING sum(l_quantity) > 50)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+      |ORDER BY s_suppkey""".stripMargin
+
   private val texts = Map(
     "q40_tpch3" -> q3, "q41_tpch5" -> q5, "q42_tpch6" -> q6,
     "q43_tpch10" -> q10, "q44_tpch14" -> q14, "q45_tpch18" -> q18,
@@ -341,7 +415,9 @@ object TpchQueries {
     "q53_tpch1" -> q1, "q54_tpch4" -> q4, "q55_tpch7" -> q7,
     "q56_tpch8" -> q8, "q57_tpch9" -> q9, "q58_tpch12" -> q12,
     "q59_tpch13" -> q13, "q61_tpch17" -> q17, "q62_tpch19" -> q19,
-    "q63_tpch21" -> q21)
+    "q63_tpch21" -> q21,
+    "q64_tpch2" -> q2, "q65_tpch11" -> q11, "q66_tpch16" -> q16,
+    "q67_tpch20" -> q20)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     texts.map { case (k, v) => k -> sql(v) } +
