@@ -34,5 +34,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hilbertvalue"),
       new ExpressionInfo(classOf[HilbertValueExpr].getName, "graft_hilbertvalue"),
       builder(HilbertValueExpr(_, _))))
+    // text kernels, SQL-facing: graft_simhash60(ARRAY<STRING>) -> BIGINT,
+    // graft_shingles(ARRAY<STRING>, n INT literal) -> ARRAY<STRING>
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[graft.text.SimHash60].getName, "graft_simhash60"),
+      {
+        case Seq(ws) => graft.text.SimHash60(ws)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_simhash60(words ARRAY<STRING>)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.text.DistinctShingles].getName, "graft_shingles"),
+      {
+        case Seq(ws, Literal(n: Int, IntegerType)) =>
+          graft.text.DistinctShingles(ws, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_shingles(words ARRAY<STRING>, n INT literal)")
+      }))
   }
 }

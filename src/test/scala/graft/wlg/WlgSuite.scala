@@ -268,6 +268,36 @@ class WlgSuite extends AnyFunSuite {
       new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("GraftExtensions registers curve + text SQL functions in a new session") {
+    import org.apache.spark.sql.SparkSession
+    val old = graft.SparkTestBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT graft_simhash60(array('a','b')) AS h, " +
+          "graft_shingles(array('a','b','c'), 2) AS sh, " +
+          "graft_zvalue(4, CAST(3 AS BIGINT), CAST(1 AS BIGINT)) AS z")
+        .collect()(0)
+      val expected = {
+        import org.apache.spark.unsafe.types.UTF8String
+        graft.text.TextKernels.simhash60(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"))))
+      }
+      assert(r.getLong(0) == expected)
+      assert(r.getSeq[String](1) == Seq("a b", "b c"))
+      assert(r.getLong(2) == graft.curve.Curves.zValue(Array(3L, 1L), 4))
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("emit writes numbered sql files and a workload doc") {
     val dir = java.nio.file.Files.createTempDirectory("wlg_emit").toString
     WorkloadGen.emit(dir, Seq(
