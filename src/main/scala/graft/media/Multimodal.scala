@@ -78,6 +78,83 @@ object Multimodal {
     }
   }
 
+  case class ImageRow(media_id: Long, bytes: Array[Byte])
+  case class ImageFeatures(
+      media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, decodeOk: Boolean)
+
+  /** Deterministic REAL PNG corpus: pixel (x,y) of image i is
+    * r=(i+x)%256, g=(i+y)%256, b=(i+x+y)%256, encoded losslessly with
+    * the JDK's own ImageIO PNG writer on the executors. Because PNG is
+    * lossless and the pattern is closed-form, decoded features are
+    * exactly predictable — which is what lets a SQL oracle verify a
+    * REAL decode path (not the hash stub).
+    */
+  def syntheticImages(spark: SparkSession, n: Int): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 16 + (i % 8).toInt
+      val h = 16
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((i + x) % 256).toInt
+          val g = ((i + y) % 256).toInt
+          val b = ((i + x + y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      ImageRow(i, out.toByteArray)
+    }
+  }
+
+  /** REAL image decode over the binary column: the JDK's ImageIO (PNG /
+    * BMP / JPEG readers ship with Java SE — no external codecs needed)
+    * inside mapPartitions, pooling per-channel means. Malformed payloads
+    * yield decodeOk=false rather than failing the partition. This is
+    * the production shape [[decodeStub]] stands in for on formats whose
+    * codecs the JVM does not bundle.
+    */
+  def decodeImages(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.bytes))
+          if (img == null) ImageFeatures(r.media_id, 0, 0, 0, 0, 0, decodeOk = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            ImageFeatures(r.media_id, w, h,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, decodeOk = true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageFeatures(r.media_id, 0, 0, 0, 0, 0, decodeOk = false)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one row per sampled frame at
     * `everyMs` intervals (explode of a sequence — fully parallel).
     */

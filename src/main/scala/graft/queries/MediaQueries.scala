@@ -29,6 +29,25 @@ object MediaQueries {
         .orderBy(col("kind"))
     }),
 
+    // REAL decode, oracle-checked: the JDK bundles actual image codecs
+    // (ImageIO PNG/BMP/JPEG), so this pipeline decodes genuine PNG
+    // bytes on the executors and pools per-channel means. The corpus
+    // pattern is closed-form ((i+x)%256 etc.) and PNG is lossless, so
+    // DuckDB verifies the decoded features arithmetically — real codec
+    // in the loop, exact oracle. Per-image means are rounded to 6dp
+    // then DECIMAL-averaged so the group aggregate is order-independent.
+    "q52c_image_decode" -> ((s, _) => {
+      val feats = Multimodal.decodeImages(Multimodal.syntheticImages(s, 400)).toDF()
+      def decAvg(c: String) =
+        round(sum(round(col(c), 6).cast("decimal(16,6)")).cast("double")
+          / count(lit(1)), 6).as(s"avg$c".replace("avgmean_", "avg_"))
+      feats.groupBy(col("width"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("decodeOk"), 1L).otherwise(0L)).as("n_ok"),
+          decAvg("mean_r"), decAvg("mean_g"), decAvg("mean_b"))
+        .orderBy(col("width"))
+    }),
+
     // The oracle-checked sibling: metadata + frame-sampling + resize-plan
     // aggregation per kind — every non-stub stage of the multimodal
     // pipeline, verified exactly (the synthetic corpus metadata is pure
@@ -61,6 +80,23 @@ object MediaQueries {
     * (synthetic() at Multimodal.scala:39-52) via generate_series.
     */
   val oracles: Map[String, String] = Map(
+    "q52c_image_decode" ->
+      """WITH m AS (
+        |  SELECT i, CAST(16 + (i % 8) AS INT) AS width,
+        |    round(list_avg(list_transform(
+        |      generate_series(0, 15 + (i % 8)), x -> (i + x) % 256)), 6) AS mean_r,
+        |    round(list_avg(list_transform(
+        |      generate_series(0, 15), y -> (i + y) % 256)), 6) AS mean_g,
+        |    round(list_avg(flatten(list_transform(
+        |      generate_series(0, 15 + (i % 8)), x ->
+        |        list_transform(generate_series(0, 15),
+        |          y -> (i + x + y) % 256)))), 6) AS mean_b
+        |  FROM range(400) t(i))
+        |SELECT width, count(*) AS n, count(*) AS n_ok,
+        |  round(CAST(sum(CAST(mean_r AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS avg_r,
+        |  round(CAST(sum(CAST(mean_g AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS avg_g,
+        |  round(CAST(sum(CAST(mean_b AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS avg_b
+        |FROM m GROUP BY width ORDER BY width""".stripMargin,
     "q52b_media_meta" ->
       """WITH m AS (
         |  SELECT i AS media_id,

@@ -220,4 +220,25 @@ class SourcesStreamingSuite extends SparkTestBase {
     val rs = Multimodal.resizePlan(media, maxSide = 64)
     assert(rs.filter(col("out_w") > 64 || col("out_h") > 64).count() == 0)
   }
+
+  test("real PNG decode: JDK ImageIO round-trips the closed-form pattern") {
+    val spark2 = spark
+    import spark2.implicits._
+    val feats = Multimodal.decodeImages(Multimodal.syntheticImages(spark, 20))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 20 && feats.forall(_.decodeOk))
+    feats.foreach { f =>
+      val i = f.media_id
+      assert(f.width == 16 + (i % 8).toInt && f.height == 16)
+      val expR = (0 until f.width).map(x => (i + x) % 256).sum.toDouble / f.width
+      val expG = (0 until 16).map(y => (i + y) % 256).sum.toDouble / 16
+      assert(math.abs(f.mean_r - expR) < 1e-9, s"img $i mean_r ${f.mean_r} != $expR")
+      assert(math.abs(f.mean_g - expG) < 1e-9)
+    }
+    // malformed payloads degrade to decodeOk=false, not partition failure
+    val bad = Multimodal.decodeImages(
+      Seq(Multimodal.ImageRow(99L, Array[Byte](1, 2, 3))).toDS())
+      .collect()(0)
+    assert(!bad.decodeOk && bad.width == 0)
+  }
 }
