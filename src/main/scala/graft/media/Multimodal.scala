@@ -155,6 +155,75 @@ object Multimodal {
     }
   }
 
+  case class AudioRow(media_id: Long, bytes: Array[Byte])
+  case class AudioFeatures(
+      media_id: Long, sampleRate: Int, nSamples: Int,
+      mean: Double, rms: Double, decodeOk: Boolean)
+
+  /** Deterministic REAL WAV corpus: 16-bit PCM mono at 8 kHz, sample k
+    * of clip i is ((i*31 + k*7) % 2003) - 1001 — closed-form, so decoded
+    * features are exactly predictable. The RIFF/fmt/data header is
+    * written by hand (44 bytes, the PCM WAV layout).
+    */
+  def syntheticWavs(spark: SparkSession, n: Int): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val ns = 800 + (i % 5).toInt * 100
+      val dataLen = ns * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(8000).putInt(16000) // sample rate, byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var k = 0
+      while (k < ns) {
+        buf.putShort((((i * 31 + k * 7) % 2003) - 1001).toShort)
+        k += 1
+      }
+      AudioRow(i, buf.array())
+    }
+  }
+
+  /** REAL audio decode: javax.sound.sampled (the JDK's bundled WAV/PCM
+    * codec) parses the container and hands back the PCM frames; mean
+    * and RMS amplitude are pooled per clip. Malformed payloads yield
+    * decodeOk=false.
+    */
+  def decodeWavs(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
+          val fmt = in.getFormat
+          val data = in.readAllBytes()
+          in.close()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ns = data.length / 2
+          var sum = 0L; var sumSq = 0L
+          var k = 0
+          while (k < ns) {
+            val s = bb.getShort(k * 2).toLong
+            sum += s; sumSq += s * s
+            k += 1
+          }
+          AudioFeatures(r.media_id, fmt.getSampleRate.toInt, ns,
+            sum.toDouble / ns, math.sqrt(sumSq.toDouble / ns), decodeOk = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioFeatures(r.media_id, 0, 0, 0, 0, decodeOk = false)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one row per sampled frame at
     * `everyMs` intervals (explode of a sequence — fully parallel).
     */

@@ -48,6 +48,22 @@ object MediaQueries {
         .orderBy(col("width"))
     }),
 
+    // REAL audio decode, oracle-checked: javax.sound.sampled parses
+    // hand-written PCM WAV containers; mean/RMS amplitude verified
+    // arithmetically (same closed-form-corpus trick as q52c).
+    "q52d_audio_decode" -> ((s, _) => {
+      val feats = Multimodal.decodeWavs(Multimodal.syntheticWavs(s, 400)).toDF()
+      def decAvg(c: String, out: String) =
+        round(sum(round(col(c), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as(out)
+      feats.groupBy(col("nSamples").as("n_samples"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("decodeOk") && col("sampleRate") === 8000, 1L)
+            .otherwise(0L)).as("n_ok"),
+          decAvg("mean", "avg_mean"), decAvg("rms", "avg_rms"))
+        .orderBy(col("n_samples"))
+    }),
+
     // The oracle-checked sibling: metadata + frame-sampling + resize-plan
     // aggregation per kind — every non-stub stage of the multimodal
     // pipeline, verified exactly (the synthetic corpus metadata is pure
@@ -80,6 +96,21 @@ object MediaQueries {
     * (synthetic() at Multimodal.scala:39-52) via generate_series.
     */
   val oracles: Map[String, String] = Map(
+    "q52d_audio_decode" ->
+      """WITH m AS (
+        |  SELECT i, CAST(800 + (i % 5) * 100 AS INT) AS n_samples,
+        |    round(list_avg(list_transform(
+        |      generate_series(0, 799 + (i % 5) * 100),
+        |      k -> ((i * 31 + k * 7) % 2003) - 1001)), 6) AS mean,
+        |    round(sqrt(list_avg(list_transform(
+        |      generate_series(0, 799 + (i % 5) * 100),
+        |      k -> CAST(((i * 31 + k * 7) % 2003) - 1001 AS DOUBLE)
+        |        * (((i * 31 + k * 7) % 2003) - 1001)))), 6) AS rms
+        |  FROM range(400) t(i))
+        |SELECT n_samples, count(*) AS n, count(*) AS n_ok,
+        |  round(CAST(sum(CAST(mean AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_mean,
+        |  round(CAST(sum(CAST(rms AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_rms
+        |FROM m GROUP BY n_samples ORDER BY n_samples""".stripMargin,
     "q52c_image_decode" ->
       """WITH m AS (
         |  SELECT i, CAST(16 + (i % 8) AS INT) AS width,

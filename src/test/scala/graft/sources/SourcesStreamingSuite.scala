@@ -241,4 +241,25 @@ class SourcesStreamingSuite extends SparkTestBase {
       .collect()(0)
     assert(!bad.decodeOk && bad.width == 0)
   }
+
+  test("real WAV decode: javax.sound.sampled round-trips the PCM pattern") {
+    val spark2 = spark
+    import spark2.implicits._
+    val feats = Multimodal.decodeWavs(Multimodal.syntheticWavs(spark, 10))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 10 && feats.forall(_.decodeOk))
+    feats.foreach { f =>
+      val i = f.media_id
+      assert(f.sampleRate == 8000)
+      assert(f.nSamples == 800 + (i % 5).toInt * 100)
+      val samples = (0 until f.nSamples).map(k => ((i * 31 + k * 7) % 2003) - 1001)
+      val expMean = samples.sum.toDouble / f.nSamples
+      val expRms = math.sqrt(samples.map(s => s.toDouble * s).sum / f.nSamples)
+      assert(math.abs(f.mean - expMean) < 1e-9, s"clip $i mean ${f.mean} != $expMean")
+      assert(math.abs(f.rms - expRms) < 1e-9)
+    }
+    val bad = Multimodal.decodeWavs(
+      Seq(Multimodal.AudioRow(77L, Array[Byte](9, 9))).toDS()).collect()(0)
+    assert(!bad.decodeOk && bad.nSamples == 0)
+  }
 }
