@@ -133,6 +133,51 @@ object SimilarityQueries {
         .orderBy(col("cid"))
     }),
 
+    // IVF SEARCH — the probe half of the index q35b builds: each query
+    // vector ranks the 16 centroids, probes the nProbe=4 nearest lists,
+    // and scores ONLY corpus vectors assigned to those lists (exact
+    // cosine within candidates). At scale each list is a partition and
+    // the probe touches nProbe/nLists of the corpus. The probe set is
+    // part of the operator's defined semantics, so the DuckDB oracle is
+    // exact — recall vs brute force is the usual IVF tradeoff.
+    "q35c_ivf_search" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = withNorm(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")), "cemb", "cn")
+      // corpus assignment: nearest centroid per vector (q35b semantics)
+      val corpus = withNorm(e.filter(col("vec_id") >= 16)
+        .select(col("vec_id").as("vid"), col("embedding").as("vemb")), "vemb", "vn")
+      val wAssign = Window.partitionBy(col("vid"))
+        .orderBy(col("csim").desc, col("cid"))
+      val assigned = corpus.join(broadcast(cents))
+        .withColumn("csim",
+          round(vecDot(col("vemb"), col("cemb")) / (col("vn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("vemb"), col("vn"), col("cid"))
+      // query probes: 4 nearest centroids per query vector
+      val queries = withNorm(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qemb", "qn")
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy(col("psim").desc, col("cid"))
+      val probes = queries.join(broadcast(cents))
+        .withColumn("psim",
+          round(vecDot(col("qemb"), col("cemb")) / (col("qn") * col("cn")), 6))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 4)
+        .select(col("qid"), col("qemb"), col("qn"), col("cid"))
+      // exact top-5 within the probed lists
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vid"))
+      assigned.join(broadcast(probes), Seq("cid"))
+        .withColumn("sim",
+          round(vecDot(col("qemb"), col("vemb")) / (col("qn") * col("vn")), 6))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vid"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Random-hyperplane LSH: 16-bit signature from sign(dot(x, plane_j)),
     // planes = embeddings of vec_id 0..15 (deterministic, data-derived).
     // Output: the 10 most-populated buckets.
@@ -212,6 +257,30 @@ object SimilarityQueries {
          |    / count(*), 6) AS avg_sim
          |FROM scored WHERE rn = 1
          |GROUP BY cid ORDER BY cid""".stripMargin,
+    "q35c_ivf_search" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vid, vemb, cid FROM (
+         |    SELECT v.vec_id AS vid, v.embedding AS vemb, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings v CROSS JOIN cents c WHERE v.vec_id >= 16)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qemb, cid FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qemb, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cemb")} DESC, c.cid) AS prn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+         |  WHERE prn <= 4)
+         |SELECT qid, rank, vid, sim FROM (
+         |  SELECT p.qid, a.vid, ${cosSql("p.qemb", "a.vemb")} AS sim,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY ${cosSql("p.qemb", "a.vemb")} DESC, a.vid) AS rank
+         |  FROM probes p JOIN assigned a ON p.cid = a.cid)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q34_ann_lsh_buckets" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS pid, embedding AS pemb FROM embeddings WHERE vec_id < 16),
