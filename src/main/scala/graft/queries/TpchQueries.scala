@@ -26,14 +26,41 @@ object TpchQueries {
   private def sql(text: String): (SparkSession, String) => DataFrame =
     (s, d) => { Tables.registerAll(s, d); s.sql(text) }
 
-  /** Order-independent money sum, rounded to 2dp as a double. */
+  /** Order-independent money sum, rounded to 2dp as a double. Safe ONLY
+    * for raw 2-dp columns: the double→decimal cast rounds the value's
+    * shortest decimal repr in Spark but the scaled binary value in DuckDB,
+    * so an expression whose true value sits near a 4dp boundary (any
+    * double *product*) can round differently per engine. Products must go
+    * through [[dec]]/[[decSum]] instead (exact decimal arithmetic).
+    */
   private def moneySum(expr: String): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE), 2)"
+
+  /** Exact decimal image of a raw money column. The raw doubles carry at
+    * most 2 decimal digits, so they sit ≥0.005 from every 2dp rounding
+    * boundary — both engines' double→decimal casts agree exactly.
+    */
+  private def dec(c: String): String = s"CAST($c AS DECIMAL(12,2))"
+
+  /** `extendedprice * (1 - discount)` in exact decimal (scale 4). */
+  private val discPrice = s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})"
+
+  /** `... * (1 + tax)` in exact decimal (scale 6). */
+  private val charge = s"$discPrice * (1 + ${dec("l_tax")})"
+
+  /** Sum of an exact-DECIMAL expression, rounded in decimal space (both
+    * engines round half away from zero on exact decimals — verified), then
+    * cast to double. NB: never scale-DOWN a decimal via CAST for the
+    * oracle — DuckDB truncates where Spark rounds HALF_UP; decimal
+    * `round()` is the shared exact path.
+    */
+  private def decSum(expr: String): String =
+    s"CAST(round(sum($expr), 2) AS DOUBLE)"
 
   // Q3 — shipping-priority revenue of BUILDING customers.
   private val q3 =
     s"""SELECT l_orderkey, o_orderdate,
-      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
+      |  ${decSum(discPrice)} AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -45,7 +72,7 @@ object TpchQueries {
   // Q5 — local-supplier volume per ASIA nation.
   private val q5 =
     s"""SELECT n_name,
-      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
+      |  ${decSum(discPrice)} AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -57,7 +84,7 @@ object TpchQueries {
 
   // Q6 — forecast revenue change (pure scan-filter-agg).
   private val q6 =
-    s"""SELECT ${moneySum("l_extendedprice * l_discount")} AS revenue
+    s"""SELECT ${decSum(s"${dec("l_extendedprice")} * ${dec("l_discount")}")} AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -66,7 +93,7 @@ object TpchQueries {
   // Q10 — returned-item reporting: top customers by lost revenue.
   private val q10 =
     s"""SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
-      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
+      |  ${decSum(discPrice)} AS revenue
       |FROM customer, orders, lineitem, nation
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -79,12 +106,10 @@ object TpchQueries {
   // accumulate exactly in DECIMAL, then the ratio is one deterministic
   // double division on each engine.
   private val q14 =
-    """SELECT round(100.0
-      |    * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-      |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-      |      AS DECIMAL(18,4))) AS DOUBLE)
-      |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-      |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+    s"""SELECT round(100.0
+      |    * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN $discPrice ELSE 0 END) AS DOUBLE)
+      |  / CAST(sum($discPrice) AS DOUBLE), 6) AS promo_revenue
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -134,8 +159,8 @@ object TpchQueries {
     s"""SELECT l_returnflag, l_linestatus,
       |  ${moneySum("l_quantity")} AS sum_qty,
       |  ${moneySum("l_extendedprice")} AS sum_base_price,
-      |  ${moneySum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-      |  ${moneySum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+      |  ${decSum(discPrice)} AS sum_disc_price,
+      |  ${decSum(charge)} AS sum_charge,
       |  ${moneyAvg("l_quantity")} AS avg_qty,
       |  ${moneyAvg("l_extendedprice")} AS avg_price,
       |  ${moneyAvg("l_discount")} AS avg_disc,
@@ -166,7 +191,7 @@ object TpchQueries {
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |    CAST(year(l_shipdate) AS INT) AS l_year,
-      |    l_extendedprice * (1 - l_discount) AS volume
+      |    $discPrice AS volume
       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -181,13 +206,13 @@ object TpchQueries {
   // Q8 — national market share within a region. Adapted: p_type is a
   // single word in this schema ('ECONOMY' for 'ECONOMY ANODIZED STEEL').
   private val q8 =
-    """SELECT o_year,
-      |  round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume
-      |        ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
-      |    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+    s"""SELECT o_year,
+      |  round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+      |        ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
       |FROM (
       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    $discPrice AS volume,
       |    n2.n_name AS nation
       |  FROM part, supplier, lineitem, orders, customer,
       |       nation n1, nation n2, region
@@ -204,11 +229,11 @@ object TpchQueries {
   // so supply cost is proxied by 10% of p_retailprice per unit; 'green'
   // parts become 'red' (this p_name vocabulary is color + noun).
   private val q9 =
-    s"""SELECT nation, o_year, ${moneySum("amount")} AS sum_profit
+    s"""SELECT nation, o_year, ${decSum("amount")} AS sum_profit
       |FROM (
       |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-      |    l_extendedprice * (1 - l_discount)
-      |      - 0.1 * p_retailprice * l_quantity AS amount
+      |    $discPrice
+      |      - 0.1 * ${dec("p_retailprice")} * ${dec("l_quantity")} AS amount
       |  FROM part, supplier, lineitem, orders, nation
       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -248,18 +273,17 @@ object TpchQueries {
   // (CREATE VIEW; SELECT; DROP VIEW) executed through SqlScript. The
   // revenue view keeps DECIMAL so the max-equality join is exact.
   private val q15Script =
-    """-- TPC-H Q15 stream: view setup, measured select, teardown
+    s"""-- TPC-H Q15 stream: view setup, measured select, teardown
       |CREATE OR REPLACE TEMPORARY VIEW revenue0 AS
       |SELECT l_suppkey AS supplier_no,
-      |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |    AS total_revenue
+      |  sum($discPrice) AS total_revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       |GROUP BY l_suppkey;
       |
       |SELECT s_suppkey, s_name,
-      |  round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+      |  CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
       |FROM supplier, revenue0
       |WHERE s_suppkey = supplier_no
       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
@@ -271,16 +295,15 @@ object TpchQueries {
     * becomes a CTE).
     */
   private val q15Oracle =
-    """WITH revenue0 AS (
+    s"""WITH revenue0 AS (
       |  SELECT l_suppkey AS supplier_no,
-      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |      AS total_revenue
+      |    sum($discPrice) AS total_revenue
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name,
-      |  round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+      |  CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
       |FROM supplier, revenue0
       |WHERE s_suppkey = supplier_no
       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
@@ -304,7 +327,7 @@ object TpchQueries {
   // for the container lists, and the shipmode/shipinstruct arms are
   // dropped with the columns.
   private val q19 =
-    s"""SELECT ${moneySum("l_extendedprice * (1 - l_discount)")} AS revenue
+    s"""SELECT ${decSum(discPrice)} AS revenue
       |FROM lineitem, part
       |WHERE p_partkey = l_partkey AND (
       |    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
