@@ -52,13 +52,22 @@ object Bench {
       val r1 = once(); val r2 = once()
       (name, math.min(r1, r2), Seq(r1, r2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver keeps only a short tail of stdout, so the one printed
+    // line is budgeted to fit it: ms precision, and the contract
+    // "queries" map LAST so front-truncation can't eat it. The full
+    // two-run detail (cross-query pollution visibility, round-3 VERDICT
+    // #7) goes to BENCH_RUNS.json beside the repo instead.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, rs) =>
-      "\"" + k + "\":[" + rs.mkString(",") + "]"
+      "\"" + k + "\":[" + rs.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RUNS.json"),
+      s"""{"sf":"$sfDir","runs":$runs}""" + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }
