@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.parquet.enableVectorizedReader", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

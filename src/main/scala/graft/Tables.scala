@@ -41,8 +41,27 @@ object Tables {
     * an already-parallel 100 TB scan.
     */
   def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    // Plan-free under-split test: `.rdd.getNumPartitions` forces AQE plan
+    // materialization (two driver jobs per call — measured 40-800 ms).
+    // The scan's split count is decidable from the files alone: many
+    // files, or few files big enough that maxPartitionBytes splits them,
+    // already scan parallel; only genuinely small single-split inputs
+    // (the local testdata shape) pay a repartition.
+    val files = df.inputFiles
+    if (files.length >= target) df
+    else {
+      val conf = sc.hadoopConfiguration
+      val bytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      if (bytes / math.max(maxSplit, 1L) >= target) df
+      else df.repartition(target)
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -93,20 +93,23 @@ object DedupQueries {
     // runner-owned materialization (Materialize.track / releaseAll)
     // computes it once per run, leak-free (round-3 VERDICT #3).
     "q30_ngram_jaccard" -> ((s, d) => {
-      // materialized pre-partitioned on the join key: the hot-shingle
-      // agg and BOTH self-join sides then consume co-partitioned cached
-      // partitions — one shuffle total for three consumers.
-      val all = graft.runner.Materialize.track(
-        shingled(docs(s, d)).repartition(col("shingle")))
-      // stop-shingle cap: drop shingles with document frequency > MaxDf
-      // from the universe. The hot list is tiny by construction (each
-      // entry needs > MaxDf docs), so it broadcast-anti-joins for free.
-      val hot = all.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxDf)
-        .select(col("shingle"))
-      val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti")
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // materialized pre-partitioned on the join key: BOTH self-join
+      // sides consume co-partitioned cached partitions. The stop-shingle
+      // cap (drop shingles with document frequency > MaxDf) folds into
+      // the same shuffle: group by shingle, keep cool groups, re-explode
+      // — one pass instead of a separate hot-list agg + anti-join. At
+      // 100 TB any one group is bounded by MaxDf doc_ids, so the
+      // collect_list is bounded too.
+      val sh = graft.runner.Materialize.track(
+        shingled(docs(s, d))
+          .groupBy(col("shingle"))
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) <= MaxDf)
+          .select(col("shingle"), explode(col("ids")).as("doc_id")))
+      // doc sizes are consumed by two joins — materialize the tiny frame
+      // once instead of re-scanning the shingle cache per consumer.
+      val sizes = graft.runner.Materialize.track(
+        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
       // join strategy is left to AQE: at test SF it broadcasts the
       // (compressed-cache-small) side, at scale the frame exceeds the
       // broadcast threshold and the cached shingle partitioning makes it

@@ -52,7 +52,10 @@ object SimilarityQueries {
 
     // Global top-20 most-similar pairs (embedding near-dup detection).
     "q33_emb_top_pairs" -> ((s, d) => {
-      val a = withNorm(emb(s, d)
+      // spread the STREAMED side of the nested-loop join: the corpus
+      // file is one split, and a 1-partition stream serializes the O(n^2)
+      // dot products (measured 1.9 s single-task at sf0.1)
+      val a = withNorm(Tables.parallelized(emb(s, d))
         .select(col("vec_id").as("va"), col("embedding").as("ea")), "ea", "na")
       val b = withNorm(emb(s, d)
         .select(col("vec_id").as("vb"), col("embedding").as("eb")), "eb", "nb")
@@ -91,10 +94,15 @@ object SimilarityQueries {
       val sigs = graft.runner.Materialize.track(
         withNorm(e.select(col("vec_id"), col("embedding")), "embedding", "n")
           .withColumn("signature", sig))
+      // explicit-width spread on the band key: the cached sigs coalesce
+      // to one tiny partition (bytes-based AQE advisory), which would
+      // serialize the CPU-bound bucket join; 64 (band,bv) keys hash
+      // across the session's cores
       val bandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
             shiftright(col("signature"), 4 * j).bitwiseAND(lit(0xFL)).as("bv"))): _*)).as("b"))
+        .repartition(s.sparkContext.defaultParallelism, col("b"))
       val a = bandRows.select(col("b").as("ba"), col("vec_id").as("va"),
         col("embedding").as("ea"), col("n").as("na"))
       val b2 = bandRows.select(col("b").as("bb"), col("vec_id").as("vb"),
