@@ -115,6 +115,45 @@ object SimilarityQueries {
         .limit(20)
     }),
 
+    // Embedding-cosine near-dup REMOVAL: drop every vector that has a
+    // smaller-id LSH-band neighbor at cosine >= 0.5 — the dedup
+    // (keep-one-representative) step over an embedding column. Candidate
+    // generation is q33b's banding (bounded buckets, never all-pairs);
+    // the banding is part of the operator's defined semantics and the
+    // oracle applies it identically, so verification is exact.
+    "q33c_emb_neardup_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < 16)
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+      val sig = (0 until 16).map { j =>
+        val p = typedlit(planes(j)).cast("array<float>")
+        when(vecDot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = graft.runner.Materialize.track(
+        withNorm(e.select(col("vec_id"), col("embedding")), "embedding", "n")
+          .withColumn("signature", sig))
+      val bandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("signature"), 4 * j).bitwiseAND(lit(0xFL)).as("bv"))): _*)).as("b"))
+        .repartition(s.sparkContext.defaultParallelism, col("b"))
+      val a = bandRows.select(col("b").as("ba"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("n").as("na"))
+      val b2 = bandRows.select(col("b").as("bb"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("n").as("nb"))
+      val dropped = a.join(b2, col("ba") === col("bb") && col("va") < col("vb"))
+        .filter(round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6) >= 0.5)
+        .select(col("vb").as("vec_id"))
+        .distinct()
+      e.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_retained"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_total"))))
+        .select(col("n_total"), (col("n_total") - col("n_retained")).as("n_dropped"),
+          col("n_retained"))
+    }),
+
     // IVF coarse quantization: assign every vector to its nearest of 16
     // data-derived centroids (vec_id 0..15) by cosine; per-centroid
     // population + mean similarity. This is the partition-assignment
@@ -251,6 +290,30 @@ object SimilarityQueries {
          |JOIN embeddings ea ON va = ea.vec_id
          |JOIN embeddings eb ON vb = eb.vec_id
          |ORDER BY sim DESC, va, vb LIMIT 20""".stripMargin,
+    "q33c_emb_neardup_dedup" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS pid, embedding AS pemb FROM embeddings WHERE vec_id < 16),
+         |bits AS (
+         |  SELECT x.vec_id,
+         |    CASE WHEN ${dotSql("x.embedding", "p.pemb")} > 0
+         |         THEN (1::BIGINT << p.pid) ELSE 0::BIGINT END AS bit
+         |  FROM embeddings x CROSS JOIN planes p),
+         |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS signature
+         |         FROM bits GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, band, (signature >> (4 * band)) & 15 AS bv
+         |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) AS bx),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON a.vec_id = ea.vec_id
+         |  JOIN embeddings eb ON b.vec_id = eb.vec_id
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.5)
+         |SELECT (SELECT count(*) FROM embeddings) AS n_total,
+         |  (SELECT count(*) FROM dropped) AS n_dropped,
+         |  (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM dropped)
+         |    AS n_retained""".stripMargin,
     "q35b_ivf_assign" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS cemb
