@@ -14,18 +14,8 @@ object Bench {
     // Session profile mirrors the reference's M8 conf set
     // (run_queries.py:46-62): AQE (+skew join), 256m split size,
     // vectorized parquet reader, 50 MB broadcast threshold.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
-      .config("spark.sql.parquet.enableVectorizedReader", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (50L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted

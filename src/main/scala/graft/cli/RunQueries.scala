@@ -130,15 +130,17 @@ object RunQueries {
 
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-run-queries")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+        .appName("graft-run-queries"), "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (cfg.broadcastHint)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (50L * 1024 * 1024).toString)
+    // J3 broadcast switch: the shared profile defaults to 50 MB; the
+    // flag OFF restores Spark's stock 10 MB threshold so the toggle
+    // still changes plans (reference: run_queries.py broadcast knob).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      ((if (cfg.broadcastHint) 50L else 10L) * 1024 * 1024).toString)
 
     val view = registerTable(spark, cfg.table)
     QueryRunner.cacheTable(spark, view, cfg.cache)
