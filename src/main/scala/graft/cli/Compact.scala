@@ -15,10 +15,8 @@ object Compact {
     require(args.length == 1 || args.length == 4,
       "usage: Compact <tableDir> [col lo hi]")
     val dir = args(0)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master("local[8]"), "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

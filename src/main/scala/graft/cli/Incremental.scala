@@ -24,12 +24,8 @@ object Incremental {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val batches = args.lift(1).map(_.toInt).getOrElse(4)
     val outCsv = args.lift(2).getOrElse("/tmp/graft_incremental.csv")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master("local[8]"), "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener

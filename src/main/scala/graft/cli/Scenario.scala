@@ -24,11 +24,8 @@ object Scenario {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outCsv = args.lift(1).getOrElse("/tmp/graft_scenario_results.csv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener

@@ -40,11 +40,9 @@ object Wlg {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(spec)), "UTF-8"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[8]")), "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
