@@ -80,37 +80,8 @@ object SimilarityQueries {
     // 1-(1-(1-theta/pi)^4)^4). More planes sharpen both recall and
     // bucket granularity at scale.
     "q33b_emb_top_pairs_lsh" -> ((s, d) => {
-      val e = emb(s, d)
-      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < 16)
-        .orderBy(col("vec_id"))
-        .collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
-      val sig = (0 until 16).map { j =>
-        val p = typedlit(planes(j)).cast("array<float>")
-        when(vecDot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      // signature + norm computed once per vector (runner-owned persist:
-      // both band-join sides read the 16 plane dots from cache)
-      val sigs = graft.runner.Materialize.track(
-        withNorm(e.select(col("vec_id"), col("embedding")), "embedding", "n")
-          .withColumn("signature", sig))
-      // explicit-width spread on the band key: the cached sigs coalesce
-      // to one tiny partition (bytes-based AQE advisory), which would
-      // serialize the CPU-bound bucket join; 64 (band,bv) keys hash
-      // across the session's cores
-      val bandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            shiftright(col("signature"), 4 * j).bitwiseAND(lit(0xFL)).as("bv"))): _*)).as("b"))
-        .repartition(s.sparkContext.defaultParallelism, col("b"))
-      val a = bandRows.select(col("b").as("ba"), col("vec_id").as("va"),
-        col("embedding").as("ea"), col("n").as("na"))
-      val b2 = bandRows.select(col("b").as("bb"), col("vec_id").as("vb"),
-        col("embedding").as("eb"), col("n").as("nb"))
-      a.join(b2, col("ba") === col("bb") && col("va") < col("vb"))
-        .select(col("va"), col("vb"),
-          round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
-        .distinct() // a pair can share both bands
+      graft.operators.EmbeddingLsh.candidatePairs(emb(s, d), 16, 4)
+        .distinct() // a pair can share several bands
         .orderBy(col("sim").desc, col("va"), col("vb"))
         .limit(20)
     }),
@@ -123,28 +94,8 @@ object SimilarityQueries {
     // oracle applies it identically, so verification is exact.
     "q33c_emb_neardup_dedup" -> ((s, d) => {
       val e = emb(s, d)
-      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < 16)
-        .orderBy(col("vec_id"))
-        .collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
-      val sig = (0 until 16).map { j =>
-        val p = typedlit(planes(j)).cast("array<float>")
-        when(vecDot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sigs = graft.runner.Materialize.track(
-        withNorm(e.select(col("vec_id"), col("embedding")), "embedding", "n")
-          .withColumn("signature", sig))
-      val bandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"),
-            shiftright(col("signature"), 4 * j).bitwiseAND(lit(0xFL)).as("bv"))): _*)).as("b"))
-        .repartition(s.sparkContext.defaultParallelism, col("b"))
-      val a = bandRows.select(col("b").as("ba"), col("vec_id").as("va"),
-        col("embedding").as("ea"), col("n").as("na"))
-      val b2 = bandRows.select(col("b").as("bb"), col("vec_id").as("vb"),
-        col("embedding").as("eb"), col("n").as("nb"))
-      val dropped = a.join(b2, col("ba") === col("bb") && col("va") < col("vb"))
-        .filter(round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6) >= 0.5)
+      val dropped = graft.operators.EmbeddingLsh.candidatePairs(e, 16, 4)
+        .filter(col("sim") >= 0.5)
         .select(col("vb").as("vec_id"))
         .distinct()
       e.join(broadcast(dropped), Seq("vec_id"), "left_anti")
@@ -231,15 +182,7 @@ object SimilarityQueries {
     // Output: the 10 most-populated buckets.
     "q34_ann_lsh_buckets" -> ((s, d) => {
       val e = emb(s, d)
-      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < 16)
-        .orderBy(col("vec_id"))
-        .collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
-      val sig = (0 until 16).map { j =>
-        val p = typedlit(planes(j)).cast("array<float>")
-        when(vecDot(col("embedding"), p) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      e.select(sig.as("signature"))
+      e.select(graft.operators.EmbeddingLsh.signature(e, 16).as("signature"))
         .groupBy(col("signature"))
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("n_vecs").desc, col("signature"))
