@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructType}
 
 /** Distributed global ranking without a single-task window.
   *
@@ -24,93 +24,48 @@ object GlobalRanks {
     * a broadcast offset vector gives minRank. Output: (value, avg_rank).
     */
   def averageRanks(df: DataFrame, valueCol: String, partitions: Int = 32): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val counts = df
+    // Frozen range partitioning (runner-released cache): the counting
+    // job and the rank-assignment pass MUST see identical partition
+    // bounds, and a re-executed repartitionByRange can sample different
+    // ones. Same pattern as ntileByRange — and same Dataset-land rule:
+    // no RDD hop, so the scan and downstream joins stay codegen'd.
+    val parted = graft.runner.Materialize.track(df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions(col("v"))
-      .as[(Double, Long)]
-
-    // tiny job: per-partition total counts → exclusive prefix offsets
-    val rdd = counts.rdd // capture once so the 2nd job reuses the shuffle
-    val perPart = rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator.single(i -> s)
-      }.collect().sortBy(_._1).map(_._2)
-    val offsets = perPart.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
-
-    rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        var before = offsets(i)
-        it.map { case (v, c) =>
-          val avg = before + 1 + (c - 1) / 2.0 // ranks are 1-based
-          before += c
-          (v, avg)
-        }
+      .sortWithinPartitions(col("v")))
+    // tiny codegen'd job: per-partition row totals → exclusive offsets
+    // (AQE may have coalesced the cached exchange, so index by observed
+    // pid, not by the requested partition count)
+    val per = parted.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("c")).as("rows")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = per.keys.foldLeft(-1)(math.max) + 1
+    val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + per.getOrElse(i, 0L)).toArray
+    val outSchema = new StructType()
+      .add("v", DoubleType, nullable = false)
+      .add("avg_rank", DoubleType, nullable = false)
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var before = offsets(pid)
+      it.map { row =>
+        val c = row.getLong(1)
+        val avg = before + 1 + (c - 1) / 2.0 // ranks are 1-based
+        before += c
+        Row(row.getDouble(0), avg)
       }
-      .toDF("v", "avg_rank")
-  }
-
-  /** Rank maps for TWO columns built in a single pass (round-2 VERDICT
-    * #10): unpivot each row to (which, value), one hash agg + one range
-    * exchange ordered by (which, value), per-(partition, which) offsets.
-    * Output: (w, v, avg_rank) with w ∈ {1, 2}. Semantics per column are
-    * identical to [[averageRanks]] (ranks over that column's non-null
-    * values).
-    */
-  def averageRanksPair(df: DataFrame, c1: String, c2: String, partitions: Int = 32): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val counts = df
-      .select(explode(array(
-        struct(lit(1).as("w"), col(c1).cast("double").as("v")),
-        struct(lit(2).as("w"), col(c2).cast("double").as("v")))).as("e"))
-      .select(col("e.w").as("w"), col("e.v").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy(col("w"), col("v"))
-      .agg(count(lit(1)).as("c"))
-      .repartitionByRange(partitions, col("w"), col("v"))
-      .sortWithinPartitions(col("w"), col("v"))
-      .as[(Int, Double, Long)]
-
-    val rdd = counts.rdd
-    // per partition: row count per `which` (ranks restart per column)
-    val perPart = rdd.mapPartitionsWithIndex { case (i, it) =>
-      val m = scala.collection.mutable.Map.empty[Int, Long]
-      it.foreach { case (w, _, c) => m(w) = m.getOrElse(w, 0L) + c }
-      Iterator.single(i -> m.toMap)
-    }.collect().sortBy(_._1).map(_._2)
-    val running = scala.collection.mutable.Map.empty[Int, Long]
-    val offsets: Array[Map[Int, Long]] = perPart.map { counts =>
-      val snapshot = running.toMap.withDefaultValue(0L)
-      counts.foreach { case (w, c) => running(w) = running.getOrElse(w, 0L) + c }
-      snapshot
-    }
-
-    rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        val before = scala.collection.mutable.Map.empty[Int, Long]
-          .withDefault(offsets(i))
-        it.map { case (w, v, c) =>
-          val b = before(w)
-          before(w) = b + c
-          (w, v, b + 1 + (c - 1) / 2.0)
-        }
-      }
-      .toDF("w", "v", "avg_rank")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Spearman rank correlation of two numeric columns — Pearson on
     * average ranks (reference computes it pandas-side on a sample,
     * wlg/profiler/stats.py:283-310; this version is exact and
-    * distributed). Measured (round 3): the single-pass unpivot
-    * ([[averageRanksPair]]) shuffles 2x the rows through the explode and
-    * ran 3.60 s vs 2.55 s for two independent column-pruned passes — the
-    * two-pass form wins because each pass scans ONE parquet column and
-    * partial-aggregates to ndv before its shuffle.
+    * distributed). Two independent column-pruned rank passes, NOT one
+    * unpivoted pass: measured (round 3), the single-pass explode
+    * shuffled 2x the rows and ran 3.60 s vs 2.55 s — each pass here
+    * scans ONE parquet column and partial-aggregates to ndv before its
+    * shuffle.
     */
   def spearman(df: DataFrame, c1: String, c2: String): Double = {
     val r1 = averageRanks(df, c1).select(col("v").as("v1"), col("avg_rank").as("r1"))
