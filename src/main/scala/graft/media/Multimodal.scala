@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the decode / feature-extract /
   * frame-sample plumbing a training-data pipeline runs over them.
   *
-  * The decode kernels are STUBS — this container ships no image/audio
-  * codecs — implemented as deterministic byte-hash fakes so the
-  * Spark-side contract (schema, batch shape, partition behavior,
-  * per-partition amortized setup) is real and testable. Swap
-  * [[decodeStub]] for a JNI/codec call in production; nothing else
-  * changes.
+  * Image and audio decode are REAL: the JDK bundles ImageIO
+  * (PNG/BMP/JPEG) and javax.sound (PCM WAV) codecs, and
+  * [[decodeImages]]/[[decodeWavs]] run them on the executors. Only
+  * video has no JDK codec; [[decodeStub]] is its deterministic
+  * stand-in so the Spark-side contract (schema, batch shape,
+  * partition behavior, per-partition amortized setup) stays testable.
+  * Swap it for a JNI/codec call in production; nothing else changes.
   *
   * Scale design: decoding is mapPartitions (per-partition codec init
   * amortized across rows, the Scala analogue of a batched pandas UDF);
@@ -51,11 +52,13 @@ object Multimodal {
     }
   }
 
-  /** STUB decode: a real implementation would decode the payload with a
-    * codec and pool pixel/sample values; this fake derives FeatureDim
-    * floats from a rolling byte hash — deterministic, so tests can
-    * assert exact values. The mapPartitions shape (iterator → iterator,
-    * one "codec" per partition) is the production contract.
+  /** STUB decode — the stand-in for formats the JVM ships no codec for
+    * (video): a real implementation would decode the payload and pool
+    * pixel/sample values; this fake derives FeatureDim floats from a
+    * rolling byte hash — deterministic, so tests can assert exact
+    * values. The mapPartitions shape (iterator → iterator, one "codec"
+    * per partition) is the production contract; [[decodeImages]] and
+    * [[decodeWavs]] are the same shape with real codecs in the loop.
     */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

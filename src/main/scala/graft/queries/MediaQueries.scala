@@ -4,27 +4,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.media.Multimodal
 
-/** Multimodal pipeline surface in the gate. The decode kernel is a
-  * deterministic stub (no codecs in this container — see
-  * graft.media.Multimodal), so there is no DuckDB oracle; the driver
-  * records the weaker rows-only check. What this query proves end to
-  * end: binary-column schema, mapPartitions batch decode, frame-sample
-  * explode, and the aggregation over extracted features — the plumbing
-  * a real codec would drop into.
+/** Multimodal pipeline surface in the gate, built on REAL decoders:
+  * the JDK bundles actual image (ImageIO PNG/BMP/JPEG) and audio
+  * (javax.sound PCM WAV) codecs, so every gate query here decodes
+  * genuine container bytes on the executors. The corpora are
+  * closed-form (pixel/sample values are index arithmetic) and the
+  * codecs lossless, so DuckDB verifies the decoded features
+  * arithmetically — real codec in the loop, exact oracle. Only video
+  * lacks a JDK codec; its stand-in ([[Multimodal.decodeStub]]) stays
+  * suite-tested but out of the gate, while the video rows' metadata
+  * pipeline (frame sampling) is still verified here exactly.
   */
 object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mixed-media feature extraction: one corpus with image and audio
+    // rows, each decoded by its real JDK codec, pooled to a per-kind
+    // leading feature (mean red channel / mean amplitude), plus the
+    // video frame-sample count from the metadata pipeline. Per-row
+    // features are rounded to 6dp then DECIMAL-averaged so the group
+    // aggregate is order-independent (parallel-sum-safe).
     "q52_media_features" -> ((s, _) => {
-      val media = Multimodal.synthetic(s, 600)
-      val feats = Multimodal.decodeStub(media).toDF()
-      val frames = Multimodal.sampleFrames(media, everyMs = 500)
+      val img = Multimodal.decodeImages(Multimodal.syntheticImages(s, 300)).toDF()
+        .select(lit("image").as("kind"), col("decodeOk"), col("mean_r").as("f0"))
+      val aud = Multimodal.decodeWavs(Multimodal.syntheticWavs(s, 300)).toDF()
+        .select(lit("audio").as("kind"), col("decodeOk"), col("mean").as("f0"))
+      val frames = Multimodal.sampleFrames(Multimodal.synthetic(s, 600), everyMs = 500)
         .groupBy().agg(count(lit(1)).as("n_frames"))
-      feats
+      img.unionByName(aud)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_media"),
-          round(avg(element_at(col("feature"), 1)), 6).as("avg_f0"),
-          sum(when(col("decodeOk"), 1L).otherwise(0L)).as("n_ok"))
+          sum(when(col("decodeOk"), 1L).otherwise(0L)).as("n_ok"),
+          round(sum(round(col("f0"), 6).cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_f0"))
         .join(broadcast(frames))
         .orderBy(col("kind"))
     }),
@@ -88,14 +100,33 @@ object MediaQueries {
     })
   )
 
-  /** q52's stubbed decode has no SQL equivalent (rows-only check), but
-    * everything AROUND the stub is deterministic integer/double math —
-    * q52b runs the metadata, frame-sampling, and resize-plan pipeline
-    * over the same synthetic corpus and IS oracle-checked: DuckDB
-    * reconstructs the corpus metadata from the same index arithmetic
-    * (synthetic() at Multimodal.scala:39-52) via generate_series.
+  /** Every media query is oracle-checked: DuckDB reconstructs the
+    * closed-form corpora from the same index arithmetic
+    * (Multimodal.scala: syntheticImages pixel pattern, syntheticWavs
+    * sample pattern, synthetic() metadata) via generate_series, so the
+    * real ImageIO/javax.sound decode paths are verified exactly.
     */
   val oracles: Map[String, String] = Map(
+    "q52_media_features" ->
+      """WITH img AS (
+        |  SELECT 'image' AS kind,
+        |    round(list_avg(list_transform(
+        |      generate_series(0, 15 + (i % 8)), x -> (i + x) % 256)), 6) AS f0
+        |  FROM range(300) t(i)),
+        |aud AS (
+        |  SELECT 'audio' AS kind,
+        |    round(list_avg(list_transform(
+        |      generate_series(0, 799 + (i % 5) * 100),
+        |      k -> ((i * 31 + k * 7) % 2003) - 1001)), 6) AS f0
+        |  FROM range(300) t(i)),
+        |feats AS (SELECT * FROM img UNION ALL SELECT * FROM aud),
+        |fr AS (
+        |  SELECT CAST(sum((1000 + (i % 10) * 500) // 500 + 1) AS BIGINT) AS n_frames
+        |  FROM range(600) t(i) WHERE i % 3 = 2)
+        |SELECT kind, count(*) AS n_media, count(*) AS n_ok,
+        |  round(CAST(sum(CAST(f0 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_f0,
+        |  n_frames
+        |FROM feats, fr GROUP BY kind, n_frames ORDER BY kind""".stripMargin,
     "q52d_audio_decode" ->
       """WITH m AS (
         |  SELECT i, CAST(800 + (i % 5) * 100 AS INT) AS n_samples,
