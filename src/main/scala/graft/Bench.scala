@@ -19,6 +19,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    var leakedCaches = 0
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -36,11 +37,27 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // Spark's ContextCleaner reclaims shuffle files / broadcast blocks
+      // only when their driver-side references are GARBAGE-COLLECTED — a
+      // tight sweep loop never GCs, so each query inherits the previous
+      // queries' accumulated state (the q2-after-q29 2x pollution rounds
+      // 2–5 kept measuring). One forced GC per query, OUTSIDE the timed
+      // window, lets the cleaner settle before the warmup run.
+      System.gc()
       once() // warmup (discarded)
       // two measured runs: min is the headline (absorbs JIT/GC noise);
       // both runs are recorded so cross-query pollution stays visible
       // (round-3 VERDICT #7)
       val r1 = once(); val r2 = once()
+      // invariant, observable per round-5 VERDICT #7: builders must not
+      // leave persisted frames behind (Materialize protocol) — count and
+      // contain any straggler so one leak can't taint the whole sweep
+      val leaked = spark.sparkContext.getPersistentRDDs
+      if (leaked.nonEmpty) {
+        leakedCaches += leaked.size
+        System.err.println(s"[bench] $name leaked ${leaked.size} cached RDD(s)")
+        leaked.values.foreach(_.unpersist(blocking = false))
+      }
       (name, math.min(r1, r2), Seq(r1, r2))
     }
     // The driver keeps only a short tail of stdout, so the one printed
@@ -58,7 +75,7 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RUNS.json"),
       s"""{"sf":"$sfDir","runs":$runs}""" + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","leaked_caches":$leakedCaches,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated single-query bench: one query per JVM, so a measurement can
+  * never be polluted by a preceding query's GC pressure, JIT state, or
+  * shuffle files (the q2_date_range-after-q29 pathology rounds 2–5
+  * documented). Launch each query in a FRESH process:
+  *
+  * {{{
+  * java -cp target/scala-2.13/classes:/opt/spark/jars/'*' \
+  *   --add-opens=java.base/java.nio=ALL-UNNAMED ... \
+  *   graft.BenchOne q2_date_range [reps]
+  * }}}
+  *
+  * (tools/bench_isolated.py drives this for a list of queries.)
+  * Protocol: one discarded warmup, then `reps` (default 3) measured
+  * runs; the headline is the MEDIAN (not min — an isolated JVM has no
+  * cross-query pollution to forgive, and median resists one-off GC).
+  * Prints one JSON line: {"query":..,"median":..,"runs":[..],"sf":..}.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      finally graft.runner.Materialize.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup (discarded)
+    val runs = Seq.fill(reps)(once())
+    val median = runs.sorted.apply(reps / 2)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"query":"$name","median":${f3(median)},"runs":[${runs.map(f3).mkString(",")}],"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
