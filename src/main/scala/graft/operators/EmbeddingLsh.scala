@@ -14,15 +14,50 @@ import graft.text.VectorExpressions.vecDot
   * ~N / 2^(numPlanes/numBands) vectors per band bucket and the pair
   * join emits sum(bucket^2) candidates. Fixed width means bucket
   * population — and the join — grows linearly with N (measured 10x
-  * corpus: 1.1 s -> ~12 s); production keeps buckets bounded by raising
-  * numPlanes with log2(N), which sharpens recall at the same time. The
-  * gate pins 16 planes / 4 bands so the DuckDB oracle (which applies
-  * the identical construction) and the measured recall stay fixed.
+  * corpus: 1.1 s -> ~12 s); production keeps buckets bounded by
+  * deriving the width from the corpus size ([[defaultNumPlanes]]:
+  * planes grow with log2(N), which sharpens recall at the same time).
+  * The gate pins 16 planes / 4 bands so the DuckDB oracle (which
+  * applies the identical construction) and the measured recall stay
+  * fixed — 16 is what [[defaultNumPlanes]] derives for the sf0.01
+  * correctness-gate corpus (500 rows; at sf0.1's 2000 it derives 24).
+  *
+  * Two guards make the band join safe at 100 TB:
+  *   1. the width rule above keeps the EXPECTED bucket near
+  *      `targetBucket` regardless of N;
+  *   2. `maxBucket` drops band buckets whose population exceeds the
+  *      cap — a degenerate signature region (e.g. near-zero vectors
+  *      all landing on the same side of every plane) would otherwise
+  *      produce an unbounded quadratic bucket. Same design as the
+  *      n-gram dedup's stop-shingle MaxDf cap: an over-populated
+  *      bucket is an UNINFORMATIVE band (it says "these vectors are
+  *      not distinguished by these bits", not "these are near-dups"),
+  *      so dropping it is defined operator semantics, mirrored in the
+  *      DuckDB oracle — verification stays exact, and candidate output
+  *      is bounded by numBands * 2^bits * maxBucket^2 / 2.
   *
   * Planes are data-derived (the first `numPlanes` vectors by id):
   * deterministic, broadcast as literals, no driver state.
   */
 object EmbeddingLsh {
+
+  /** Production width rule: the smallest per-band bit width that keeps
+    * the expected band-bucket population at or below `targetBucket`
+    * for an N-row corpus — bits = ceil(log2(N / targetBucket)),
+    * planes = numBands * bits. Capped at 15 bits/band so a 4-band
+    * signature stays within a 64-bit long, which saturates around
+    * N ~ targetBucket * 2^15 ≈ 1e6 rows; past that the width rule
+    * alone can't bound expected population and the `maxBucket` guard
+    * in [[candidatePairs]] carries the invariant (the two are a pair
+    * by design — a wider scheme would hash each band's bits into an
+    * unpacked band key instead of packing one long). Row count comes
+    * for free from the zone-map manifest or a count scan.
+    */
+  def defaultNumPlanes(rows: Long, numBands: Int = 4, targetBucket: Long = 32): Int = {
+    val ratio = math.max(2.0, rows.toDouble / targetBucket)
+    val bits = math.ceil(math.log(ratio) / math.log(2.0)).toInt
+    numBands * math.min(15, math.max(1, bits))
+  }
 
   /** Sign-bit signature column: bit j = [dot(embedding, plane_j) > 0]. */
   def signature(e: DataFrame, numPlanes: Int): Column = {
@@ -49,18 +84,30 @@ object EmbeddingLsh {
   /** Candidate pairs sharing at least one band, exact cosine attached.
     * The explicit-width repartition on the band key spreads the
     * CPU-bound bucket join even when the tiny cached signature frame
-    * coalesces to one partition.
+    * coalesces to one partition. Band buckets holding more than
+    * `maxBucket` vectors are dropped before the self-join (hot-bucket
+    * guard — see the object doc): the bucket census is a map-side-
+    * combinable count on the band key and the hot set is tiny, so the
+    * guard is one broadcast anti-join.
     */
-  def candidatePairs(e: DataFrame, numPlanes: Int, numBands: Int): DataFrame = {
+  def candidatePairs(e: DataFrame, numPlanes: Int, numBands: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numPlanes % numBands == 0, "bands must split the planes evenly")
     val bits = numPlanes / numBands
     val mask = (1L << bits) - 1
     val sigs = signatures(e, numPlanes)
-    val bandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
+    val allBandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
       explode(array((0 until numBands).map(j =>
         struct(lit(j).as("band"),
           shiftright(col("signature"), bits * j).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism, col("b"))
+    val bandRows =
+      if (maxBucket == Int.MaxValue) allBandRows
+      else {
+        val hot = allBandRows.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket).select(col("b"))
+        allBandRows.join(broadcast(hot), Seq("b"), "left_anti")
+      }
     val a = bandRows.select(col("b").as("ba"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n").as("na"))
     val b2 = bandRows.select(col("b").as("bb"), col("vec_id").as("vb"),

@@ -79,8 +79,12 @@ object SimilarityQueries {
     // no true near-dups; at cos>=0.95, 4x4 banding retrieves ~96% —
     // 1-(1-(1-theta/pi)^4)^4). More planes sharpen both recall and
     // bucket granularity at scale.
+    // The hot-bucket guard (maxBucket=256, mirrored in the oracle) drops
+    // any band bucket exceeding the cap before the self-join; it does not
+    // bind on this corpus (max band bucket: 46 at sf0.01, 185 at sf0.1)
+    // but bounds the worst case at scale — see EmbeddingLsh's object doc.
     "q33b_emb_top_pairs_lsh" -> ((s, d) => {
-      graft.operators.EmbeddingLsh.candidatePairs(emb(s, d), 16, 4)
+      graft.operators.EmbeddingLsh.candidatePairs(emb(s, d), 16, 4, maxBucket = 256)
         .distinct() // a pair can share several bands
         .orderBy(col("sim").desc, col("va"), col("vb"))
         .limit(20)
@@ -94,7 +98,7 @@ object SimilarityQueries {
     // oracle applies it identically, so verification is exact.
     "q33c_emb_neardup_dedup" -> ((s, d) => {
       val e = emb(s, d)
-      val dropped = graft.operators.EmbeddingLsh.candidatePairs(e, 16, 4)
+      val dropped = graft.operators.EmbeddingLsh.candidatePairs(e, 16, 4, maxBucket = 256)
         .filter(col("sim") >= 0.5)
         .select(col("vb").as("vec_id"))
         .distinct()
@@ -221,9 +225,12 @@ object SimilarityQueries {
          |  FROM embeddings x CROSS JOIN planes p),
          |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS signature
          |         FROM bits GROUP BY vec_id),
-         |bands AS (
+         |bands0 AS (
          |  SELECT vec_id, band, (signature >> (4 * band)) & 15 AS bv
          |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) AS bx),
+         |bands AS (
+         |  SELECT * FROM bands0 WHERE (band, bv) NOT IN (
+         |    SELECT (band, bv) FROM bands0 GROUP BY band, bv HAVING count(*) > 256)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
          |  FROM bands a JOIN bands b
@@ -243,9 +250,12 @@ object SimilarityQueries {
          |  FROM embeddings x CROSS JOIN planes p),
          |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS signature
          |         FROM bits GROUP BY vec_id),
-         |bands AS (
+         |bands0 AS (
          |  SELECT vec_id, band, (signature >> (4 * band)) & 15 AS bv
          |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) AS bx),
+         |bands AS (
+         |  SELECT * FROM bands0 WHERE (band, bv) NOT IN (
+         |    SELECT (band, bv) FROM bands0 GROUP BY band, bv HAVING count(*) > 256)),
          |dropped AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM bands a JOIN bands b
