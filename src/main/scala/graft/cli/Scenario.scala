@@ -1,7 +1,6 @@
 package graft.cli
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.layout._
 import graft.layout.LayoutWriter.LayoutSpec
@@ -10,58 +9,77 @@ import graft.runner.{MetricsListener, QueryRunner}
 import graft.wlg.WorkloadGen
 import graft.wlg.WorkloadGen.{RangeParam, TemplateSpec}
 
-/** End-to-end scenario main — the reference's RQ1 experiment matrix in
-  * miniature (scripts/run_RQ_1_matrix.sh): profile the table → generate
-  * a selectivity-controlled range workload → materialize four layouts →
-  * run every query against every layout through the pruned scan →
-  * report files/bytes/latency per layout.
+/** End-to-end scenario main — the reference's RQ1 experiment matrix
+  * (scripts/run_RQ_1_matrix.sh; speedup computation wlg/cli/main.py:
+  * 1080-1105): profile the table → fill a selectivity-banded 2-D range
+  * workload (bands S1–S4, generate_tpch_rq1_specs.py:31-36) →
+  * materialize baseline/linear/zorder/hilbert layouts → run every
+  * query against every layout through the pruned scan → emit the
+  * headline geomean-speedup matrix plus per-query heatmap data.
   *
-  * Usage: runMain graft.cli.Scenario [sfDir] [outCsv]
+  * Outputs in outDir:
+  *   - geomean_speedup.csv: band, layout, geomean wall-time speedup vs
+  *     baseline, geomean files-scanned ratio, mean files kept/total
+  *     (the reference's geomean_speedup.csv, with the deterministic
+  *     files dimension alongside the timing one)
+  *   - rq1_queries.csv: one row per band × query × layout (heatmap data)
+  *
+  * Usage: runMain graft.cli.Scenario [sfDir] [outDir] [nPerBand] [numFiles]
   */
 object Scenario {
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outCsv = args.lift(1).getOrElse("/tmp/graft_scenario_results.csv")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = graft.runner.Sessions
-      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** One matrix cell: a query instance against one layout. */
+  case class Cell(band: String, query: String, layout: String,
+      rows: Long, wallSec: Double, filesKept: Long, filesTotal: Long,
+      bytesScanned: Long)
+
+  case class BandLayout(band: String, layout: String,
+      gmWallSpeedup: Double, gmFilesRatio: Double,
+      filesKept: Long, filesTotal: Long)
+
+  /** Overall 2-D selectivity targets, mid-band (reference bands
+    * S1 0–0.1 %, S2 0.1–1 %, S3 1–10 %, S4 10–20 %:
+    * workload_spec/generate_tpch_rq1_specs.py:31-36). Per-dimension
+    * selectivity is the square root of the 2-D target.
+    */
+  val Bands: Seq[(String, Double)] =
+    Seq("S1" -> 0.0005, "S2" -> 0.005, "S3" -> 0.05, "S4" -> 0.15)
+
+  val Layouts = Seq("baseline", "linear", "zorder", "hilbert")
+
+  /** Run the full matrix; returns every cell (bands × queries × layouts). */
+  def runMatrix(spark: SparkSession, sfDir: String,
+      nPerBand: Int = 6, numFiles: Int = 16,
+      bands: Seq[(String, Double)] = Bands,
+      bits: Option[Int] = None): Seq[Cell] = {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
-
-    // 1. profile (F1–F6)
     val li = Tables.load(spark, sfDir, "lineitem")
     val stats = Profiler.profile(li.select("l_quantity", "l_extendedprice"))
-    println(s"[scenario] profiled lineitem: rows=${stats.rows}")
 
-    // 2. generate a 2-D range workload at ~1% selectivity (band S2/S3)
-    val spec = TemplateSpec(
-      name = "rq1_2d",
-      sql = """SELECT count(*) AS cnt FROM {{tbl}}
-              |WHERE l_quantity BETWEEN :q_lo AND :q_hi
-              |  AND l_extendedprice BETWEEN :p_lo AND :p_hi""".stripMargin,
-      params = Seq(
-        RangeParam("q", "l_quantity", 0.1),
-        RangeParam("p", "l_extendedprice", 0.1)),
-      constraints = Seq("q_hi >= q_lo and p_hi >= p_lo"),
-      n = 8)
-    val workload = WorkloadGen.fill(spec, stats, "{{tbl}}")
-    println(s"[scenario] generated ${workload.length} query instances")
-
-    // 3. four layouts on the two predicate columns
-    val layouts = Seq("baseline", "linear", "zorder", "hilbert").map { l =>
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_sc_$l").toString
+    val layoutDirs = Layouts.map { l =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_rq1_$l").toString
       LayoutWriter.write(li, dir,
-        LayoutSpec(l, Seq("l_quantity", "l_extendedprice"), numFiles = Some(16)))
+        LayoutSpec(l, Seq("l_quantity", "l_extendedprice"),
+          bits = bits, numFiles = Some(numFiles)))
       l -> dir
     }
 
-    // 4. run the workload per layout through the pruned scan
-    val results = for {
-      (layout, dir) <- layouts
-      (inst, qi) <- workload.zipWithIndex
+    val cells = for {
+      (band, sel2d) <- bands
+      selDim = math.sqrt(sel2d)
+      spec = TemplateSpec(
+        name = s"rq1_$band",
+        sql = """SELECT count(*) AS cnt FROM {{tbl}}
+                |WHERE l_quantity BETWEEN :q_lo AND :q_hi
+                |  AND l_extendedprice BETWEEN :p_lo AND :p_hi""".stripMargin,
+        params = Seq(
+          RangeParam("q", "l_quantity", selDim),
+          RangeParam("p", "l_extendedprice", selDim)),
+        constraints = Seq("q_hi >= q_lo and p_hi >= p_lo"),
+        n = nPerBand)
+      (inst, qi) <- WorkloadGen.fill(spec, stats, "{{tbl}}").zipWithIndex
+      (layout, dir) <- layoutDirs
     } yield {
       val preds = Seq(
         NumBetween("l_quantity",
@@ -71,22 +89,85 @@ object Scenario {
       val scan = PrunedScan.read(spark, dir, preds)
       scan.df.createOrReplaceTempView("pruned_tbl")
       val sql = inst.sql.replace("{{tbl}}", "pruned_tbl")
-      val m = QueryRunner.run(spark, spark.sql(sql), s"$layout-q$qi",
+      val m = QueryRunner.run(spark, spark.sql(sql), s"$band-q$qi-$layout",
         listener = Some(listener), warmup = true)
-      m.copy(name = s"$layout;q$qi;kept=${scan.filesKept}/${scan.filesTotal}")
+      Cell(band, s"q$qi", layout, m.rows, m.wallSec,
+        scan.filesKept, scan.filesTotal, m.bytesScanned)
     }
-    QueryRunner.writeCsv(outCsv, results)
+    layoutDirs.foreach { case (_, d) => deleteRec(new java.io.File(d)) }
+    cells
+  }
 
-    // 5. per-layout summary
-    println(f"${"layout"}%-10s ${"files"}%8s ${"bytesMB"}%10s ${"wallSec"}%8s")
-    Seq("baseline", "linear", "zorder", "hilbert").foreach { l =>
-      val rs = results.filter(_.name.startsWith(l + ";"))
-      val files = rs.map(_.filesScanned).sum
-      val mb = rs.map(_.bytesScanned).sum / 1e6
-      val wall = rs.map(_.wallSec).sum
-      println(f"$l%-10s $files%8d $mb%10.2f $wall%8.3f")
+  /** Geometric-mean speedups vs the baseline layout, per band × layout —
+    * the reference's gmean_safe over t_base/t (wlg/cli/main.py:1092-1105),
+    * plus the same statistic over files scanned (deterministic at any
+    * scale, where small-corpus wall times are noise-dominated).
+    */
+  def geomeans(cells: Seq[Cell]): Seq[BandLayout] = {
+    def gmean(xs: Seq[Double]): Double = {
+      val ok = xs.filter(x => !x.isNaN && !x.isInfinite && x > 0)
+      if (ok.isEmpty) Double.NaN
+      else math.exp(ok.map(math.log).sum / ok.length)
     }
-    println(s"[scenario] results written to $outCsv")
+    val base = cells.filter(_.layout == "baseline")
+      .map(c => (c.band, c.query) -> c).toMap
+    (for {
+      band <- cells.map(_.band).distinct
+      layout <- Layouts
+    } yield {
+      val rs = cells.filter(c => c.band == band && c.layout == layout)
+      val wall = gmean(rs.flatMap(c =>
+        base.get((c.band, c.query)).map(_.wallSec / c.wallSec)))
+      val files = gmean(rs.flatMap(c =>
+        base.get((c.band, c.query)).map(b =>
+          math.max(1.0, b.filesKept.toDouble) / math.max(1.0, c.filesKept.toDouble))))
+      BandLayout(band, layout, wall, files,
+        rs.map(_.filesKept).sum, rs.map(_.filesTotal).sum)
+    })
+  }
+
+  def writeCsvs(outDir: String, cells: Seq[Cell], geo: Seq[BandLayout]): Unit = {
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    def w(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def f3(v: Double): String =
+      if (v.isNaN) "" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    w("rq1_queries.csv",
+      "band,query,layout,rows,wall_sec,files_kept,files_total,bytes_scanned" +:
+        cells.map(c => s"${c.band},${c.query},${c.layout},${c.rows},${f3(c.wallSec)}," +
+          s"${c.filesKept},${c.filesTotal},${c.bytesScanned}"))
+    w("geomean_speedup.csv",
+      "band,layout,geomean_speedup,geomean_files_ratio,files_kept,files_total" +:
+        geo.map(g => s"${g.band},${g.layout},${f3(g.gmWallSpeedup)}," +
+          s"${f3(g.gmFilesRatio)},${g.filesKept},${g.filesTotal}"))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_rq1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cells = runMatrix(spark, sfDir,
+      nPerBand = args.lift(2).map(_.toInt).getOrElse(6),
+      numFiles = args.lift(3).map(_.toInt).getOrElse(16),
+      bits = args.lift(4).map(_.toInt))
+    val geo = geomeans(cells)
+    writeCsvs(outDir, cells, geo)
+    println(f"${"band"}%-5s ${"layout"}%-10s ${"gmSpeedup"}%10s ${"gmFiles"}%8s ${"kept/total"}%12s")
+    geo.foreach { g =>
+      println(f"${g.band}%-5s ${g.layout}%-10s ${g.gmWallSpeedup}%10.3f ${g.gmFilesRatio}%8.3f ${s"${g.filesKept}/${g.filesTotal}"}%12s")
+    }
+    println(s"[scenario] rq1 matrix written to $outDir")
     spark.stop()
   }
 }

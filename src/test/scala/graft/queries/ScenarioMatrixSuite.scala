@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.cli.Scenario
+
+/** The RQ1 layout-effectiveness matrix, asserted on its deterministic
+  * dimension (files scanned — wall times at test scale are noise). The
+  * invariants mirror the reference's headline finding (BASELINE.md):
+  * layouts prune, space-filling curves beat or match 1-D sort on 2-D
+  * low-selectivity ranges, and hilbert's continuity gives it the
+  * tightest file bounding boxes (no z-jump overlap).
+  */
+class ScenarioMatrixSuite extends SparkTestBase {
+
+  test("RQ1 mini-matrix: pruning ordering holds on low-selectivity 2-D ranges") {
+    val cells = Scenario.runMatrix(spark, "/root/testdata/sf0.001",
+      nPerBand = 4, numFiles = 16, bands = Seq("S1" -> 0.0005, "S2" -> 0.005))
+    val geo = Scenario.geomeans(cells)
+    def ratio(band: String, layout: String): Double =
+      geo.find(g => g.band == band && g.layout == layout).get.gmFilesRatio
+
+    for (band <- Seq("S1", "S2")) {
+      val (lin, zo, hi) =
+        (ratio(band, "linear"), ratio(band, "zorder"), ratio(band, "hilbert"))
+      // every layout prunes vs baseline
+      assert(lin > 1.0, s"$band linear=$lin")
+      assert(zo > 1.0, s"$band zorder=$zo")
+      assert(hi > 1.0, s"$band hilbert=$hi")
+      // the best space-filling curve beats or matches the 1-D sort
+      assert(math.max(zo, hi) >= lin, s"$band sfc=${math.max(zo, hi)} linear=$lin")
+      // hilbert (continuous curve, tight bboxes) >= zorder (z-jumps)
+      assert(hi >= zo, s"$band hilbert=$hi zorder=$zo")
+    }
+    // every cell returns the same row count across layouts (layout is
+    // physical only — never changes results)
+    cells.groupBy(c => (c.band, c.query)).foreach { case (k, cs) =>
+      assert(cs.map(_.rows).distinct.size == 1, s"rows diverge at $k: $cs")
+    }
+  }
+}
