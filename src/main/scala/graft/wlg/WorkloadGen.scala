@@ -19,9 +19,21 @@ object WorkloadGen {
   sealed trait ParamRule
   /** G1-style range param pair producing :<name>_lo / :<name>_hi. */
   case class RangeParam(name: String, column: String, selectivity: Double) extends ParamRule
-  /** G5 interval rule: width = ratio × domain span, uniform placement. */
+  /** G5 interval rule: width = ratio × domain span, uniform placement.
+    * `widthRatioHi` turns the fixed ratio into a sampled range (the
+    * reference's `ratio_range: [lo, hi]`, wlg/cli/main.py:324-464).
+    * `outFmt = "timestamp"` renders the bounds as UTC timestamp strings
+    * for `TIMESTAMP ':p_lo'`-style templates (the Amazon spec family,
+    * workload_spec/spec_amazon_Q1.yaml:12-16); constraints still see
+    * the numeric epoch-seconds values.
+    */
   case class IntervalParam(name: String, column: String, widthRatio: Double,
-      intAlign: Boolean = false) extends ParamRule
+      intAlign: Boolean = false, widthRatioHi: Option[Double] = None,
+      outFmt: String = "num") extends ParamRule
+  /** Uniform integer scalar — the reference's `type: int, range: [a, b]`
+    * params (HAVING thresholds, IN-list members, point predicates).
+    */
+  case class UniformIntParam(name: String, lo: Int, hi: Int) extends ParamRule
   /** G2 point param from top-k frequencies. */
   case class EqParam(name: String, column: String) extends ParamRule
   /** G5 date window anchored to another param's window: starts
@@ -102,16 +114,26 @@ object WorkloadGen {
           params(s"${name}_lo") = fmt(lo); params(s"${name}_hi") = fmt(hi)
           evalParams(s"${name}_lo") = ConstraintEval.Num(lo)
           evalParams(s"${name}_hi") = ConstraintEval.Num(hi)
-        case IntervalParam(name, column, ratio, intAlign) =>
+        case IntervalParam(name, column, ratio0, intAlign, ratioHi, outFmt) =>
           val c = stats.columns.find(_.name == column).get
           val (mn, mx) = (c.min.getOrElse(0.0), c.max.getOrElse(1.0))
+          val ratio = ratioHi
+            .map(rh => ratio0 + rnd.nextDouble() * math.max(0.0, rh - ratio0))
+            .getOrElse(ratio0)
           val width = ratio * (mx - mn)
           var lo = mn + rnd.nextDouble() * math.max(0.0, (mx - mn) - width)
           var hi = lo + width
           if (intAlign) { lo = math.floor(lo); hi = math.ceil(hi) }
-          params(s"${name}_lo") = fmt(lo); params(s"${name}_hi") = fmt(hi)
+          val (sLo, sHi) =
+            if (outFmt == "timestamp") (fmtTs(lo), fmtTs(hi))
+            else (fmt(lo), fmt(hi))
+          params(s"${name}_lo") = sLo; params(s"${name}_hi") = sHi
           evalParams(s"${name}_lo") = ConstraintEval.Num(lo)
           evalParams(s"${name}_hi") = ConstraintEval.Num(hi)
+        case UniformIntParam(name, lo, hi) =>
+          val v = lo + rnd.nextInt(math.max(1, hi - lo + 1))
+          params(name) = v.toString
+          evalParams(name) = ConstraintEval.Num(v.toDouble)
         case EqParam(name, column) =>
           val c = stats.columns.find(_.name == column).get
           val v = Samplers.sampleEqFromTopk(c.topk, rnd)
@@ -159,6 +181,13 @@ object WorkloadGen {
   private def fmt(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
     else f"$v%.6f"
+
+  /** Epoch-seconds → UTC 'yyyy-MM-dd HH:mm:ss' (stats keep time columns
+    * in epoch seconds; templates splice this into TIMESTAMP literals).
+    */
+  private def fmtTs(epochSec: Double): String =
+    java.time.LocalDateTime.ofEpochSecond(epochSec.toLong, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   /** G7: longest-name-first :param replacement + {{tbl}} substitution
     * (reference: wlg/cli/main.py:539-551).

@@ -261,7 +261,10 @@ object YamlSpec {
     s("rule") match {
       case "range" => RangeParam(s("name"), s("column"), s("selectivity").toDouble)
       case "interval" => IntervalParam(s("name"), s("column"),
-        s("width_ratio").toDouble, ob("int_align"))
+        s("width_ratio").toDouble, ob("int_align"),
+        m.get("width_ratio_hi").map(_.str.toDouble),
+        m.get("out").map(_.str).getOrElse("num"))
+      case "int" => UniformIntParam(s("name"), s("lo").toInt, s("hi").toInt)
       case "eq" => EqParam(s("name"), s("column"))
       case "date_lag" => DateLagParam(s("name"), s("column"), s("anchor"),
         oi("lag_days", 0), oi("width_days", 1), oi("max_start_gap_days", 0))
@@ -299,8 +302,12 @@ object YamlSpec {
   private def paramToFlow(p: ParamRule): String = p match {
     case RangeParam(n, c, sel) =>
       s"{rule: range, name: $n, column: $c, selectivity: $sel}"
-    case IntervalParam(n, c, r, a) =>
-      s"{rule: interval, name: $n, column: $c, width_ratio: $r, int_align: $a}"
+    case IntervalParam(n, c, r, a, rh, ofmt) =>
+      s"{rule: interval, name: $n, column: $c, width_ratio: $r, int_align: $a" +
+        rh.map(v => s", width_ratio_hi: $v").getOrElse("") +
+        (if (ofmt != "num") s", out: $ofmt" else "") + "}"
+    case UniformIntParam(n, lo, hi) =>
+      s"{rule: int, name: $n, lo: $lo, hi: $hi}"
     case EqParam(n, c) => s"{rule: eq, name: $n, column: $c}"
     case DateLagParam(n, c, anchor, lag, w, gap) =>
       s"{rule: date_lag, name: $n, column: $c, anchor: $anchor, " +
