@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args(0): regex filter over query names (e.g. "tpch" for
+    // the 22-stream set at a scaled corpus); driver runs unfiltered
+    val only = args.headOption.map(_.r)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Session profile mirrors the reference's M8 conf set
@@ -19,6 +22,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     var leakedCaches = 0
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
