@@ -71,43 +71,66 @@ object EmbeddingLsh {
     }.reduce(_ + _)
   }
 
+  private def signatureFrame(e: DataFrame, numPlanes: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .withColumn("n", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withColumn("signature", signature(e, numPlanes))
+
   /** (vec_id, embedding, n = l2-norm, signature), runner-materialized:
     * the signature costs numPlanes broadcast dots per vector and feeds
     * both sides of the band join.
     */
   def signatures(e: DataFrame, numPlanes: Int): DataFrame =
-    graft.runner.Materialize.track(
-      e.select(col("vec_id"), col("embedding"))
-        .withColumn("n", sqrt(vecDot(col("embedding"), col("embedding"))))
-        .withColumn("signature", signature(e, numPlanes)))
+    graft.runner.Materialize.track(signatureFrame(e, numPlanes))
 
   /** Candidate pairs sharing at least one band, exact cosine attached.
     * The explicit-width repartition on the band key spreads the
     * CPU-bound bucket join even when the tiny cached signature frame
     * coalesces to one partition. Band buckets holding more than
     * `maxBucket` vectors are dropped before the self-join (hot-bucket
-    * guard — see the object doc): the bucket census is a map-side-
-    * combinable count on the band key and the hot set is tiny, so the
-    * guard is one broadcast anti-join.
+    * guard — see the object doc). The census runs over the cached
+    * signature frame alone (band keys re-derived from the packed long —
+    * no embedding payload, no shuffle) and the hot set is collected
+    * eagerly: when it is empty — the common, healthy-corpus case — the
+    * guard costs one narrow aggregate and the plan is IDENTICAL to the
+    * unguarded one; when buckets are hot, rows are dropped by a codegen
+    * isInCollection filter BEFORE the band repartition, so dropped rows
+    * never shuffle. Either way the kept-row semantics match the
+    * census-then-anti-join formulation the DuckDB oracle mirrors.
     */
   def candidatePairs(e: DataFrame, numPlanes: Int, numBands: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numPlanes % numBands == 0, "bands must split the planes evenly")
     val bits = numPlanes / numBands
     val mask = (1L << bits) - 1
-    val sigs = signatures(e, numPlanes)
-    val allBandRows = sigs.select(col("vec_id"), col("embedding"), col("n"),
+    // With the guard on, the census aggregate (a full scan of the
+    // signature frame) doubles as the eager materializing action —
+    // trackLazy skips track's count(), saving one job per query.
+    val sigs =
+      if (maxBucket == Int.MaxValue) signatures(e, numPlanes)
+      else graft.runner.Materialize.trackLazy(signatureFrame(e, numPlanes))
+    // packed (band, bv) key: band * 2^bits + bv — one long per band row
+    def bandKeys(sig: Column): Column = array((0 until numBands).map(j =>
+      lit(j.toLong * (mask + 1)) +
+        shiftright(sig, bits * j).bitwiseAND(lit(mask))): _*)
+    val raw = sigs.select(col("vec_id"), col("embedding"), col("n"),
       explode(array((0 until numBands).map(j =>
         struct(lit(j).as("band"),
           shiftright(col("signature"), bits * j).bitwiseAND(lit(mask)).as("bv"))): _*)).as("b"))
-      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("b"))
-    val bandRows =
-      if (maxBucket == Int.MaxValue) allBandRows
+    val kept =
+      if (maxBucket == Int.MaxValue) raw
       else {
-        val hot = allBandRows.groupBy(col("b")).agg(count(lit(1)).as("bn"))
-          .filter(col("bn") > maxBucket).select(col("b"))
-        allBandRows.join(broadcast(hot), Seq("b"), "left_anti")
+        val hotKeys = sigs
+          .select(explode(bandKeys(col("signature"))).as("bk"))
+          .groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket)
+          .collect().map(_.getLong(0))
+        if (hotKeys.isEmpty) raw
+        else raw.filter(!(col("b.band").cast("long") * lit(mask + 1) + col("b.bv"))
+          .isInCollection(hotKeys))
       }
+    val bandRows = kept
+      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("b"))
     val a = bandRows.select(col("b").as("ba"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n").as("na"))
     val b2 = bandRows.select(col("b").as("bb"), col("vec_id").as("vb"),

@@ -34,6 +34,19 @@ object Materialize {
     df
   }
 
+  /** Persist + register a frame whose caller runs its own eager
+    * materializing action immediately after (an action that scans every
+    * partition, e.g. a full-frame aggregate) — one job instead of
+    * [[track]]'s count plus the action. The caller owns the guarantee
+    * that the action really touches all partitions before the frame
+    * feeds multiple plan branches.
+    */
+  def trackLazy(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(df)
+    df
+  }
+
   /** Unpersist every tracked frame (leak-free runs; non-blocking). */
   def releaseAll(): Unit = {
     var df = tracked.poll()
