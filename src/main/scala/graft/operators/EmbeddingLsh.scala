@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.VectorExpressions.vecDot
 
@@ -138,5 +138,29 @@ object EmbeddingLsh {
     a.join(b2, col("ba") === col("bb") && col("va") < col("vb"))
       .select(col("va"), col("vb"),
         round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("sim"))
+  }
+
+  /** [[candidatePairs]] with the width derived from the corpus row count
+    * via [[defaultNumPlanes]] — the scale-safe default: a caller states
+    * how big the corpus is and gets the band width that keeps expected
+    * bucket population at `targetBucket`, with the `maxBucket` hard cap
+    * as the second line of defense. Gate queries keep pinning an explicit
+    * width so the DuckDB oracle construction stays fixed.
+    */
+  def candidatePairsAuto(e: DataFrame, rows: Long, numBands: Int = 4,
+      targetBucket: Long = 32, maxBucket: Int = 256): DataFrame =
+    candidatePairs(e, defaultNumPlanes(rows, numBands, targetBucket),
+      numBands, maxBucket)
+
+  /** Manifest-backed auto width for a graft-managed table: the row count
+    * comes for free from the zone-map manifest
+    * ([[graft.layout.TableManifest.totalRows]]) — no count scan over the
+    * corpus before the width is known, which is the 100 TB story: the
+    * manifest is a few KB regardless of table size.
+    */
+  def candidatePairsAuto(spark: SparkSession, tableDir: String): DataFrame = {
+    val m = graft.layout.ZoneMap.read(tableDir)
+    val e = spark.read.option("basePath", tableDir).parquet(m.files.map(_.path): _*)
+    candidatePairsAuto(e, m.totalRows)
   }
 }

@@ -73,4 +73,51 @@ class EmbeddingLshSuite extends SparkTestBase {
       .map(EmbeddingLsh.defaultNumPlanes(_))
     assert(widths == widths.sorted)
   }
+
+  test("auto width matches the rule at 2k/20k/60k rows") {
+    def ruleWidth(n: Long): Int =
+      4 * math.min(15, math.max(1,
+        math.ceil(math.log(math.max(2.0, n / 32.0)) / math.log(2.0)).toInt))
+    for (n <- Seq(2000L, 20000L, 60000L)) {
+      assert(EmbeddingLsh.defaultNumPlanes(n) == ruleWidth(n),
+        s"n=$n derived=${EmbeddingLsh.defaultNumPlanes(n)} rule=${ruleWidth(n)}")
+    }
+    assert(EmbeddingLsh.defaultNumPlanes(2000L) == 24)
+    assert(EmbeddingLsh.defaultNumPlanes(20000L) == 40)
+    assert(EmbeddingLsh.defaultNumPlanes(60000L) == 44)
+  }
+
+  test("candidatePairsAuto returns the same pairs as the explicit width") {
+    val e = corpus(nHot = 0, nSpread = 80)
+    try {
+      val rows = 80L
+      val planes = EmbeddingLsh.defaultNumPlanes(rows)
+      val explicitPairs = EmbeddingLsh.candidatePairs(e, planes, 4, maxBucket = 256)
+        .orderBy("va", "vb").collect().toSeq
+      val autoPairs = EmbeddingLsh.candidatePairsAuto(e, rows)
+        .orderBy("va", "vb").collect().toSeq
+      assert(autoPairs == explicitPairs)
+    } finally graft.runner.Materialize.releaseAll()
+  }
+
+  test("manifest-backed auto mode derives the width from totalRows, no scan") {
+    import graft.layout.{LayoutWriter, ZoneMap}
+    val dir = java.nio.file.Files.createTempDirectory("lsh_auto").toString
+    try {
+      val e = corpus(nHot = 0, nSpread = 80)
+      LayoutWriter.write(e, dir,
+        LayoutWriter.LayoutSpec("baseline", Nil, numFiles = Some(2)))
+      assert(ZoneMap.read(dir).totalRows == 80L)
+      val fromManifest = EmbeddingLsh.candidatePairsAuto(spark, dir)
+        .orderBy("va", "vb").collect().toSeq
+      graft.runner.Materialize.releaseAll()
+      val explicitPairs = EmbeddingLsh
+        .candidatePairs(e, EmbeddingLsh.defaultNumPlanes(80L), 4, maxBucket = 256)
+        .orderBy("va", "vb").collect().toSeq
+      assert(fromManifest == explicitPairs)
+    } finally {
+      graft.runner.Materialize.releaseAll()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
