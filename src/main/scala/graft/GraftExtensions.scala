@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // scale guard: equi-join sides over big tables must not
+    // broadcast (see FactBroadcastGuard's doc for the SF1 numbers)
+    e.injectPlannerStrategy(_ => graft.plans.FactBroadcastGuard)
     e.injectFunction((
       FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo(classOf[ZValueExpr].getName, "graft_zvalue"),

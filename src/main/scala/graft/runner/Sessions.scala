@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def tuned(builder: SparkSession.Builder, cpus: String): SparkSession.Builder =
     builder
+      // full engine surface: curve/text SQL functions + optimizer rules
+      // (FactBroadcastGuard) in every tuned session
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -24,6 +27,11 @@ object Sessions {
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.parquet.enableVectorizedReader", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (50L * 1024 * 1024).toString)
+      // overridable for scale experiments (-1 disables broadcast joins
+      // entirely — how the SF1 audits compare broadcast-build vs shuffle
+      // plans without touching query text)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_BYTES",
+          (50L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
 }

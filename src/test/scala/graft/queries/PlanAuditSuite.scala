@@ -111,6 +111,36 @@ class PlanAuditSuite extends SparkTestBase {
       s"DistinctShingles broke codegen: $n2")
   }
 
+  test("semi/anti build sides over big tables shuffle; small ones still broadcast") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("plan_audit_semi")
+    // "fact": ~5 MB of parquet; "dim": a few KB
+    (1L to 400000L).map(i => (i, i % 1000, s"payload_$i"))
+      .toDF("k", "g", "pay").write.mode("overwrite").parquet(s"$dir/fact")
+    (1L to 50L).toDF("k").write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold below the fact's file size but above the dim's: the
+      // guard judges by UNPRUNED file bytes, so a 2-column projection of
+      // the fact must still shuffle while the dim build side broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      val vsFact = dim.join(fact.select(col("k")), Seq("k"), "left_semi")
+      val pFact = vsFact.queryExecution.executedPlan.toString
+      assert(!pFact.contains("BroadcastHashJoin"),
+        "big semi build side must not broadcast:\n" + pFact.take(800))
+      val vsDim = fact.join(dim, Seq("k"), "left_anti")
+      val pDim = vsDim.queryExecution.executedPlan.toString
+      assert(pDim.contains("BroadcastHashJoin"),
+        "small anti build side must still broadcast:\n" + pDim.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("no accidental cartesian products in the relational queries") {
     // q14/q33-style broadcast nested loop joins are intentional
     // (scalar-subquery cross and non-equi pair join); plain
