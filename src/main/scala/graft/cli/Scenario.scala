@@ -47,61 +47,75 @@ object Scenario {
 
   val Layouts = Seq("baseline", "linear", "zorder", "hilbert")
 
-  /** Run the full matrix; returns every cell (bands × queries × layouts). */
+  /** Run the full matrix; returns every cell (bands × queries × layouts).
+    * `cols` generalizes the experiment to N-dimensional range workloads
+    * (RQ2, reference generate_tpch_rq2_specs.py:44-59): layouts order by
+    * all N columns, queries carry one BETWEEN per column, and the
+    * per-dimension selectivity is the Nth root of the band's overall
+    * target.
+    */
   def runMatrix(spark: SparkSession, sfDir: String,
       nPerBand: Int = 6, numFiles: Int = 16,
       bands: Seq[(String, Double)] = Bands,
-      bits: Option[Int] = None): Seq[Cell] = {
+      bits: Option[Int] = None,
+      cols: Seq[String] = Seq("l_quantity", "l_extendedprice")): Seq[Cell] = {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val stats = Profiler.profile(li.select("l_quantity", "l_extendedprice"))
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val stats = Profiler.profile(li.select(cols.head, cols.tail: _*))
 
-    val layoutDirs = Layouts.map { l =>
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_rq1_$l").toString
-      LayoutWriter.write(li, dir,
-        LayoutSpec(l, Seq("l_quantity", "l_extendedprice"),
-          bits = bits, numFiles = Some(numFiles)))
-      l -> dir
-    }
+      val layoutDirs = Layouts.map { l =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_rq_$l").toString
+        LayoutWriter.write(li, dir,
+          LayoutSpec(l, cols, bits = bits, numFiles = Some(numFiles)))
+        l -> dir
+      }
 
-    val cells = for {
-      (band, sel2d) <- bands
-      selDim = math.sqrt(sel2d)
-      spec = TemplateSpec(
-        name = s"rq1_$band",
-        sql = """SELECT count(*) AS cnt FROM {{tbl}}
-                |WHERE l_quantity BETWEEN :q_lo AND :q_hi
-                |  AND l_extendedprice BETWEEN :p_lo AND :p_hi""".stripMargin,
-        params = Seq(
-          RangeParam("q", "l_quantity", selDim),
-          RangeParam("p", "l_extendedprice", selDim)),
-        constraints = Seq("q_hi >= q_lo and p_hi >= p_lo"),
-        n = nPerBand)
-      (inst, qi) <- WorkloadGen.fill(spec, stats, "{{tbl}}").zipWithIndex
-      (layout, dir) <- layoutDirs
-    } yield {
-      val preds = Seq(
-        NumBetween("l_quantity",
-          inst.params("q_lo").toDouble, inst.params("q_hi").toDouble),
-        NumBetween("l_extendedprice",
-          inst.params("p_lo").toDouble, inst.params("p_hi").toDouble))
-      val scan = PrunedScan.read(spark, dir, preds)
-      scan.df.createOrReplaceTempView("pruned_tbl")
-      val sql = inst.sql.replace("{{tbl}}", "pruned_tbl")
-      val m = QueryRunner.run(spark, spark.sql(sql), s"$band-q$qi-$layout",
-        listener = Some(listener), warmup = true)
-      Cell(band, s"q$qi", layout, m.rows, m.wallSec,
-        scan.filesKept, scan.filesTotal, m.bytesScanned)
-    }
-    layoutDirs.foreach { case (_, d) => deleteRec(new java.io.File(d)) }
-    cells
+      val where = cols.zipWithIndex
+        .map { case (c, i) => s"$c BETWEEN :p${i}_lo AND :p${i}_hi" }
+        .mkString("\n  AND ")
+      val cells = for {
+        (band, selOverall) <- bands
+        selDim = math.pow(selOverall, 1.0 / cols.length)
+        spec = TemplateSpec(
+          name = s"rq_$band",
+          sql = s"SELECT count(*) AS cnt FROM {{tbl}}\nWHERE $where",
+          params = cols.zipWithIndex.map { case (c, i) =>
+            RangeParam(s"p$i", c, selDim)
+          },
+          constraints = cols.indices.map(i => s"p${i}_hi >= p${i}_lo"),
+          n = nPerBand)
+        (inst, qi) <- WorkloadGen.fill(spec, stats, "{{tbl}}").zipWithIndex
+        (layout, dir) <- layoutDirs
+      } yield {
+        val preds = cols.zipWithIndex.map { case (c, i) =>
+          NumBetween(c,
+            inst.params(s"p${i}_lo").toDouble, inst.params(s"p${i}_hi").toDouble)
+        }
+        val scan = PrunedScan.read(spark, dir, preds)
+        scan.df.createOrReplaceTempView("pruned_tbl")
+        val sql = inst.sql.replace("{{tbl}}", "pruned_tbl")
+        val m = QueryRunner.run(spark, spark.sql(sql), s"$band-q$qi-$layout",
+          listener = Some(listener), warmup = true)
+        Cell(band, s"q$qi", layout, m.rows, m.wallSec,
+          scan.filesKept, scan.filesTotal, m.bytesScanned)
+      }
+      layoutDirs.foreach { case (_, d) => deleteRec(new java.io.File(d)) }
+      cells
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   /** Geometric-mean speedups vs the baseline layout, per band × layout —
     * the reference's gmean_safe over t_base/t (wlg/cli/main.py:1092-1105),
     * plus the same statistic over files scanned (deterministic at any
     * scale, where small-corpus wall times are noise-dominated).
+    *
+    * Files-ratio clamp: both sides of the ratio are floored at 1 file,
+    * so a layout that prunes a query to ZERO files scores as if it kept
+    * one — perfect pruning is understated rather than infinite. The
+    * geomean_files_ratio column in the emitted CSVs carries this
+    * definition.
     */
   def geomeans(cells: Seq[Cell]): Seq[BandLayout] = {
     def gmean(xs: Seq[Double]): Double = {

@@ -37,4 +37,25 @@ class ScenarioMatrixSuite extends SparkTestBase {
       assert(cs.map(_.rows).distinct.size == 1, s"rows diverge at $k: $cs")
     }
   }
+
+  test("RQ2 mini-matrix: N=3 layout ordering — curves prune, hilbert leads") {
+    val cells = Scenario.runMatrix(spark, "/root/testdata/sf0.001",
+      nPerBand = 4, numFiles = 16, bands = Seq("S1" -> 0.0005, "S2" -> 0.005),
+      cols = graft.cli.Rq2.ColSets.head._2)
+    val geo = Scenario.geomeans(cells)
+    def ratio(band: String, layout: String): Double =
+      geo.find(g => g.band == band && g.layout == layout).get.gmFilesRatio
+
+    for (band <- Seq("S1", "S2")) {
+      // every ordered layout prunes the 3-D range workload vs baseline
+      for (l <- Seq("linear", "zorder", "hilbert"))
+        assert(ratio(band, l) > 1.0, s"$band $l=${ratio(band, l)}")
+      // the continuous curve keeps its lead over z-jumps in 3-D
+      assert(ratio(band, "hilbert") >= ratio(band, "zorder"),
+        s"$band hilbert=${ratio(band, "hilbert")} zorder=${ratio(band, "zorder")}")
+    }
+    cells.groupBy(c => (c.band, c.query)).foreach { case (k, cs) =>
+      assert(cs.map(_.rows).distinct.size == 1, s"rows diverge at $k: $cs")
+    }
+  }
 }
