@@ -38,7 +38,11 @@ object BenchOne {
     }
     once() // warmup (discarded)
     val runs = Seq.fill(reps)(once())
-    val median = runs.sorted.apply(reps / 2)
+    val sorted = runs.sorted
+    // true median for either parity (even reps average the two middles)
+    val median =
+      if (reps % 2 == 1) sorted(reps / 2)
+      else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"query":"$name","median":${f3(median)},"runs":[${runs.map(f3).mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()

@@ -13,7 +13,13 @@ import scala.jdk.CollectionConverters._
   *
   * Usage: runMain graft.cli.RunQueries --table <dir> --queries-dir <dir>
   *   [--output-csv results.csv] [--warmup] [--cache none|catalog|df]
-  *   [--action count|collect|show] [--broadcast-hint]
+  *   [--action count|collect|show] [--broadcast-hint] [--engine name]
+  *   [--results-dir dir]
+  *
+  * With `--results-dir`, the CSV lands at dir/engine/<timestamp>.csv and
+  * dir/engine/latest.csv is re-pointed at it (the reference's per-engine
+  * results tree + `latest` symlink, scripts/run_query.sh:276-289);
+  * `--output-csv` is ignored in that mode.
   *
   * Differences from the reference, by design:
   *  - a `.sql` file may hold multiple `;`-separated statements (TPC-H
@@ -37,7 +43,9 @@ object RunQueries {
       warmup: Boolean = false,
       cache: String = "none",
       action: String = "collect",
-      broadcastHint: Boolean = false)
+      broadcastHint: Boolean = false,
+      engine: String = "graft",
+      resultsDir: String = "")
 
   def parse(args: Array[String]): Config = {
     var c = Config()
@@ -51,6 +59,8 @@ object RunQueries {
         case "--cache" => c = c.copy(cache = args(i + 1)); i += 2
         case "--action" => c = c.copy(action = args(i + 1)); i += 2
         case "--broadcast-hint" => c = c.copy(broadcastHint = true); i += 1
+        case "--engine" => c = c.copy(engine = args(i + 1)); i += 2
+        case "--results-dir" => c = c.copy(resultsDir = args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag $other")
       }
     }
@@ -128,6 +138,35 @@ object RunQueries {
       (CsvHeader +: body).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** dir/engine/<timestamp>.csv under `--results-dir`, else the plain
+    * `--output-csv` path.
+    */
+  def resolveOutput(cfg: Config): String =
+    if (cfg.resultsDir.isEmpty) cfg.outputCsv
+    else {
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+        .format(java.time.LocalDateTime.now())
+      val dir = Paths.get(cfg.resultsDir, cfg.engine)
+      Files.createDirectories(dir)
+      dir.resolve(s"$ts.csv").toString
+    }
+
+  /** Re-point <dir>/latest.csv at the just-written CSV (symlink; falls
+    * back to a copy on filesystems without symlink support).
+    */
+  def updateLatest(csvPath: String): Unit = {
+    val p = Paths.get(csvPath)
+    val link = p.getParent.resolve("latest.csv")
+    try {
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, p.getFileName)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(p, link,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
     val spark = graft.runner.Sessions
@@ -146,8 +185,10 @@ object RunQueries {
     QueryRunner.cacheTable(spark, view, cfg.cache)
     try {
       val results = runDir(spark, cfg, view)
-      writeCsv(cfg.outputCsv, "graft", results)
-      println(s"[OK] wrote ${cfg.outputCsv}")
+      val out = resolveOutput(cfg)
+      writeCsv(out, cfg.engine, results)
+      if (cfg.resultsDir.nonEmpty) updateLatest(out)
+      println(s"[OK] wrote $out")
     } finally {
       QueryRunner.uncacheTable(spark, view, cfg.cache)
       spark.stop()

@@ -124,8 +124,11 @@ object WorkloadGen {
           var lo = mn + rnd.nextDouble() * math.max(0.0, (mx - mn) - width)
           var hi = lo + width
           if (intAlign) { lo = math.floor(lo); hi = math.ceil(hi) }
+          // floor lo / ceil hi: whole-second TIMESTAMP literals must
+          // CONTAIN the numeric window the constraints evaluated (plain
+          // truncation would shave up to 1s off each bound)
           val (sLo, sHi) =
-            if (outFmt == "timestamp") (fmtTs(lo), fmtTs(hi))
+            if (outFmt == "timestamp") (fmtTs(math.floor(lo)), fmtTs(math.ceil(hi)))
             else (fmt(lo), fmt(hi))
           params(s"${name}_lo") = sLo; params(s"${name}_hi") = sHi
           evalParams(s"${name}_lo") = ConstraintEval.Num(lo)

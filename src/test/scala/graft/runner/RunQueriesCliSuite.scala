@@ -108,4 +108,27 @@ class RunQueriesCliSuite extends SparkTestBase {
     intercept[IllegalArgumentException](
       QueryRunner.cacheTable(spark, "cache_mode_t", "bogus"))
   }
+
+  test("results-dir mode: per-engine tree + latest.csv symlink") {
+    val base = tmpDir("cli_results")
+    val cfg = RunQueries.Config(table = "t", queriesDir = "q",
+      engine = "graft_zorder", resultsDir = base)
+    val out = RunQueries.resolveOutput(cfg)
+    assert(out.startsWith(s"$base/graft_zorder/"), out)
+    assert(out.endsWith(".csv"))
+    Files.write(Paths.get(out), "engine,query\ngraft_zorder,q1.sql".getBytes("UTF-8"))
+    RunQueries.updateLatest(out)
+    val latest = Paths.get(base, "graft_zorder", "latest.csv")
+    assert(Files.exists(latest), "latest.csv must exist")
+    assert(new String(Files.readAllBytes(latest), "UTF-8")
+      .startsWith("engine,query"))
+    // a second run re-points latest at the newer csv
+    val out2 = Paths.get(base, "graft_zorder", "99999999_999999.csv")
+    Files.write(out2, "engine,query\ngraft_zorder,q2.sql".getBytes("UTF-8"))
+    RunQueries.updateLatest(out2.toString)
+    assert(new String(Files.readAllBytes(latest), "UTF-8").contains("q2.sql"))
+    // plain --output-csv mode is untouched
+    assert(RunQueries.resolveOutput(
+      RunQueries.Config(table = "t", queriesDir = "q", outputCsv = "x.csv")) == "x.csv")
+  }
 }

@@ -34,21 +34,35 @@ for p in ["java.base/java.lang", "java.base/java.lang.invoke",
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 cp = f"{repo}/target/scala-2.13/classes:/opt/spark/jars/*"
 env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf)
+def write_results(results):
+    with open(f"{repo}/BENCH_ISOLATED.json", "w") as f:
+        json.dump({"sf": sf, "reps": int(reps), "results": results}, f, indent=1)
+
 results = {}
 for q in queries:
     cmd = (["java", "-cp", cp] + add_opens +
            ["-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "8g"),
             "-Dspark.ui.enabled=false", "graft.BenchOne", q, reps])
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=repo)
-    line = [l for l in out.stdout.splitlines() if l.startswith('{"query"')]
+    # a launch failure (missing java/classpath) or crash records a FAIL
+    # entry instead of aborting the sweep; the JSON is rewritten after
+    # every query so partial sweeps still leave a usable artifact
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=repo)
+        line = [l for l in out.stdout.splitlines() if l.startswith('{"query"')]
+    except OSError as e:
+        print(f"FAIL {q}: launch error {e}")
+        results[q] = {"median": -1.0, "runs": []}
+        write_results(results)
+        continue
     if not line:
         print(f"FAIL {q}: {out.stderr.strip().splitlines()[-3:]}")
         results[q] = {"median": -1.0, "runs": []}
+        write_results(results)
         continue
     r = json.loads(line[-1])
     results[q] = {"median": r["median"], "runs": r["runs"]}
     print(f"{q}: median={r['median']} runs={r['runs']}")
+    write_results(results)
 
-with open(f"{repo}/BENCH_ISOLATED.json", "w") as f:
-    json.dump({"sf": sf, "reps": int(reps), "results": results}, f, indent=1)
+write_results(results)
 print("wrote BENCH_ISOLATED.json")
