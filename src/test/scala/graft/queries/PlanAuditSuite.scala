@@ -3,6 +3,7 @@ package graft.queries
 import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import scala.jdk.CollectionConverters._
 
 /** Physical-plan audits: the optimizations the 100 TB design depends on
   * must be visible in the plan, not assumed. Each assertion here is one
@@ -139,6 +140,47 @@ class PlanAuditSuite extends SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
+  }
+
+  test("broadcast demotion sticks through AQE re-planning (row-cost term)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("plan_audit_aqe")
+    // the q41 pathology in miniature: a fat payload column makes the
+    // FILE big, but the join projects only the key — so the shuffled
+    // bytes are small while the row count (the hash-build cost) is not.
+    // The payload must not compress away: unique hex noise per row.
+    def noise(i: Long): String =
+      (1 to 8).map(j => ((i * 2654435761L + j * 40503L) * 2654435761L).toHexString).mkString
+    (1L to 200000L).map(i => (i % 50000, noise(i)))
+      .toDF("k", "pay").coalesce(2).write.mode("overwrite").parquet(s"$dir/fact")
+    val fileBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/fact"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.filter(_.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum
+    assert(fileBytes > 6L * 1024 * 1024,
+      s"test precondition: fact file ($fileBytes B) must exceed the threshold")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // window: shuffled key bytes < threshold < rows * 48 (and < file)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (6L * 1024 * 1024).toString)
+      val a = fact.select(col("k"))
+      val b = fact.select(col("k").as("k2"))
+      val joined = a.join(b, col("k") === col("k2")).agg(count(lit(1)))
+      val nodes = executedNodes(joined)
+      assert(!nodes.exists(_.contains("BroadcastHashJoin")),
+        s"200k-row side must stay demoted through AQE re-plan: $nodes")
+      // control: a genuinely small filtered side SHOULD end up broadcast —
+      // the initial demotion (file bytes) is conservative, and AQE's
+      // re-plan promotes it once the completed stage shows few rows
+      val small = fact.filter(col("k") < 100).select(col("k").as("k2"))
+      val j2 = fact.select(col("k")).join(small, col("k") === col("k2")).agg(count(lit(1)))
+      val n2 = executedNodes(j2)
+      assert(n2.exists(_.contains("BroadcastHashJoin")),
+        s"AQE must still promote a truly small completed stage: $n2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("no accidental cartesian products in the relational queries") {
