@@ -279,6 +279,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("lang"))
         .limit(10)
+    }),
+
+    // Point-in-time feature attachment: every click gets the user's
+    // latest at-or-before view's value via the AsOfJoin operator (one
+    // key-partitioned union+window pass — no pair blow-up), then
+    // per-user rollup. DECIMAL accumulation keeps the double sum
+    // order-independent for the hash gate.
+    "q68_asof_enrich" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      graft.operators.AsOfJoin
+        .asOf(clicks, views, Seq("user_id"), "ts",
+          valueCols = Seq("view_value"), tieBreak = "view_event_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("view_value")).as("n_matched"),
+          round(sum(col("view_value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_view_value"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -412,6 +435,24 @@ object RelationalQueries {
       """SELECT user_id, count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY user_id
         |HAVING count(*) BETWEEN 5 AND 500
-        |ORDER BY sum_value DESC, user_id LIMIT 100""".stripMargin
+        |ORDER BY sum_value DESC, user_id LIMIT 100""".stripMargin,
+    // as-of semantics spelled out portably (latest view at-or-before
+    // each click, ties broken by event_id desc) — equivalent to DuckDB's
+    // ASOF LEFT JOIN but with the tie-break pinned
+    "q68_asof_enrich" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+        |matched AS (
+        |  SELECT c.user_id, c.event_id,
+        |    (SELECT v.value FROM v
+        |      WHERE v.user_id = c.user_id AND v.ts <= c.ts
+        |      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_value
+        |  FROM c)
+        |SELECT user_id, count(*) AS n_clicks, count(view_value) AS n_matched,
+        |  round(CAST(sum(CAST(view_value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_view_value
+        |FROM matched GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
