@@ -52,6 +52,66 @@ object DedupQueries {
     df.select(col("doc_id"),
       explode(shinglesDistinct(words(col("text")), 3)).as("shingle"))
 
+  /** (da, db, common, jaccard) pairs at jaccard >= 0.5 via the inverted
+    * shingle index (q30's pipeline; shared with q69's cluster graph).
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // materialized pre-partitioned on the join key: BOTH self-join
+    // sides consume co-partitioned cached partitions. The stop-shingle
+    // cap (drop shingles with document frequency > MaxDf) folds into
+    // the same shuffle: group by shingle, keep cool groups, re-explode
+    // — one pass instead of a separate hot-list agg + anti-join. At
+    // 100 TB any one group is bounded by MaxDf doc_ids, so the
+    // collect_list is bounded too.
+    val sh = graft.runner.Materialize.track(
+      shingled(docs(s, d))
+        .groupBy(col("shingle"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) <= MaxDf)
+        .select(col("shingle"), explode(col("ids")).as("doc_id")))
+    // doc sizes are consumed by two joins — materialize the tiny frame
+    // once instead of re-scanning the shingle cache per consumer.
+    val sizes = graft.runner.Materialize.track(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+    // join strategy is left to AQE: at test SF it broadcasts the
+    // (compressed-cache-small) side, at scale the frame exceeds the
+    // broadcast threshold and the cached shingle partitioning makes it
+    // an exchange-free shuffled join. (A forced shuffle_hash hint
+    // measured SLOWER here — 3.2 s vs 2.7 s.)
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a
+      .join(b, col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("common"), col("jaccard"))
+  }
+
+  /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band SimHash
+    * join (q31's pipeline; shared with q31b/q69).
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val h = graft.runner.Materialize.track(docs(s, d)
+      .select(col("doc_id"), simhash60(words(col("text"))).as("sh")))
+    val bandRows = h.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))
+    val a = bandRows.as("a"); val b = bandRows.as("b")
+    a.join(b, col("a.b.band") === col("b.b.band")
+        && col("a.b.bv") === col("b.b.bv")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        hamming(col("a.sh"), col("b.sh")).as("ham"))
+      .distinct()
+      .filter(col("ham") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup accounting by text hash, per language.
     "q28_dedup_exact" -> ((s, d) => {
@@ -99,43 +159,23 @@ object DedupQueries {
     // The shingle frame feeds BOTH self-join sides plus the sizes agg —
     // runner-owned materialization (Materialize.track / releaseAll)
     // computes it once per run, leak-free (round-3 VERDICT #3).
-    "q30_ngram_jaccard" -> ((s, d) => {
-      // materialized pre-partitioned on the join key: BOTH self-join
-      // sides consume co-partitioned cached partitions. The stop-shingle
-      // cap (drop shingles with document frequency > MaxDf) folds into
-      // the same shuffle: group by shingle, keep cool groups, re-explode
-      // — one pass instead of a separate hot-list agg + anti-join. At
-      // 100 TB any one group is bounded by MaxDf doc_ids, so the
-      // collect_list is bounded too.
-      val sh = graft.runner.Materialize.track(
-        shingled(docs(s, d))
-          .groupBy(col("shingle"))
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .filter(size(col("ids")) <= MaxDf)
-          .select(col("shingle"), explode(col("ids")).as("doc_id")))
-      // doc sizes are consumed by two joins — materialize the tiny frame
-      // once instead of re-scanning the shingle cache per consumer.
-      val sizes = graft.runner.Materialize.track(
-        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
-      // join strategy is left to AQE: at test SF it broadcasts the
-      // (compressed-cache-small) side, at scale the frame exceeds the
-      // broadcast threshold and the cached shingle partitioning makes it
-      // an exchange-free shuffled join. (A forced shuffle_hash hint
-      // measured SLOWER here — 3.2 s vs 2.7 s.)
-      val a = sh.as("a"); val b = sh.as("b")
-      val common = a
-        .join(b, col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-        .withColumn("jaccard",
-          round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("da"), col("db"), col("common"), col("jaccard"))
-        .orderBy(col("jaccard").desc, col("da"), col("db"))
+    "q30_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d)
+        .orderBy(col("jaccard").desc, col("da"), col("db"))),
+
+    // Near-dup CLUSTERS: pairs are edges, the unit of dedup is the
+    // connected component (A~B, B~C must collapse to ONE cluster even
+    // when A~C itself scores below threshold). Edges union two signals
+    // — SimHash hamming<=3 and shingle-Jaccard>=0.5 — then the
+    // large-star/small-star CC operator labels every member with the
+    // component min. Output: one row per cluster with its size.
+    "q69_dedup_clusters" -> ((s, d) => {
+      val edges = simhashPairs(s, d).select(col("da"), col("db"))
+        .unionAll(jaccardPairs(s, d).select(col("da"), col("db")))
+      graft.operators.ConnectedComponents.run(edges)
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_id"))
     }),
 
     // Near-dup REMOVAL (not just detection): per-language counts of the
@@ -168,24 +208,9 @@ object DedupQueries {
     // SimHash near-dup pairs at hamming <= 3 via the exact 4-band join.
     // The (doc_id, sh) frame is tiny (16 bytes/doc) and feeds both join
     // sides — materialize once per run (runner-owned).
-    "q31_simhash" -> ((s, d) => {
-      val h = graft.runner.Materialize.track(docs(s, d)
-        .select(col("doc_id"), simhash60(words(col("text"))).as("sh")))
-      val bandRows = h.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))
-      val a = bandRows.as("a"); val b = bandRows.as("b")
-      val cand = a
-        .join(b, col("a.b.band") === col("b.b.band")
-          && col("a.b.bv") === col("b.b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          hamming(col("a.sh"), col("b.sh")).as("ham"))
-        .distinct()
-      cand
-        .filter(col("ham") <= 3)
-        .orderBy(col("ham"), col("da"), col("db"))
-    })
+    "q31_simhash" -> ((s, d) =>
+      simhashPairs(s, d)
+        .orderBy(col("ham"), col("da"), col("db")))
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -247,6 +272,46 @@ object DedupQueries {
          |JOIN sizes sb ON db = sb.doc_id
          |WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.5
          |ORDER BY jaccard DESC, da, db""".stripMargin,
+    // CC via recursive label reachability: reach(id, r) holds every label
+    // r that can flow to id along the symmetric edge set; min(r) per id
+    // is the component min — same deterministic label the Spark
+    // large-star/small-star operator emits.
+    "q69_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |shc AS (
+         |  SELECT * FROM sh
+         |  WHERE shingle NOT IN (
+         |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $MaxDf)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |jp AS (
+         |  SELECT da, db FROM (
+         |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+         |    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sizes sa ON p.da = sa.doc_id
+         |  JOIN sizes sb ON p.db = sb.doc_id
+         |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.5),
+         |hh AS (
+         |  SELECT doc_id, $simhashExpr AS sim
+         |  FROM (SELECT doc_id,
+         |          list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+         |            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hashes
+         |        FROM documents)),
+         |sp AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (SELECT da, db FROM jp UNION SELECT da, db FROM sp),
+         |sym AS (
+         |  SELECT da AS u, db AS v FROM edges
+         |  UNION SELECT db AS u, da AS v FROM edges),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+         |  UNION
+         |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT component AS cluster_id, count(*) AS n_members
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31b_simhash_dedup" ->
       s"""WITH h AS (
          |  SELECT doc_id, $simhashExpr AS sh
