@@ -302,6 +302,36 @@ object RelationalQueries {
           round(sum(col("view_value").cast("decimal(18,2)")).cast("double"), 2)
             .as("sum_view_value"))
         .orderBy(col("user_id"))
+    }),
+
+    // Point-in-interval attribution via the binned RangeJoin: every
+    // purchase opens a 1-hour window; count ALL clicks (any user)
+    // landing inside it. No equality key exists, so vanilla Spark plans
+    // BroadcastNestedLoopJoin — the bin bucketing restores a shuffled
+    // equi-join (RangeJoinSuite asserts the plan). Epoch-micros longs
+    // (exact), DECIMAL accumulation for the value sum, left join keeps
+    // zero-click purchases.
+    "q70_interval_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val hour = 3600L * 1000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + hour)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_ts"), col("value").as("c_value"))
+      val matched = graft.operators.RangeJoin
+        .pointInInterval(clicks, "c_ts", purchases, "p_lo", "p_hi", binWidth = hour)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("click_value"))
+      purchases.select(col("purchase_id"))
+        .join(matched, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("click_value"), lit(0.0)).as("click_value"))
+        .orderBy(col("purchase_id"))
     })
   )
 
@@ -453,6 +483,20 @@ object RelationalQueries {
         |SELECT user_id, count(*) AS n_clicks, count(view_value) AS n_matched,
         |  round(CAST(sum(CAST(view_value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_view_value
-        |FROM matched GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM matched GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the oracle states the range join directly (DuckDB's IEJoin handles
+    // it); epoch_us matches Spark's unix_micros on the same µs-truncated
+    // timestamps
+    "q70_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT epoch_us(ts) AS t, value FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(c.t) AS n_clicks,
+        |  coalesce(round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 2),
+        |    0.0) AS click_value
+        |FROM p LEFT JOIN c ON c.t >= p.t AND c.t < p.t + 3600000000
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin
   )
 }

@@ -102,6 +102,24 @@ object TextQueries {
           countDistinct(col("fp")).as("n_unique"),
           (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"))
         .orderBy(col("source"))
+    }),
+
+    // Deterministic hash split: the train/val/test assignment a training
+    // pipeline needs must be a pure function of a stable document key —
+    // never rand() — so re-runs, late-arriving shards, and incremental
+    // appends land every doc in the same split on every engine. Bucket =
+    // first 4 hex digits of md5("split|" + doc_id) mod 100; 80/10/10.
+    // Pure map-side expression: one shuffle total (the final rollup).
+    "q71_hash_split" -> ((s, d) => {
+      val bucket = conv(substring(
+        md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % 100
+      docs(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("lang"))
     })
   )
 
@@ -161,6 +179,17 @@ object TextQueries {
         |FROM (SELECT source,
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |      FROM documents)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q71_hash_split" ->
+      """SELECT split, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT lang, n_chars,
+        |        CASE WHEN b < 80 THEN 'train'
+        |             WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |      FROM (SELECT lang, n_chars,
+        |              ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |                % 100 AS b
+        |            FROM documents))
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }
