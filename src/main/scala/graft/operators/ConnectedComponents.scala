@@ -35,36 +35,91 @@ object ConnectedComponents {
     * labels — safe for hash-compared gates). Isolated nodes never
     * appear in an edge list; callers union them back if needed.
     */
+  /** Edge sets at or under this size collapse to ONE partition for the
+    * iterative rounds: a banded near-dup pair graph is |near-dup|-sized —
+    * orders smaller than the corpus — and per-round scheduling latency
+    * (not data) dominates the loop when 32-way shuffles carry a few
+    * thousand rows. 4M edges ≈ 64 MB in a single partition: safe. Larger
+    * graphs keep the full shuffle parallelism.
+    */
+  val SmallGraphEdges: Long = 4L << 20
+
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     require(edges.columns.length >= 2,
       s"edge frame needs two endpoint columns, got ${edges.columns.mkString(",")}")
     val ec = edges.columns
-    // canonical (a < b), dedup'd, self-loops dropped
+    // canonical (a < b), dedup'd, self-loops dropped.
+    // localCheckpoint persists RDD-level blocks that Dataset.unpersist
+    // can NOT release — track each round's RDD and unpersist it by hand
+    // once the next round is materialized (its blocks ARE the checkpoint,
+    // so releasing early would lose the data); the final round's blocks
+    // back the returned frame and pass to Materialize.releaseAll
+    // ownership like every other runner-shared frame. Checkpoints are
+    // LAZY: the per-round checksum aggregate is the materializing action
+    // (one job per round, not two).
     var e = edges
       .select(col(ec(0)).cast("long").as("u"), col(ec(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
-      .localCheckpoint()
-
-    var sig = checksum(e)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = checksum(next)
-      e.unpersist(blocking = false)
-      converged = nextSig == sig
-      e = next; sig = nextSig; rounds += 1
+      .localCheckpoint(eager = false)
+    var eRdd = org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(e)
+    val n0 = e.count() // materializes the initial checkpoint
+    val parent = edges.sparkSession
+    if (n0 > 0 && n0 <= SmallGraphEdges) {
+      // Small-graph fast path: the rounds are scheduling-bound, not
+      // data-bound — fork a session on the SAME SparkContext with AQE
+      // off (its per-stage re-planning is pure latency at this size) and
+      // single-partition shuffles, and run the loop there. Checkpointed
+      // plans are LogicalRDD leaves, so they transplant between sessions
+      // freely; the result transplants back to the caller's session.
+      val fast = parent.newSession()
+      fast.conf.set("spark.sql.adaptive.enabled", "false")
+      fast.conf.set("spark.sql.shuffle.partitions", "1")
+      fast.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // 1-partition SMJ beats broadcast here
+      val one = org.apache.spark.sql.graftbridge.Bridge
+        .ofRows(fast, e.queryExecution.logical)
+        .repartition(1).localCheckpoint(eager = false)
+      val oneRdd = org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(one)
+      one.count() // materialize BEFORE dropping the blocks it reads
+      eRdd.foreach(_.unpersist(blocking = false))
+      e = one; eRdd = oneRdd
     }
-    // A fixpoint of smallStar∘largeStar is a set of disjoint stars
-    // rooted at component minima (Kiveris Thm 4.1); verify rather than
-    // trust: no parent may itself be a child.
-    val nonStar = e.select(col("a")).intersect(e.select(col("b").as("a"))).limit(1).count()
-    require(converged && nonStar == 0,
+
+    // Convergence = the edge set IS a set of disjoint stars (no node both
+    // a parent and a child). Both star ops preserve the current partition
+    // into components and map stars to stars, so star-shape is exactly
+    // the fixpoint (Kiveris Thm 4.1) — and testing it directly in the
+    // SAME aggregate job that materializes the round's checkpoint stops
+    // one round earlier than fingerprint-equality (no confirm round) and
+    // needs no final shape assertion.
+    // One star-round per materialized iteration. (Fusing two rounds per
+    // checkpoint was measured 5x SLOWER: each star op references its
+    // input ~3x, so a 4-op fused plan carries ~81 copies of the leaf —
+    // catalyst + codegen time explodes. The checkpoint boundary per
+    // round keeps every plan 9-leaf small.)
+    val debug = sys.env.contains("GRAFT_CC_LOG")
+    var rounds = 0
+    var converged = n0 == 0
+    while (!converged && rounds < maxIter) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val nextRdd = org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(next)
+      val viol = starViolations(next)
+      eRdd.foreach(_.unpersist(blocking = false))
+      e = next; eRdd = nextRdd; rounds += 1
+      converged = viol == 0
+      if (debug) println(f"[cc] round $rounds viol=$viol ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    eRdd.foreach(graft.runner.Materialize.trackRdd)
+    require(converged,
       s"connected components did not converge to stars in $maxIter rounds")
-    val members = e.select(col("b").as("id"), col("a").as("component"))
-    val roots = e.select(col("a").as("id"), col("a").as("component")).distinct()
+    // hand the star edges back to the CALLER's session (the loop may
+    // have run in the forked fast-path session)
+    val stars = org.apache.spark.sql.graftbridge.Bridge
+      .ofRows(parent, e.queryExecution.logical)
+    val members = stars.select(col("b").as("id"), col("a").as("component"))
+    val roots = stars.select(col("a").as("id"), col("a").as("component")).distinct()
     members.unionAll(roots)
   }
 
@@ -78,11 +133,13 @@ object ConnectedComponents {
     val m = sym.groupBy(col("u"))
       .agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // no distinct here: duplicate edges don't change smallStar's min
+    // aggregate and its round-boundary distinct dedups the output — one
+    // shuffle per round instead of two
     sym.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("m").as("a"), col("v").as("b")) // m <= u < v keeps a < b
       .filter(col("a") =!= col("b"))
-      .distinct()
   }
 
   /** small-star: for every node u, hook all SMALLER neighbors (and u)
@@ -99,16 +156,14 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Multiset fingerprint (count + 64-bit hash sum, overflow-free via
-    * DECIMAL) — one cheap action per round instead of a set-difference
-    * join; a 64-bit collision masking non-convergence is ~2^-64 and the
-    * star assertion in [[run]] backstops it.
+  /** Count of star-shape violations: nodes appearing both as a parent
+    * (a) and as a child (b). One shuffle aggregate — the round's
+    * materializing action and its convergence test in a single job.
     */
-  private def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-    val r = e.agg(
-      count(lit(1)),
-      coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head()
-    (r.getLong(0), r.getDecimal(1))
-  }
+  private def starViolations(e: DataFrame): Long =
+    e.select(col("a").as("id"), lit(0).as("t"))
+      .unionAll(e.select(col("b").as("id"), lit(1).as("t")))
+      .groupBy(col("id")).agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .filter(col("lo") === 0 && col("hi") === 1)
+      .count()
 }

@@ -93,6 +93,50 @@ object DedupQueries {
       .select(col("da"), col("db"), col("common"), col("jaccard"))
   }
 
+  /** (da, db) near-dup pairs via the industrial MinHash-LSH shape:
+    * banded signature join proposes candidates, then exact Jaccard is
+    * verified on CANDIDATES ONLY (a few hundred pairs), never on the
+    * full inverted index — at 100 TB the verification join is
+    * |candidates|-sized, not corpus-sized. Assumes exact dedup (q28)
+    * ran first, as real pipelines do: identical docs share identical
+    * signatures, so unbounded duplicate groups would make one bucket
+    * quadratic (same hazard the q33b hot-bucket cap bounds).
+    */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.runner.Materialize.track(shingled(docs(s, d)))
+    val hashed = sh.select(col("doc_id"),
+      wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
+      wordHash60(concat(lit("b|"), col("shingle"))).as("h2"))
+    val mins = (0 until K).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
+    }
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val ba = bandRows.as("ba"); val bb = bandRows.as("bb")
+    val cand = ba
+      .join(bb, col("ba.band") === col("bb.band")
+        && col("ba.bucket") === col("bb.bucket")
+        && col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("da"), col("bb.doc_id").as("db"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val x = sh.as("x"); val y = sh.as("y")
+    val common = broadcast(cand)
+      .join(x, col("da") === col("x.doc_id"))
+      .join(y, col("db") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .filter(round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 6) >= 0.5)
+      .select(col("da"), col("db"))
+  }
+
   /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band SimHash
     * join (q31's pipeline; shared with q31b/q69).
     */
@@ -111,6 +155,14 @@ object DedupQueries {
       .distinct()
       .filter(col("ham") <= 3)
   }
+
+  /** Dev-probe access to the pair pipelines (tools.CcProbe). */
+  def pairsForProbe(s: SparkSession, d: String, kind: String): DataFrame =
+    kind match {
+      case "simhash" => simhashPairs(s, d)
+      case "jaccard" => jaccardPairs(s, d)
+      case "minhash" => minhashVerifiedPairs(s, d)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup accounting by text hash, per language.
@@ -166,12 +218,13 @@ object DedupQueries {
     // Near-dup CLUSTERS: pairs are edges, the unit of dedup is the
     // connected component (A~B, B~C must collapse to ONE cluster even
     // when A~C itself scores below threshold). Edges union two signals
-    // — SimHash hamming<=3 and shingle-Jaccard>=0.5 — then the
-    // large-star/small-star CC operator labels every member with the
-    // component min. Output: one row per cluster with its size.
+    // — SimHash hamming<=3 and MinHash-LSH candidates verified at exact
+    // Jaccard>=0.5 — then the large-star/small-star CC operator labels
+    // every member with the component min. Output: one row per cluster
+    // with its size.
     "q69_dedup_clusters" -> ((s, d) => {
       val edges = simhashPairs(s, d).select(col("da"), col("db"))
-        .unionAll(jaccardPairs(s, d).select(col("da"), col("db")))
+        .unionAll(minhashVerifiedPairs(s, d))
       graft.operators.ConnectedComponents.run(edges)
         .groupBy(col("component").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"))
@@ -275,21 +328,38 @@ object DedupQueries {
     // CC via recursive label reachability: reach(id, r) holds every label
     // r that can flow to id along the symmetric edge set; min(r) per id
     // is the component min — same deterministic label the Spark
-    // large-star/small-star operator emits.
-    "q69_dedup_clusters" ->
+    // large-star/small-star operator emits. The jp signal mirrors the
+    // verified-MinHash pipeline: banded candidates, exact Jaccard on
+    // candidates only.
+    "q69_dedup_clusters" -> {
+      val minCols = (0 until K)
+        .map(i => s"min(h1 + $i*h2) AS mh$i").mkString(", ")
+      val bandSelects = (0 until Bands)
+        .map(j => s"SELECT doc_id, $j AS band, md5(mh${2 * j} || '|' || mh${2 * j + 1}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL ")
       s"""WITH RECURSIVE $shingleCte,
-         |shc AS (
-         |  SELECT * FROM sh
-         |  WHERE shingle NOT IN (
-         |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $MaxDf)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('a|' || shingle), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substr(md5('b|' || shingle), 1, 15))::BIGINT AS h2
+         |  FROM sh),
+         |sigs AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cm AS (
+         |  SELECT c.da, c.db, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.da
+         |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
          |jp AS (
-         |  SELECT da, db FROM (
-         |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-         |    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2) p
-         |  JOIN sizes sa ON p.da = sa.doc_id
-         |  JOIN sizes sb ON p.db = sb.doc_id
+         |  SELECT cm.da, cm.db FROM cm
+         |  JOIN sizes sa ON cm.da = sa.doc_id
+         |  JOIN sizes sb ON cm.db = sb.doc_id
          |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.5),
          |hh AS (
          |  SELECT doc_id, $simhashExpr AS sim
@@ -311,7 +381,8 @@ object DedupQueries {
          |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
          |SELECT component AS cluster_id, count(*) AS n_members
-         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q31b_simhash_dedup" ->
       s"""WITH h AS (
          |  SELECT doc_id, $simhashExpr AS sh

@@ -47,6 +47,15 @@ object Materialize {
     df
   }
 
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Register an RDD-level persist (e.g. the blocks behind a
+    * `localCheckpoint`ed frame — `Dataset.unpersist` can't release
+    * those) for the next [[releaseAll]]. The caller owns materialization.
+    */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = trackedRdds.add(rdd)
+
   /** Unpersist every tracked frame (leak-free runs; non-blocking). */
   def releaseAll(): Unit = {
     var df = tracked.poll()
@@ -54,6 +63,12 @@ object Materialize {
       try df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
       df = tracked.poll()
+    }
+    var rdd = trackedRdds.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      rdd = trackedRdds.poll()
     }
   }
 }

@@ -25,4 +25,15 @@ object Bridge {
       s: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(classicSession(s), plan)
+
+  /** The persisted RDD behind a `localCheckpoint`ed Dataset (its analyzed
+    * plan is a LogicalRDD). `Dataset.unpersist` only clears CacheManager
+    * entries — checkpoint blocks are RDD-level and need an RDD-level
+    * unpersist, or they linger until the object is GC'd and show up as
+    * leaked caches in `sparkContext.getPersistentRDDs`.
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }

@@ -61,6 +61,19 @@ class ConnectedComponentsSuite extends SparkTestBase {
     assert(runCC(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
   }
 
+  test("checkpoint blocks are fully released after Materialize.releaseAll") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0L until 50L).map(i => (i, i + 1))
+    ConnectedComponents.run(edges.toDF("src", "dst")).count()
+    graft.runner.Materialize.releaseAll()
+    // non-blocking unpersist: give the block manager a moment
+    val deadline = System.currentTimeMillis() + 10000
+    def fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (fresh.nonEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(fresh.isEmpty,
+      s"CC leaked persisted RDDs ${fresh.mkString(",")} past releaseAll")
+  }
+
   test("labels are component minima and ids are unique") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
