@@ -50,6 +50,33 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * RangeJoin: every left row opens a window `[lTs, lTs+window)` and
+    * matches right rows inside it. Spark refuses stream-stream joins
+    * without an equality predicate, so the same bin-bucketing trick
+    * supplies one: left rows replicate to the (at most two, with
+    * binWidth = window) bins their window overlaps, right rows map to
+    * exactly one bin, and the exact range condition rides along as a
+    * residual — each matching pair meets in exactly one bucket. The
+    * two-sided event-time range over both watermarked columns is what
+    * lets Spark evict buffered state older than watermark + window.
+    * Column names must be disjoint; event times must be post-epoch
+    * (integral `div` truncation == floor for non-negatives).
+    */
+  def intervalJoin(left: DataFrame, lTs: String, right: DataFrame, rTs: String,
+      windowSeconds: Long = 3600, watermark: String = "2 hours"): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val l = left.withWatermark(lTs, watermark)
+      .withColumn("__ij_bin", explode(array_distinct(array(
+        expr(s"unix_micros($lTs) div ${w}L"),
+        expr(s"(unix_micros($lTs) + ${w - 1}L) div ${w}L")))))
+    val r = right.withWatermark(rTs, watermark)
+      .withColumn("__ij_bin", expr(s"unix_micros($rTs) div ${w}L"))
+    l.join(r, l("__ij_bin") === r("__ij_bin")
+        && expr(s"$rTs >= $lTs AND $rTs < $lTs + INTERVAL '$windowSeconds' SECOND"))
+      .drop("__ij_bin")
+  }
+
   /** Continuous keyed ingest: every micro-batch copy-on-write-upserts
     * into a graft layout table (record key + precombine from the
     * table's manifest) — the streaming half of the Hudi-style sink.

@@ -80,6 +80,40 @@ class SourcesStreamingSuite extends SparkTestBase {
       s"stream/batch mismatch: ${got.take(3).toSeq} vs ${want.take(3).toSeq}")
   }
 
+  test("stream-stream interval join matches the batch RangeJoin") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pDir = tmpDir("ij_purch"); val cDir = tmpDir("ij_click")
+    val rnd = new scala.util.Random(5)
+    val purchases = (0 until 80).map(i =>
+      (i.toLong, new java.sql.Timestamp(rnd.nextInt(86400) * 1000L)))
+      .toDF("p_id", "p_ts")
+    val clicks = (0 until 400).map(i =>
+      (i.toLong, new java.sql.Timestamp(rnd.nextInt(86400) * 1000L)))
+      .toDF("c_id", "c_ts")
+    purchases.write.mode("overwrite").parquet(pDir)
+    clicks.write.mode("overwrite").parquet(cDir)
+
+    val joined = EventStream.intervalJoin(
+      spark.readStream.schema(purchases.schema).parquet(pDir), "p_ts",
+      spark.readStream.schema(clicks.schema).parquet(cDir), "c_ts",
+      windowSeconds = 3600, watermark = "0 seconds")
+    val q = joined.select("p_id", "c_id")
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ij_test").as[(Long, Long)].collect().sorted
+
+    val want = graft.operators.RangeJoin.pointInInterval(
+      clicks.select($"c_id", unix_micros($"c_ts").as("cts")), "cts",
+      purchases.select($"p_id", unix_micros($"p_ts").as("lo"))
+        .withColumn("hi", $"lo" + 3600L * 1000000L), "lo", "hi",
+      binWidth = 3600L * 1000000L)
+      .select("p_id", "c_id").as[(Long, Long)].collect().sorted
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      s"stream ${got.length} rows vs batch ${want.length}")
+  }
+
   test("sessionization closes sessions on inactivity gaps") {
     val spark2 = spark
     import spark2.implicits._
