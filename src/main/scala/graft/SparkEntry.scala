@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.ProfileQueries.queries ++
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.TpchQueries.queries ++
-      graft.queries.MediaQueries.queries
+      graft.queries.MediaQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.ProfileQueries.oracles ++
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.TpchQueries.oracles ++
-      graft.queries.MediaQueries.oracles
+      graft.queries.MediaQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

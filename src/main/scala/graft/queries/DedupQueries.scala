@@ -55,7 +55,10 @@ object DedupQueries {
   /** (da, db, common, jaccard) pairs at jaccard >= 0.5 via the inverted
     * shingle index (q30's pipeline; shared with q69's cluster graph).
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(docs(s, d))
+
+  private[queries] def jaccardPairs(dd: DataFrame): DataFrame = {
     // materialized pre-partitioned on the join key: BOTH self-join
     // sides consume co-partitioned cached partitions. The stop-shingle
     // cap (drop shingles with document frequency > MaxDf) folds into
@@ -64,7 +67,7 @@ object DedupQueries {
     // 100 TB any one group is bounded by MaxDf doc_ids, so the
     // collect_list is bounded too.
     val sh = graft.runner.Materialize.track(
-      shingled(docs(s, d))
+      shingled(dd)
         .groupBy(col("shingle"))
         .agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")) <= MaxDf)
@@ -102,8 +105,11 @@ object DedupQueries {
     * signatures, so unbounded duplicate groups would make one bucket
     * quadratic (same hazard the q33b hot-bucket cap bounds).
     */
-  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = graft.runner.Materialize.track(shingled(docs(s, d)))
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(docs(s, d))
+
+  private[queries] def minhashVerifiedPairs(dd: DataFrame): DataFrame = {
+    val sh = graft.runner.Materialize.track(shingled(dd))
     val hashed = sh.select(col("doc_id"),
       wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
       wordHash60(concat(lit("b|"), col("shingle"))).as("h2"))
@@ -140,8 +146,11 @@ object DedupQueries {
   /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band SimHash
     * join (q31's pipeline; shared with q31b/q69).
     */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val h = graft.runner.Materialize.track(docs(s, d)
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(docs(s, d))
+
+  private[queries] def simhashPairs(dd: DataFrame): DataFrame = {
+    val h = graft.runner.Materialize.track(dd
       .select(col("doc_id"), simhash60(words(col("text"))).as("sh")))
     val bandRows = h.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(j =>
@@ -268,6 +277,9 @@ object DedupQueries {
 
   // ---- DuckDB oracles ------------------------------------------------
 
+  private[queries] def shingleCteFrom(table: String): String =
+    shingleCte.replace("FROM documents", s"FROM $table")
+
   private val shingleCte =
     """sh AS (
       |  SELECT doc_id,
@@ -283,6 +295,69 @@ object DedupQueries {
         s"THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
     terms.mkString(" + ")
   }
+
+  /** CTE chain `hashed..edges` producing the union near-dup edge set
+    * (MinHash-LSH candidates verified at exact Jaccard >= 0.5, plus
+    * SimHash hamming <= 3) over a doc CTE named `base` — requires the
+    * shingle CTE `sh` (from [[shingleCteFrom]] over the same base) to
+    * be in scope. Shared by the q69 cluster oracle and the q72
+    * curation-pipeline oracle.
+    */
+  private[queries] def nearDupEdgeCtes(base: String): String = {
+    val minCols = (0 until K)
+      .map(i => s"min(h1 + $i*h2) AS mh$i").mkString(", ")
+    val bandSelects = (0 until Bands)
+      .map(j => s"SELECT doc_id, $j AS band, md5(mh${2 * j} || '|' || mh${2 * j + 1}) AS bucket FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""hashed AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('a|' || shingle), 1, 15))::BIGINT AS h1,
+       |    ('0x' || substr(md5('b|' || shingle), 1, 15))::BIGINT AS h2
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cm AS (
+       |  SELECT c.da, c.db, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.da
+       |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT cm.da, cm.db FROM cm
+       |  JOIN sizes sa ON cm.da = sa.doc_id
+       |  JOIN sizes sb ON cm.db = sb.doc_id
+       |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.5),
+       |hh AS (
+       |  SELECT doc_id, $simhashExpr AS sim
+       |  FROM (SELECT doc_id,
+       |          list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+       |            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hashes
+       |        FROM $base)),
+       |sp AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+       |edges AS (SELECT da, db FROM jp UNION SELECT da, db FROM sp)""".stripMargin
+  }
+
+  /** Recursive connected-components CTEs `sym..comp` over `edges` —
+    * min-label reachability, the same deterministic labels the Spark
+    * large-star/small-star operator emits.
+    */
+  private[queries] val ccCtes: String =
+    """sym AS (
+      |  SELECT da AS u, db AS v FROM edges
+      |  UNION SELECT db AS u, da AS v FROM edges),
+      |reach(id, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      |  UNION
+      |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q28_dedup_exact" ->
@@ -331,58 +406,12 @@ object DedupQueries {
     // large-star/small-star operator emits. The jp signal mirrors the
     // verified-MinHash pipeline: banded candidates, exact Jaccard on
     // candidates only.
-    "q69_dedup_clusters" -> {
-      val minCols = (0 until K)
-        .map(i => s"min(h1 + $i*h2) AS mh$i").mkString(", ")
-      val bandSelects = (0 until Bands)
-        .map(j => s"SELECT doc_id, $j AS band, md5(mh${2 * j} || '|' || mh${2 * j + 1}) AS bucket FROM sigs")
-        .mkString("\n  UNION ALL ")
+    "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-         |hashed AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5('a|' || shingle), 1, 15))::BIGINT AS h1,
-         |    ('0x' || substr(md5('b|' || shingle), 1, 15))::BIGINT AS h2
-         |  FROM sh),
-         |sigs AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |cm AS (
-         |  SELECT c.da, c.db, count(*) AS common
-         |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.da
-         |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
-         |  GROUP BY 1, 2),
-         |jp AS (
-         |  SELECT cm.da, cm.db FROM cm
-         |  JOIN sizes sa ON cm.da = sa.doc_id
-         |  JOIN sizes sb ON cm.db = sb.doc_id
-         |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= 0.5),
-         |hh AS (
-         |  SELECT doc_id, $simhashExpr AS sim
-         |  FROM (SELECT doc_id,
-         |          list_transform(string_split_regex(lower(trim(text)), '\\s+'),
-         |            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hashes
-         |        FROM documents)),
-         |sp AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db
-         |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3),
-         |edges AS (SELECT da, db FROM jp UNION SELECT da, db FROM sp),
-         |sym AS (
-         |  SELECT da AS u, db AS v FROM edges
-         |  UNION SELECT db AS u, da AS v FROM edges),
-         |reach(id, r) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
-         |  UNION
-         |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
-         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |${nearDupEdgeCtes("documents")},
+         |$ccCtes
          |SELECT component AS cluster_id, count(*) AS n_members
-         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31b_simhash_dedup" ->
       s"""WITH h AS (
          |  SELECT doc_id, $simhashExpr AS sh
