@@ -183,6 +183,20 @@ class PlanAuditSuite extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q70 interval join: event_type filters push to the scan, no nested loop") {
+    val p = plan("q70_interval_join")
+    assert(p.matches("(?s).*PushedFilters:.*event_type.*"),
+      "event_type filter must reach the events scan:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"q70 degenerated to a product join:\n${p.take(1200)}")
+  }
+
+  test("q72 curation pipeline: no cartesians, partial aggregation, codegen rollup") {
+    val p = plan("q72_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), "q72 plans a CartesianProduct")
+    assert(p.contains("HashAggregate"), "final rollup should hash-aggregate")
+  }
+
   test("no accidental cartesian products in the relational queries") {
     // q14/q33-style broadcast nested loop joins are intentional
     // (scalar-subquery cross and non-equi pair join); plain
