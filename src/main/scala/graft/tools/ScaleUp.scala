@@ -57,7 +57,54 @@ object ScaleUp {
         case "lineitem" => replicate(df, Seq(
           "l_orderkey" -> bases("orders"), "l_partkey" -> bases("part"),
           "l_suppkey" -> bases("supplier")))
-        case _ => df // region, nation, events, documents, embeddings: as-is
+        case "events" =>
+          // structure-preserving: copy i is an independent later epoch
+          // (ts shifted by the full span + 1h per copy, users/ids
+          // shifted) so per-user densities and window populations stay
+          // constant — time-colocated replication would grow keyless
+          // interval-join output QUADRATICALLY, not 10x. ts is raw
+          // TIMESTAMP(NANOS)-as-long here (no Tables normalization).
+          val b = df.agg(max(col("event_id")), max(col("user_id")),
+            max(col("ts")) - min(col("ts"))).head()
+          val span = b.getLong(2) + 3600L * 1000000000L
+          replicate(df, Seq("event_id" -> (b.getLong(0) + 1),
+            "user_id" -> (b.getLong(1) + 1), "ts" -> span))
+        case "documents" =>
+          // copy i>0 mutates each doc by deterministically dropping
+          // ~10% of words (seeded by doc/copy/position): vocabulary and
+          // Zipf shape survive, copies of one doc form a REALISTIC
+          // near-dup cluster (~50% 3-gram Jaccard between copies), and
+          // no exact dups are introduced (exact-dup groups would make
+          // minhash buckets quadratic — pipelines dedup exact first).
+          val base = df.agg(max(col("doc_id"))).head().getLong(0) + 1
+          val copies = spark.range(factor).toDF("__copy")
+          val words = split(col("text"), "\\s+")
+          val kept = filter(words, (w, pos) =>
+            pmod(xxhash64(col("doc_id"), col("__copy"), pos), lit(10)) =!= 0)
+          df.crossJoin(copies)
+            .withColumn("doc_id", col("doc_id") + col("__copy") * lit(base))
+            .withColumn("text", when(col("__copy") === 0, col("text"))
+              .otherwise(array_join(kept, " ")))
+            .withColumn("n_chars", length(col("text")).cast("long")) // keep source schema
+            .drop("__copy")
+        case "embeddings" =>
+          // copy i>0 perturbs each dimension by a deterministic +-0.01
+          // then renormalizes: copies sit at cosine ~0.999 of their
+          // original (a near-dup family, like the mutated documents),
+          // never exactly equal (exact dups would degenerate LSH
+          // buckets quadratically).
+          val base = df.agg(max(col("vec_id"))).head().getLong(0) + 1
+          val copies = spark.range(factor).toDF("__copy")
+          val noisy = transform(col("embedding"), (x, i) =>
+            x + ((pmod(xxhash64(col("vec_id"), col("__copy"), i), lit(2001)) - 1000)
+              .cast("double") / 100000.0).cast("float"))
+          val norm = sqrt(aggregate(noisy, lit(0.0), (acc, x) => acc + x * x))
+          df.crossJoin(copies)
+            .withColumn("vec_id", col("vec_id") + col("__copy") * lit(base))
+            .withColumn("embedding", when(col("__copy") === 0, col("embedding"))
+              .otherwise(transform(noisy, x => (x / norm).cast("float"))))
+            .drop("__copy")
+        case _ => df // region, nation: constant-size, as-is
       }
       val parts = math.max(1, (out.inputFiles.length * factor) min 32)
       out.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
