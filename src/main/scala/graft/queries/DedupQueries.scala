@@ -132,7 +132,10 @@ object DedupQueries {
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val x = sh.as("x"); val y = sh.as("y")
-    val common = broadcast(cand)
+    // no broadcast hint on cand: AQE broadcasts it while it is small;
+    // at scale the candidate set itself can exceed executor memory and
+    // must be allowed to shuffle
+    val common = cand
       .join(x, col("da") === col("x.doc_id"))
       .join(y, col("db") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
