@@ -73,6 +73,61 @@ class AsOfJoinSuite extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("forward direction matches brute force (nearest at-or-after)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 300).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (1 to 300).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(500).toLong, i.toLong, rnd.nextInt(100).toDouble))
+      .toDF("k", "ts", "rid", "v")
+    val got = AsOfJoin.asOf(left, right.withColumnRenamed("ts", "rts"),
+        Seq("k"), "ts", "rts", valueCols = Seq("v"), tieBreak = "rid",
+        direction = "forward")
+      .select("lid", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val rightRows = right.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = left.collect().map { lr =>
+      val (k, ts, lid) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+      val cands = rightRows.filter(r => r._1 == k && r._2 >= ts)
+      // nearest FUTURE ts; among equal ts the max tieBreak wins
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.minBy(r => (r._2, -r._3))._4))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 100L, "x"), (1L, 200L, "y")).toDF("k", "ts", "lid")
+    val right = Seq((1L, 95L, 1L, 7.0)).toDF("k", "ts", "rid", "v")
+    val out = AsOfJoin.asOf(left, right.withColumnRenamed("ts", "rts"),
+        Seq("k"), "ts", "rts", valueCols = Seq("v"), tieBreak = "rid",
+        tolerance = Some(lit(10L)))
+      .orderBy("ts").select("lid", "v").collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+    // ts=100 is 5 away (within 10); ts=200 is 105 away (nulled)
+    assert(out.toSeq == Seq(("x", Some(7.0)), ("y", None)))
+  }
+
+  test("the matched row is atomic: a null value column rides with ITS row") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq(
+      (1L, 10L, 1L, Some(3.0), Some("old")),
+      (1L, 50L, 2L, None, Some("new"))) // latest row has null v
+      .toDF("k", "ts", "rid", "v", "tag")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts",
+      valueCols = Seq("v", "tag"), tieBreak = "rid").collect()
+    // merge_asof semantics: the ts=50 ROW matches; its null v must NOT
+    // be patched from the older ts=10 row
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("v"))
+      && out(0).getAs[String]("tag") == "new")
+  }
+
   test("one shuffle: the executed plan has a single exchange") {
     val (left, right) = frames
     val out = AsOfJoin.asOf(left, right, Seq("k"), "ts",
