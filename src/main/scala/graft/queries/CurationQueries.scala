@@ -26,37 +26,47 @@ object CurationQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.parallelized(Tables.load(s, d, "documents"))
 
+  /** The curated corpus: input docs reduced to quality-gated,
+    * exact-deduped, cluster-deduped survivors, each with its
+    * deterministic split and token count attached. The CLI writes this
+    * frame; q72 rolls it up.
+    */
+  def curate(dd: DataFrame, minChars: Long = 100): DataFrame = {
+    // 1. quality gate (deterministic min-length floor)
+    val base = dd.filter(col("n_chars") >= minChars)
+    // 2. exact dedup: keep the smallest doc_id per content hash
+    val hashed = base.withColumn("__h", md5(col("text")))
+    val keepIds = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+    // kept feeds three downstream consumers (simhash signatures,
+    // shingle index, final projection) — materialize once per run
+    val kept = graft.runner.Materialize.track(
+      hashed.join(keepIds, Seq("__h", "doc_id")).drop("__h"))
+    // 3. near-dup cluster dedup: union signal edges, CC, keep each
+    //    component's min (== the component label itself)
+    val edges = DedupQueries.simhashPairs(kept).select(col("da"), col("db"))
+      .unionAll(DedupQueries.minhashVerifiedPairs(kept))
+    val dropIds = graft.operators.ConnectedComponents.run(edges)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    // no broadcast hint: on a dup-heavy corpus the drop set is
+    // corpus-scale; AQE broadcasts it while it is actually small
+    val uniq = kept.join(dropIds, Seq("doc_id"), "left_anti")
+    // 4. deterministic split + token count
+    val bucket = conv(substring(
+      md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("long") % 100
+    uniq
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("n_tok", size(words(col("text"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q72_curation_pipeline" -> ((s, d) => {
-      // 1. quality gate (deterministic min-length floor)
-      val base = docs(s, d).filter(col("n_chars") >= 100)
-      // 2. exact dedup: keep the smallest doc_id per content hash
-      val hashed = base.withColumn("__h", md5(col("text")))
-      val keepIds = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-      // kept feeds three downstream consumers (simhash signatures,
-      // shingle index, final rollup) — materialize once per run
-      val kept = graft.runner.Materialize.track(
-        hashed.join(keepIds, Seq("__h", "doc_id")).drop("__h"))
-      // 3. near-dup cluster dedup: union signal edges, CC, keep each
-      //    component's min (== the component label itself)
-      val edges = DedupQueries.simhashPairs(kept).select(col("da"), col("db"))
-        .unionAll(DedupQueries.minhashVerifiedPairs(kept))
-      val dropIds = graft.operators.ConnectedComponents.run(edges)
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
-      val uniq = kept.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
-      // 4. deterministic split + 5. corpus accounting
-      val bucket = conv(substring(
-        md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
-        16, 10).cast("long") % 100
-      uniq
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-        .withColumn("n_tok", size(words(col("text"))))
+    "q72_curation_pipeline" -> ((s, d) =>
+      curate(docs(s, d))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
-        .orderBy(col("split"), col("lang"))
-    })
+        .orderBy(col("split"), col("lang")))
   )
 
   val oracles: Map[String, String] = Map(

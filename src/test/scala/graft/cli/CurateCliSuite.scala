@@ -1,0 +1,35 @@
+package graft.cli
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CurateCliSuite extends SparkTestBase {
+
+  test("Curate writes a split-partitioned corpus matching the q72 rollup") {
+    val out = tmpDir("curate_out")
+    Curate.run(spark, "/root/testdata/sf0.001", out, 100L)
+
+    val docs = spark.read.parquet(s"$out/docs")
+    assert(docs.columns.toSet ==
+      Set("doc_id", "text", "lang", "source", "n_chars", "n_tok", "split"))
+    // every retained doc passed the quality gate, exactly once
+    assert(docs.filter(col("n_chars") < 100).count() == 0)
+    assert(docs.select("doc_id").distinct().count() == docs.count())
+
+    // the written corpus rolls up to exactly the q72 gate result
+    val rollup = docs.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy(col("split"), col("lang"))
+      .collect().map(_.toSeq).toSeq
+    val q72 = graft.SparkEntry.queries("q72_curation_pipeline")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    graft.runner.Materialize.releaseAll()
+    assert(rollup == q72)
+
+    // summary CSV mirrors the rollup
+    val csv = scala.io.Source.fromFile(s"$out/summary.csv").getLines().toSeq
+    assert(csv.head == "split,lang,n_docs,total_tokens")
+    assert(csv.length == rollup.length + 1)
+  }
+}
