@@ -109,10 +109,17 @@ object DedupQueries {
     minhashVerifiedPairs(docs(s, d))
 
   private[queries] def minhashVerifiedPairs(dd: DataFrame): DataFrame = {
-    val sh = graft.runner.Materialize.track(shingled(dd))
-    val hashed = sh.select(col("doc_id"),
-      wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
-      wordHash60(concat(lit("b|"), col("shingle"))).as("h2"))
+    // one materialized pass holds the 60-bit shingle hashes (doc_id,
+    // h1, h2): signatures AND the verification join both read it, and
+    // the verification shuffles 8-byte longs instead of shingle strings
+    // (~4x less shuffle payload on the hot path). Verifying on h1
+    // instead of the string is exact in the oracle-mirror sense: the
+    // oracle computes the IDENTICAL md5-prefix hash, so any collision
+    // is shared by both engines.
+    val hashed = graft.runner.Materialize.track(
+      shingled(dd).select(col("doc_id"),
+        wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
+        wordHash60(concat(lit("b|"), col("shingle"))).as("h2")))
     val mins = (0 until K).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
     val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -130,14 +137,15 @@ object DedupQueries {
         && col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("da"), col("bb.doc_id").as("db"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val x = sh.as("x"); val y = sh.as("y")
+    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val x = hashed.select(col("doc_id"), col("h1")).as("x")
+    val y = hashed.select(col("doc_id"), col("h1")).as("y")
     // no broadcast hint on cand: AQE broadcasts it while it is small;
     // at scale the candidate set itself can exceed executor memory and
     // must be allowed to shuffle
     val common = cand
       .join(x, col("da") === col("x.doc_id"))
-      .join(y, col("db") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .join(y, col("db") === col("y.doc_id") && col("x.h1") === col("y.h1"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
     common
       .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
