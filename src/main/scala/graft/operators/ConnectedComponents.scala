@@ -44,7 +44,8 @@ object ConnectedComponents {
     */
   val SmallGraphEdges: Long = 4L << 20
 
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+          smallGraphThreshold: Long = SmallGraphEdges): DataFrame = {
     require(edges.columns.length >= 2,
       s"edge frame needs two endpoint columns, got ${edges.columns.mkString(",")}")
     val ec = edges.columns
@@ -66,7 +67,7 @@ object ConnectedComponents {
     var eRdd = org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(e)
     val n0 = e.count() // materializes the initial checkpoint
     val parent = edges.sparkSession
-    if (n0 > 0 && n0 <= SmallGraphEdges) {
+    if (n0 > 0 && n0 <= smallGraphThreshold) {
       // Small-graph fast path: the rounds are scheduling-bound, not
       // data-bound — fork a session on the SAME SparkContext with AQE
       // off (its per-stage re-planning is pure latency at this size) and
@@ -156,14 +157,23 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Count of star-shape violations: nodes appearing both as a parent
-    * (a) and as a child (b). One shuffle aggregate — the round's
-    * materializing action and its convergence test in a single job.
+  /** Count of star-shape violations. A disjoint-star partition needs
+    * BOTH: (1) no node appears as a parent (a) and a child (b), and
+    * (2) every child has exactly ONE distinct parent. Testing (1) alone
+    * is unsound: {(1,3),(1,10),(2,3),(2,20)} has disjoint parent/child
+    * sets yet is one connected component (3 under both 1 and 2) —
+    * declaring convergence there splits a true component and labels a
+    * node twice. Still one shuffle aggregate — the round's materializing
+    * action and its convergence test in a single job (countDistinct
+    * ignores the null parent marker on parent-side rows).
     */
   private def starViolations(e: DataFrame): Long =
-    e.select(col("a").as("id"), lit(0).as("t"))
-      .unionAll(e.select(col("b").as("id"), lit(1).as("t")))
-      .groupBy(col("id")).agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
-      .filter(col("lo") === 0 && col("hi") === 1)
+    e.select(col("a").as("id"), lit(null).cast("long").as("p"))
+      .unionAll(e.select(col("b").as("id"), col("a").as("p")))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("p").isNull, 1L).otherwise(0L)).as("asParent"),
+        countDistinct(col("p")).as("parents"))
+      .filter((col("asParent") > 0 && col("parents") > 0) || col("parents") > 1)
       .count()
 }

@@ -56,6 +56,34 @@ class ConnectedComponentsSuite extends SparkTestBase {
     }
   }
 
+  test("child-with-two-parents edge sets must not be declared converged") {
+    // Regression: {(1,10),(3,10),(3,20),(2,20)} is ONE component, but one
+    // large/small-star round yields {(1,3),(1,10),(2,3),(2,20)} — parent
+    // and child sets disjoint (the old convergence test's only criterion)
+    // yet node 3 sits under two parents. Declaring convergence there
+    // labels 3 twice and splits the component in two.
+    val edges = Seq((1L, 10L), (3L, 10L), (3L, 20L), (2L, 20L))
+    val rows = ConnectedComponents.run(edges.toDF("src", "dst")).collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "a node was labeled twice")
+    assert(runCC(edges) == bruteCC(edges))
+    assert(rows.map(_.getLong(1)).toSet == Set(1L), "must be one component rooted at 1")
+  }
+
+  test("parallel path and small-graph fast path produce identical labels") {
+    // Pin the fast-path boundary: the same graph run just ABOVE the
+    // threshold (parallel 32-way rounds) and at the default (1-partition
+    // fast path) must agree edge-for-edge with the union-find oracle.
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    val oracle = bruteCC(edges)
+    val slow = ConnectedComponents.run(edges.toDF("src", "dst"), smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slow == oracle, "parallel path diverged from union-find")
+    assert(runCC(edges) == oracle, "fast path diverged from union-find")
+  }
+
   test("empty and single-edge graphs") {
     assert(runCC(Seq.empty) == Map.empty)
     assert(runCC(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
