@@ -35,12 +35,15 @@ object ConnectedComponents {
     * labels — safe for hash-compared gates). Isolated nodes never
     * appear in an edge list; callers union them back if needed.
     */
-  /** Edge sets at or under this size collapse to ONE partition for the
-    * iterative rounds: a banded near-dup pair graph is |near-dup|-sized —
-    * orders smaller than the corpus — and per-round scheduling latency
-    * (not data) dominates the loop when 32-way shuffles carry a few
-    * thousand rows. 4M edges ≈ 64 MB in a single partition: safe. Larger
-    * graphs keep the full shuffle parallelism.
+  /** Edge sets at or under this size run as a SINGLE-TASK union-find
+    * (one executor task, one job) instead of the iterative star rounds:
+    * a banded near-dup pair graph is |near-dup|-sized — orders smaller
+    * than the corpus — and the Kiveris loop's per-round cost at that
+    * size is pure fixed latency (measured ~0.7–1.3 s/round for a
+    * few-thousand-edge graph even with AQE off and 1-partition shuffles;
+    * 4 rounds ≈ 3.5 s where union-find in one task is milliseconds).
+    * 4M edges ≈ 64 MB / ~8M hash-map entries in one task: safe. Larger
+    * graphs keep the full shuffle-parallel star rounds.
     */
   val SmallGraphEdges: Long = 4L << 20
 
@@ -68,23 +71,20 @@ object ConnectedComponents {
     val n0 = e.count() // materializes the initial checkpoint
     val parent = edges.sparkSession
     if (n0 > 0 && n0 <= smallGraphThreshold) {
-      // Small-graph fast path: the rounds are scheduling-bound, not
-      // data-bound — fork a session on the SAME SparkContext with AQE
-      // off (its per-stage re-planning is pure latency at this size) and
-      // single-partition shuffles, and run the loop there. Checkpointed
-      // plans are LogicalRDD leaves, so they transplant between sessions
-      // freely; the result transplants back to the caller's session.
-      val fast = parent.newSession()
-      fast.conf.set("spark.sql.adaptive.enabled", "false")
-      fast.conf.set("spark.sql.shuffle.partitions", "1")
-      fast.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // 1-partition SMJ beats broadcast here
-      val one = org.apache.spark.sql.graftbridge.Bridge
-        .ofRows(fast, e.queryExecution.logical)
-        .repartition(1).localCheckpoint(eager = false)
-      val oneRdd = org.apache.spark.sql.graftbridge.Bridge.checkpointRdd(one)
-      one.count() // materialize BEFORE dropping the blocks it reads
-      eRdd.foreach(_.unpersist(blocking = false))
-      e = one; eRdd = oneRdd
+      // Small-graph fast path: ONE executor task runs classic union-find
+      // over the whole (checkpointed, so already-materialized) edge set —
+      // a single job with no iterative rounds. This is the documented
+      // per-partition-imperative mapPartitions case: the star loop's
+      // per-round latency is fixed cost, and a <=64 MB edge set never
+      // needs distribution. coalesce(1) reads the checkpoint blocks into
+      // one task without a shuffle; labels (component minima) are
+      // order-independent, so the single task is deterministic.
+      eRdd.foreach(graft.runner.Materialize.trackRdd)
+      import org.apache.spark.sql.Encoders
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      return e.as[(Long, Long)](enc).coalesce(1)
+        .mapPartitions(unionFind)(enc)
+        .toDF("id", "component")
     }
 
     // Convergence = the edge set IS a set of disjoint stars (no node both
@@ -122,6 +122,29 @@ object ConnectedComponents {
     val members = stars.select(col("b").as("id"), col("a").as("component"))
     val roots = stars.select(col("a").as("id"), col("a").as("component")).distinct()
     members.unionAll(roots)
+  }
+
+  /** Single-partition union-find with path compression and union-by-min:
+    * attaching the larger root under the smaller makes every final root
+    * the component MIN — the same deterministic labels the star rounds
+    * emit. Emits one (id, component) pair per distinct node.
+    */
+  private def unionFind(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      parent.put(x, r)
+      r
+    }
+    it.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toVector.iterator.map(n => (n, find(n)))
   }
 
   /** large-star: for every node u, hook each LARGER neighbor v to

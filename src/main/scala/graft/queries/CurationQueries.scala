@@ -43,9 +43,7 @@ object CurationQueries {
       hashed.join(keepIds, Seq("__h", "doc_id")).drop("__h"))
     // 3. near-dup cluster dedup: union signal edges, CC, keep each
     //    component's min (== the component label itself)
-    val edges = DedupQueries.simhashPairs(kept).select(col("da"), col("db"))
-      .unionAll(DedupQueries.minhashVerifiedPairs(kept))
-    val dropIds = graft.operators.ConnectedComponents.run(edges)
+    val dropIds = graft.operators.ConnectedComponents.run(DedupQueries.nearDupEdges(kept))
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     // no broadcast hint: on a dup-heavy corpus the drop set is

@@ -49,8 +49,19 @@ object DedupQueries {
     * kernel; == explode(array_distinct(shingles(words(text), 3)))).
     */
   private def shingled(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      explode(shinglesDistinct(words(col("text")), 3)).as("shingle"))
+    shingledFrom(tokens(df))
+
+  /** (doc_id, ws) — the tokenized corpus. Every text kernel in this file
+    * (shingles, simhash) is a function of the word array, so pipelines
+    * that need BOTH signals tokenize once via [[nearDupEdges]] instead of
+    * re-running the regex split per signal branch.
+    */
+  private def tokens(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), words(col("text")).as("ws"))
+
+  private def shingledFrom(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"),
+      explode(shinglesDistinct(col("ws"), 3)).as("shingle"))
 
   /** (da, db, common, jaccard) pairs at jaccard >= 0.5 via the inverted
     * shingle index (q30's pipeline; shared with q69's cluster graph).
@@ -108,16 +119,21 @@ object DedupQueries {
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
     minhashVerifiedPairs(docs(s, d))
 
-  private[queries] def minhashVerifiedPairs(dd: DataFrame): DataFrame = {
+  private[queries] def minhashVerifiedPairs(dd: DataFrame): DataFrame =
+    minhashVerifiedPairsFrom(tokens(dd))
+
+  private def minhashVerifiedPairsFrom(toks: DataFrame): DataFrame = {
     // one materialized pass holds the 60-bit shingle hashes (doc_id,
     // h1, h2): signatures AND the verification join both read it, and
     // the verification shuffles 8-byte longs instead of shingle strings
     // (~4x less shuffle payload on the hot path). Verifying on h1
-    // instead of the string is exact in the oracle-mirror sense: the
-    // oracle computes the IDENTICAL md5-prefix hash, so any collision
-    // is shared by both engines.
+    // instead of the string keeps the engines aligned in practice: the
+    // oracle's verification joins on the raw shingle string, so a 60-bit
+    // h1 collision between distinct shingles would overcount `common` on
+    // the Spark side only — negligible (~2^-60 per shingle pair), not
+    // impossible.
     val hashed = graft.runner.Materialize.track(
-      shingled(dd).select(col("doc_id"),
+      shingledFrom(toks).select(col("doc_id"),
         wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
         wordHash60(concat(lit("b|"), col("shingle"))).as("h2")))
     val mins = (0 until K).map(i =>
@@ -160,9 +176,12 @@ object DedupQueries {
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
     simhashPairs(docs(s, d))
 
-  private[queries] def simhashPairs(dd: DataFrame): DataFrame = {
-    val h = graft.runner.Materialize.track(dd
-      .select(col("doc_id"), simhash60(words(col("text"))).as("sh")))
+  private[queries] def simhashPairs(dd: DataFrame): DataFrame =
+    simhashPairsFrom(tokens(dd))
+
+  private def simhashPairsFrom(toks: DataFrame): DataFrame = {
+    val h = graft.runner.Materialize.track(toks
+      .select(col("doc_id"), simhash60(col("ws")).as("sh")))
     val bandRows = h.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))
@@ -174,6 +193,21 @@ object DedupQueries {
         hamming(col("a.sh"), col("b.sh")).as("ham"))
       .distinct()
       .filter(col("ham") <= 3)
+  }
+
+  /** The union near-dup edge set both cluster-level consumers (q69,
+    * the curation pipeline) run CC over: SimHash hamming<=3 plus
+    * verified-MinHash Jaccard>=0.5. The corpus is tokenized ONCE — the
+    * materialized (doc_id, ws) frame feeds both signal branches, so the
+    * regex-split text kernel (the dominant per-row cost at corpus scale)
+    * runs one pass instead of one per signal. The token cache is
+    * ~corpus-sized; MEMORY_AND_DISK spills it rather than re-tokenizing,
+    * and the runner releases it after the query like every shared frame.
+    */
+  private[queries] def nearDupEdges(dd: DataFrame): DataFrame = {
+    val toks = graft.runner.Materialize.track(tokens(dd))
+    simhashPairsFrom(toks).select(col("da"), col("db"))
+      .unionAll(minhashVerifiedPairsFrom(toks))
   }
 
   /** Dev-probe access to the pair pipelines (tools.CcProbe). */
@@ -243,9 +277,7 @@ object DedupQueries {
     // every member with the component min. Output: one row per cluster
     // with its size.
     "q69_dedup_clusters" -> ((s, d) => {
-      val edges = simhashPairs(s, d).select(col("da"), col("db"))
-        .unionAll(minhashVerifiedPairs(s, d))
-      graft.operators.ConnectedComponents.run(edges)
+      graft.operators.ConnectedComponents.run(nearDupEdges(docs(s, d)))
         .groupBy(col("component").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("cluster_id"))

@@ -42,7 +42,9 @@ class ConnectedComponentsSuite extends SparkTestBase {
     // a 600-node path needs 600 rounds of min-label propagation;
     // large-star/small-star must finish in <= 20 (O(log^2 n))
     val edges = (0L until 599L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(edges.toDF("src", "dst"), maxIter = 20)
+    // threshold 0 forces the star rounds (the default would union-find)
+    val got = ConnectedComponents
+      .run(edges.toDF("src", "dst"), maxIter = 20, smallGraphThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 600 && got.values.forall(_ == 0L))
   }
