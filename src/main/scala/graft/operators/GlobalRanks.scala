@@ -29,7 +29,11 @@ object GlobalRanks {
     // bounds, and a re-executed repartitionByRange can sample different
     // ones. Same pattern as ntileByRange — and same Dataset-land rule:
     // no RDD hop, so the scan and downstream joins stay codegen'd.
-    val parted = graft.runner.Materialize.track(df
+    // trackLazy, not track: the per-partition counting aggregate below
+    // scans every partition, so IT materializes the cache — one job per
+    // rank pass instead of an eager count plus the aggregate (the count
+    // re-scanned the source; measured ~0.45 s per pass on q51).
+    val parted = graft.runner.Materialize.trackLazy(df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
@@ -68,8 +72,19 @@ object GlobalRanks {
     * shuffle.
     */
   def spearman(df: DataFrame, c1: String, c2: String): Double = {
-    val r1 = averageRanks(df, c1).select(col("v").as("v1"), col("avg_rank").as("r1"))
-    val r2 = averageRanks(df, c2).select(col("v").as("v2"), col("avg_rank").as("r2"))
+    // The two rank passes are independent jobs — launch them from
+    // separate driver threads so pass 1's (small) planning + jobs
+    // overlap pass 2's instead of serializing (Spark schedules
+    // concurrent jobs fine in FIFO; Materialize's queue is concurrent).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val f1 = Future(averageRanks(df, c1)
+      .select(col("v").as("v1"), col("avg_rank").as("r1")))
+    val f2 = Future(averageRanks(df, c2)
+      .select(col("v").as("v2"), col("avg_rank").as("r2")))
+    val r1 = Await.result(f1, Duration.Inf)
+    val r2 = Await.result(f2, Duration.Inf)
     val joined = df
       .select(col(c1).cast("double").as("v1"), col(c2).cast("double").as("v2"))
       .filter(col("v1").isNotNull && col("v2").isNotNull)
