@@ -93,6 +93,36 @@ case class HilbertValueExpr(children: Seq[Expression], bits: Int) extends CurveE
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** Equi-depth bucket index of a DOUBLE child against pre-computed sorted
+  * cut points (rank normalization for curve coordinates). Codegen'd: the
+  * cuts array rides along as a referenced object and the per-row work is
+  * one binary search, inside the whole-stage span.
+  */
+case class BucketIndexExpr(child: Expression, cuts: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_bucket_index"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName input must be DOUBLE")
+
+  override protected def nullSafeEval(v: Any): Any =
+    Curves.bucketIndex(cuts, v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cutsRef = ctx.addReferenceObj("cuts", cuts, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.curve.Curves.bucketIndex($cutsRef, $v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CurveExpressions {
 
   /** Column wrapper: z-value of pre-normalized BIGINT coordinate columns. */
@@ -119,6 +149,26 @@ object CurveExpressions {
         greatest(lit(0L),
           floor((asD - lit(min)) / lit(span) * lit(buckets)).cast("long")))
     coalesce(scaled, lit(0L))
+  }
+
+  /** Raw equi-depth bucket index (count of cuts <= value, in
+    * [0, cuts.length]) of a DOUBLE column — `cuts` must be sorted
+    * distinct. Monotone in the input, so range-partitioning on it
+    * reproduces the cut boundaries exactly.
+    */
+  def bucketIndexCol(c: Column, cuts: Array[Double]): Column =
+    coalesce(Bridge.column(BucketIndexExpr(Bridge.expression(c), cuts)), lit(0L))
+
+  /** Rank-normalized curve coordinate: equi-depth bucket index against
+    * `cuts` (sorted distinct quantile boundaries), spread over the full
+    * [0, 2^bits) domain so distinct-poor columns keep their interleave
+    * weight. Nulls map to the curve origin like [[normalizedCol]].
+    */
+  def rankNormalizedCol(c: Column, cuts: Array[Double], bits: Int): Column = {
+    val idx = Bridge.column(BucketIndexExpr(Bridge.expression(c), cuts))
+    val n = cuts.length + 1
+    val scale = (1L << bits).toDouble / n
+    coalesce(floor(idx * lit(scale)).cast("long"), lit(0L))
   }
 
   /** Register graft_zvalue / graft_hilbertvalue for SQL use:

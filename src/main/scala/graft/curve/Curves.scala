@@ -131,4 +131,16 @@ object Curves {
     val b = (clamped * buckets).toLong
     if (b >= buckets) buckets - 1 else b
   }
+
+  /** Equi-depth bucket index of v against sorted distinct cut points:
+    * the count of cuts <= v, in [0, cuts.length]. Rank normalization for
+    * curve coordinates — each bucket holds ~equal row mass regardless of
+    * the value distribution, where min-max scaling lets a skewed column
+    * collapse onto a few coordinates and waste its interleaved bits.
+    */
+  def bucketIndex(cuts: Array[Double], v: Double): Long = {
+    if (v.isNaN) return 0L
+    val ip = java.util.Arrays.binarySearch(cuts, v)
+    if (ip >= 0) ip + 1L else -(ip + 1).toLong
+  }
 }

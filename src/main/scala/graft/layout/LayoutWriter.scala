@@ -33,7 +33,8 @@ object LayoutWriter {
       numFiles: Option[Int] = None, // None → leave input partitioning
       recordKey: Option[String] = None,
       precombineCol: Option[String] = None,
-      partitionBy: Seq[String] = Nil) // hive-style partition dirs (S3/P8)
+      partitionBy: Seq[String] = Nil, // hive-style partition dirs (S3/P8)
+      norm: String = "rank") // curve coordinate normalization: rank | minmax
 
   /** Columns the manifest keeps stats for: layout cols always; callers can
     * pass extras (e.g. partition-ish columns queried with equality).
@@ -61,11 +62,47 @@ object LayoutWriter {
           .getOrElse(df.repartitionByRange(cs: _*))
         parted.sortWithinPartitions(cs: _*)
       case curve @ ("zorder" | "hilbert") =>
-        val key = curveKey(df, spec.cols, bits, curve)
-        val parted = spec.numFiles
-          .map(n => df.repartitionByRange(n, key))
-          .getOrElse(df.repartitionByRange(key))
-        parted.sortWithinPartitions(key)
+        val key = curveKey(df, spec.cols, bits, curve, spec.norm)
+        // Z-order with explicit file count: snap the file cuts to
+        // power-of-two-aligned z-key boundaries. Sampling-placed cuts
+        // land mid-quadrant, and a z-range that straddles a quadrant
+        // boundary JUMPS spatially — both neighboring files inherit a
+        // bounding box spanning the jump (measured ~2x pruning loss vs
+        // hilbert, results/rq1 through r7). Aligned cuts make each file
+        // a union of whole quadrants, so boxes stay tight; with rank
+        // normalization the key mass is near-uniform, so snapping barely
+        // moves the balance point. Hilbert needs none of this: its
+        // adjacent cells are spatially adjacent, so arbitrary cuts
+        // produce contiguous boxes already.
+        spec.numFiles match {
+          case Some(n) if n > 1 =>
+            val totalBits = bits * spec.cols.length
+            val keyed = df.withColumn("__graft_ck", key)
+            val probes = (1 until n).map(_.toDouble / n).toArray
+            val raw = keyed.select(col("__graft_ck").cast("double").as("__d"))
+              .stat.approxQuantile("__d", probes, 1.0 / (8 * n))
+              .map(_.toLong)
+            val cuts = snapCuts(raw, totalBits)
+            val fid = CurveExpressions
+              .bucketIndexCol(col("__graft_ck").cast("double"), cuts.map(_.toDouble))
+            // range-partition on the bucket id ALONE: equal fids can
+            // never split across files, so every file is a union of
+            // whole aligned buckets. (Adding the key as a secondary
+            // range column was measured to WRECK this — the sampler
+            // then places bounds mid-quadrant and neighboring files
+            // span z-jumps again, 32x -> 10x files-ratio at S1.) A
+            // snapped bucket with no data between its cuts merges into
+            // a neighbor file — the written file count can fall 1-2
+            // short of the target; balance holds because raw cuts are
+            // data quantiles, so a merged file carries <= 2x target mass.
+            keyed.repartitionByRange(n, fid)
+              .sortWithinPartitions(col("__graft_ck"))
+              .drop("__graft_ck")
+          case Some(n) =>
+            df.repartitionByRange(n, key).sortWithinPartitions(key)
+          case None =>
+            df.repartitionByRange(key).sortWithinPartitions(key)
+        }
     }
     val writer = arranged.write.mode("overwrite")
     (if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*)
@@ -96,23 +133,54 @@ object LayoutWriter {
     * the raw columns for linear, nothing for baseline.
     */
   def curveKeyOrCols(
-      df: DataFrame, cols: Seq[String], bits: Int, layout: String): Seq[Column] =
+      df: DataFrame, cols: Seq[String], bits: Int, layout: String,
+      norm: String = "rank"): Seq[Column] =
     layout match {
-      case "zorder" | "hilbert" => Seq(curveKey(df, cols, bits, layout))
+      case "zorder" | "hilbert" => Seq(curveKey(df, cols, bits, layout, norm))
       case "linear" => cols.map(col)
       case _ => Nil
     }
 
-  /** Curve-key expression: normalize each layout column to [0, 2^bits)
-    * using its global min/max (one small agg — 2 doubles per column), then
-    * interleave. Null coordinates sort to the curve origin.
+  /** Curve-key expression: normalize each layout column to [0, 2^bits),
+    * then interleave. Null coordinates sort to the curve origin.
+    *
+    * `norm = "rank"` (default): equi-depth quantile buckets (one
+    * approxQuantile pass over all layout columns at write time; the
+    * production z-order approach — Delta's OPTIMIZE ZORDER partitions
+    * each column by range_partition_id for the same reason). Skewed or
+    * clustered value distributions get uniform coordinate mass, so
+    * every interleaved bit carries signal. `norm = "minmax"`: linear
+    * scaling from the global [min, max] — cheaper to compute, but a
+    * skewed column collapses onto few coordinates (SURVEY §7.3's
+    * skew-normalization risk, observed as z-order losing to linear on
+    * correlated TPC-H value columns in results/rq1-rq2 through r7).
     */
-  def curveKey(df: DataFrame, cols: Seq[String], bits: Int, curve: String): Column = {
-    val bounds = colBounds(df, cols)
-    val norms = cols.map { c =>
-      val (lo, hi) = bounds(c)
-      CurveExpressions.normalizedCol(doubleView(df, c), lo, hi, bits)
-    }
+  def curveKey(df: DataFrame, cols: Seq[String], bits: Int, curve: String,
+      norm: String = "rank"): Column = {
+    require(Seq("rank", "minmax").contains(norm), s"unknown curve norm $norm")
+    val norms =
+      if (norm == "rank") {
+        // one quantile pass for ALL columns; 2^10 equi-depth buckets per
+        // column is resolution far beyond any realistic file count, and
+        // duplicate cuts (hot values / low ndv) collapse harmlessly
+        val b = math.min(bits, 10)
+        val probes = (1 until (1 << b)).map(_.toDouble / (1 << b)).toArray
+        val viewNames = cols.indices.map(i => s"__cv_$i")
+        val view = df.select(cols.zip(viewNames).map { case (c, a) =>
+          doubleView(df, c).as(a)
+        }: _*)
+        val cuts = view.stat.approxQuantile(viewNames.toArray, probes, 0.001)
+        cols.indices.map { i =>
+          val sortedCuts = cuts(i).distinct.sorted
+          CurveExpressions.rankNormalizedCol(doubleView(df, cols(i)), sortedCuts, bits)
+        }
+      } else {
+        val bounds = colBounds(df, cols)
+        cols.map { c =>
+          val (lo, hi) = bounds(c)
+          CurveExpressions.normalizedCol(doubleView(df, c), lo, hi, bits)
+        }
+      }
     if (curve == "hilbert") CurveExpressions.hilbertvalue(bits, norms: _*)
     else CurveExpressions.zvalue(bits, norms: _*)
   }
@@ -139,6 +207,52 @@ object LayoutWriter {
     val b = (i: Int) =>
       coalesce(ascii(substring(c, i + 1, 1)), lit(0)).cast(DoubleType)
     b(0) * lit(16777216d) + b(1) * lit(65536d) + b(2) * lit(256d) + b(3)
+  }
+
+  /** Snap each sampled z-key cut to the COARSEST power-of-two boundary
+    * that stays within its slack window (half the gap to each neighbor
+    * cut, so rough balance is preserved). Coarser alignment = whole
+    * quadrants at a higher level = tighter per-file bounding boxes.
+    * Sequential: each window is additionally floored just above the
+    * previous snapped cut, so the cut COUNT survives (file sizing is a
+    * real constraint — merging cuts doubles a file). Pathological
+    * integer-adjacent cuts may still collide; the final distinct only
+    * fires then.
+    */
+  private[layout] def snapCuts(raw: Array[Long], totalBits: Int): Array[Long] = {
+    val sorted = raw.sorted.distinct
+    val domainHi = if (totalBits >= 63) Long.MaxValue else 1L << totalBits
+    val out = new Array[Long](sorted.length)
+    var prev = 0L
+    for (i <- sorted.indices) {
+      val c = sorted(i)
+      // symmetric half-gap windows; edge cuts mirror their inner gap
+      // (extending an edge window to the domain bound lets the snap run
+      // away to a coarse boundary past the data, emptying an edge file)
+      val gapL =
+        if (i > 0) (c - sorted(i - 1)) / 2
+        else if (sorted.length > 1) (sorted(1) - c) / 2
+        else c / 2
+      val gapR =
+        if (i < sorted.length - 1) (sorted(i + 1) - c) / 2
+        else gapL
+      val hi = math.min(c + gapR, domainHi)
+      val lo = math.max(math.max(c - gapL, 1L), prev + 1)
+      var best = math.min(math.max(c, lo), hi)
+      var k = totalBits - 1
+      var found = false
+      while (k >= 0 && !found) {
+        val a = 1L << math.min(k, 62)
+        val down = (c / a) * a
+        val up = down + a
+        if (down >= lo && down <= hi) { best = down; found = true }
+        else if (up >= lo && up <= hi) { best = up; found = true }
+        else k -= 1
+      }
+      out(i) = best
+      prev = best
+    }
+    out.distinct
   }
 
   private def colBounds(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {

@@ -34,7 +34,10 @@ class QueryRunnerSuite extends SparkTestBase {
       "pruned", Some(listener))
 
     assert(full.rows == pruned.rows, "pruning must not change results")
-    assert(full.filesScanned == 16, s"full scan files=${full.filesScanned}")
+    // the full scan must touch every written file (curve cut snapping
+    // may produce slightly fewer files than the 16 requested)
+    assert(full.filesScanned == graft.layout.ZoneMap.read(dir).files.length.toLong,
+      s"full scan files=${full.filesScanned}")
     assert(pruned.filesScanned == scan.filesKept.toLong)
     assert(pruned.filesScanned < full.filesScanned)
     assert(pruned.bytesScanned > 0 && pruned.bytesScanned < full.bytesScanned,
