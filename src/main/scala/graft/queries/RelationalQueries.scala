@@ -304,6 +304,30 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // The as-of operator's OTHER semantics under the same hash gate:
+    // forward direction (next view at-or-after each click) bounded by a
+    // 1-hour tolerance — matches farther out are null-extended. Same
+    // single union+window pass; the tolerance is one interval
+    // comparison on the matched struct's timestamp.
+    "q68b_asof_forward" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      graft.operators.AsOfJoin
+        .asOf(clicks, views, Seq("user_id"), "ts", "view_ts",
+          valueCols = Seq("view_value"), tieBreak = "view_event_id",
+          direction = "forward", tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("view_value")).as("n_matched"),
+          round(sum(col("view_value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_view_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Point-in-interval attribution via the binned RangeJoin: every
     // purchase opens a 1-hour window; count ALL clicks (any user)
     // landing inside it. No equality key exists, so vanilla Spark plans
@@ -479,6 +503,24 @@ object RelationalQueries {
         |    (SELECT v.value FROM v
         |      WHERE v.user_id = c.user_id AND v.ts <= c.ts
         |      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_value
+        |  FROM c)
+        |SELECT user_id, count(*) AS n_clicks, count(view_value) AS n_matched,
+        |  round(CAST(sum(CAST(view_value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_view_value
+        |FROM matched GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // forward as-of with tolerance: earliest view at-or-after each
+    // click, no farther than one hour out, ties broken by event_id desc
+    "q68b_asof_forward" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+        |matched AS (
+        |  SELECT c.user_id, c.event_id,
+        |    (SELECT v.value FROM v
+        |      WHERE v.user_id = c.user_id AND v.ts >= c.ts
+        |        AND v.ts <= c.ts + INTERVAL 1 HOUR
+        |      ORDER BY v.ts ASC, v.event_id DESC LIMIT 1) AS view_value
         |  FROM c)
         |SELECT user_id, count(*) AS n_clicks, count(view_value) AS n_matched,
         |  round(CAST(sum(CAST(view_value AS DECIMAL(18,2))) AS DOUBLE), 2)
