@@ -36,6 +36,28 @@ object RangeJoin {
   private def floorDiv(e: String, w: Long): Column =
     expr(s"(($e) - pmod(($e), ${w}L)) div ${w}L")
 
+  /** Median interval length — the bin-width default the cost model
+    * recommends (replication ~2x, residual selectivity ~1 bin). One
+    * tiny approx-percentile aggregate over the interval frame; callers
+    * that know their data can still pass an explicit width.
+    */
+  def autoBinWidth(intervals: DataFrame, loCol: String, hiCol: String): Long = {
+    val r = intervals.filter(col(loCol) < col(hiCol))
+      .agg(expr(s"approx_percentile(`$hiCol` - `$loCol`, 0.5)").as("w"))
+      .collect()(0)
+    if (r.isNullAt(0)) 1L else math.max(r.getLong(0), 1L)
+  }
+
+  /** [[pointInInterval]] with the bin width derived from the data
+    * (median interval length) instead of caller-supplied.
+    */
+  def pointInIntervalAuto(
+      points: DataFrame, tsCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      maxBinsPerInterval: Int = 4096): DataFrame =
+    pointInInterval(points, tsCol, intervals, loCol, hiCol,
+      autoBinWidth(intervals, loCol, hiCol), maxBinsPerInterval)
+
   /** Inner-join `points` to `intervals` on
     * `points(tsCol)` ∈ [`intervals(loCol)`, `intervals(hiCol)`) —
     * half-open, all three columns integral (epoch micros, say).

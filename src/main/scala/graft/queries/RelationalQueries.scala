@@ -344,8 +344,10 @@ object RelationalQueries {
         .withColumn("p_hi", col("p_lo") + hour)
       val clicks = ev.filter(col("event_type") === "click")
         .select(unix_micros(col("ts")).as("c_ts"), col("value").as("c_value"))
+      // auto width: every window is exactly one hour, so the derived
+      // median IS the hour — the auto path runs under the q70 hash gate
       val matched = graft.operators.RangeJoin
-        .pointInInterval(clicks, "c_ts", purchases, "p_lo", "p_hi", binWidth = hour)
+        .pointInIntervalAuto(clicks, "c_ts", purchases, "p_lo", "p_hi")
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_clicks"),
           round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 2)

@@ -38,6 +38,26 @@ class RangeJoinSuite extends SparkTestBase {
     assert(got.toSeq == Seq(1L, 2L))
   }
 
+  test("auto bin width is the median interval length and joins identically") {
+    val rnd = new scala.util.Random(23)
+    val points = (0L until 300L).map(i => (i, rnd.nextLong() % 8000L))
+    // lengths 10..990 step 10 (99 intervals): exact median length = 500
+    val ivs = (1L to 99L).map { i =>
+      val lo = rnd.nextLong() % 7000L
+      (i, lo, lo + i * 10L)
+    }
+    val ivDf = ivs.toDF("iid", "lo", "hi")
+    val w = RangeJoin.autoBinWidth(ivDf, "lo", "hi")
+    assert(math.abs(w - 500L) <= 50L, s"auto width $w should approximate the median 500")
+    val auto = RangeJoin.pointInIntervalAuto(
+      points.toDF("pid", "ts"), "ts", ivDf, "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    val explicit = RangeJoin.pointInInterval(
+      points.toDF("pid", "ts"), "ts", ivDf, "lo", "hi", binWidth = w)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(auto == explicit && auto == brute(points, ivs))
+  }
+
   test("plans as an equi-join, not BroadcastNestedLoop/cartesian") {
     val points = (0L until 2000L).map(i => (i, i * 13 % 5000)).toDF("pid", "ts")
     val ivs = (0L until 200L).map(i => (i, i * 25, i * 25 + 40)).toDF("iid", "lo", "hi")
