@@ -50,10 +50,19 @@ object CurationQueries {
     // corpus-scale; AQE broadcasts it while it is actually small
     val uniq = kept.join(dropIds, Seq("doc_id"), "left_anti")
     // 4. deterministic split + token count
+    withSplitAndTokens(uniq)
+  }
+
+  /** Deterministic hash split (80/10/10 on md5 of the doc id — stable
+    * under corpus growth, so incremental curation assigns the same
+    * split a from-scratch build would) plus the token count. Shared by
+    * [[curate]] and [[IncrementalCuration.corpus]].
+    */
+  private[queries] def withSplitAndTokens(df: DataFrame): DataFrame = {
     val bucket = conv(substring(
       md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
       16, 10).cast("long") % 100
-    uniq
+    df
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       .withColumn("n_tok", size(words(col("text"))))

@@ -56,7 +56,7 @@ object DedupQueries {
     * that need BOTH signals tokenize once via [[nearDupEdges]] instead of
     * re-running the regex split per signal branch.
     */
-  private def tokens(df: DataFrame): DataFrame =
+  private[queries] def tokens(df: DataFrame): DataFrame =
     df.select(col("doc_id"), words(col("text")).as("ws"))
 
   private def shingledFrom(toks: DataFrame): DataFrame =
@@ -122,37 +122,61 @@ object DedupQueries {
   private[queries] def minhashVerifiedPairs(dd: DataFrame): DataFrame =
     minhashVerifiedPairsFrom(tokens(dd))
 
-  private def minhashVerifiedPairsFrom(toks: DataFrame): DataFrame = {
-    // one materialized pass holds the 60-bit shingle hashes (doc_id,
-    // h1, h2): signatures AND the verification join both read it, and
-    // the verification shuffles 8-byte longs instead of shingle strings
-    // (~4x less shuffle payload on the hot path). Verifying on h1
-    // instead of the string keeps the engines aligned in practice: the
-    // oracle's verification joins on the raw shingle string, so a 60-bit
-    // h1 collision between distinct shingles would overcount `common` on
-    // the Spark side only — negligible (~2^-60 per shingle pair), not
-    // impossible.
-    val hashed = graft.runner.Materialize.track(
-      shingledFrom(toks).select(col("doc_id"),
-        wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
-        wordHash60(concat(lit("b|"), col("shingle"))).as("h2")))
+  /** (doc_id, h1, h2) 60-bit shingle hashes — the Kirsch–Mitzenmacher
+    * dual-hash base every MinHash consumer derives from.
+    */
+  private[queries] def shingleHashesFrom(toks: DataFrame): DataFrame =
+    shingledFrom(toks).select(col("doc_id"),
+      wordHash60(concat(lit("a|"), col("shingle"))).as("h1"),
+      wordHash60(concat(lit("b|"), col("shingle"))).as("h2"))
+
+  /** Names of the signature columns (mh0..mh7) — the storable form of a
+    * doc's MinHash identity (incremental curation persists these).
+    */
+  private[queries] val SigCols: Seq[String] = (0 until K).map(i => s"mh$i")
+
+  /** (doc_id, mh0..mh7) MinHash signatures from the shingle hashes. */
+  private[queries] def minhashSigsOf(hashed: DataFrame): DataFrame = {
     val mins = (0 until K).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded candidate pairs (da < db) from a signature frame. With
+    * `newFlag` (a boolean column on the frame), only pairs where at
+    * least one side is flagged survive — the incremental-batch filter
+    * (old x old connectivity is already known and must not be redone).
+    */
+  private[queries] def minhashCandidates(
+      sigs: DataFrame, newFlag: Option[String] = None): DataFrame = {
     val bands = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
     }
+    val keep = col("doc_id") +: newFlag.map(col).toSeq
     val bandRows = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+      .select(keep :+ explode(array(bands: _*)).as("b"): _*)
+      .select(keep ++ Seq(col("b.band").as("band"), col("b.bucket").as("bucket")): _*)
     val ba = bandRows.as("ba"); val bb = bandRows.as("bb")
-    val cand = ba
-      .join(bb, col("ba.band") === col("bb.band")
-        && col("ba.bucket") === col("bb.bucket")
-        && col("ba.doc_id") < col("bb.doc_id"))
+    val base = col("ba.band") === col("bb.band") &&
+      col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id")
+    val cond = newFlag.map(f => base && (col(s"ba.$f") || col(s"bb.$f"))).getOrElse(base)
+    ba.join(bb, cond)
       .select(col("ba.doc_id").as("da"), col("bb.doc_id").as("db"))
       .distinct()
+  }
+
+  /** Exact-Jaccard (>= 0.5) verification of candidate pairs. `hashed`
+    * must hold the FULL shingle-hash set of every doc appearing in a
+    * candidate pair (docs absent from candidates may be omitted — the
+    * incremental path computes state-doc hashes only for candidates).
+    * Verifying on h1 instead of the string keeps the engines aligned in
+    * practice: the oracle's verification joins on the raw shingle
+    * string, so a 60-bit h1 collision between distinct shingles would
+    * overcount `common` on the Spark side only — negligible (~2^-60 per
+    * shingle pair), not impossible.
+    */
+  private[queries] def verifiedByJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
     val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val x = hashed.select(col("doc_id"), col("h1")).as("x")
     val y = hashed.select(col("doc_id"), col("h1")).as("y")
@@ -170,6 +194,14 @@ object DedupQueries {
       .select(col("da"), col("db"))
   }
 
+  private def minhashVerifiedPairsFrom(toks: DataFrame): DataFrame = {
+    // one materialized pass holds the shingle hashes: signatures AND the
+    // verification join both read it, and the verification shuffles
+    // 8-byte longs instead of shingle strings (~4x less shuffle payload)
+    val hashed = graft.runner.Materialize.track(shingleHashesFrom(toks))
+    verifiedByJaccard(minhashCandidates(minhashSigsOf(hashed)), hashed)
+  }
+
   /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band SimHash
     * join (q31's pipeline; shared with q31b/q69).
     */
@@ -179,21 +211,31 @@ object DedupQueries {
   private[queries] def simhashPairs(dd: DataFrame): DataFrame =
     simhashPairsFrom(tokens(dd))
 
-  private def simhashPairsFrom(toks: DataFrame): DataFrame = {
-    val h = graft.runner.Materialize.track(toks
-      .select(col("doc_id"), simhash60(col("ws")).as("sh")))
-    val bandRows = h.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))
+  /** (doc_id, sh) simhash values from tokens. */
+  private[queries] def simhashOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), simhash60(col("ws")).as("sh"))
+
+  /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band join over
+    * a (doc_id, sh[, flag]) frame. `newFlag` as in [[minhashCandidates]].
+    */
+  private[queries] def simhashPairsOf(
+      h: DataFrame, newFlag: Option[String] = None): DataFrame = {
+    val keep = Seq(col("doc_id"), col("sh")) ++ newFlag.map(col)
+    val bandRows = h.select(keep :+ explode(array((0 until 4).map(j =>
+      struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"): _*)
     val a = bandRows.as("a"); val b = bandRows.as("b")
-    a.join(b, col("a.b.band") === col("b.b.band")
-        && col("a.b.bv") === col("b.b.bv")
-        && col("a.doc_id") < col("b.doc_id"))
+    val base = col("a.b.band") === col("b.b.band") &&
+      col("a.b.bv") === col("b.b.bv") && col("a.doc_id") < col("b.doc_id")
+    val cond = newFlag.map(f => base && (col(s"a.$f") || col(s"b.$f"))).getOrElse(base)
+    a.join(b, cond)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         hamming(col("a.sh"), col("b.sh")).as("ham"))
       .distinct()
       .filter(col("ham") <= 3)
   }
+
+  private def simhashPairsFrom(toks: DataFrame): DataFrame =
+    simhashPairsOf(graft.runner.Materialize.track(simhashOf(toks)))
 
   /** The union near-dup edge set both cluster-level consumers (q69,
     * the curation pipeline) run CC over: SimHash hamming<=3 plus
@@ -293,16 +335,8 @@ object DedupQueries {
       val dd = docs(s, d)
       val h = graft.runner.Materialize.track(dd
         .select(col("doc_id"), simhash60(words(col("text"))).as("sh")))
-      val bandRows = h.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"))
-      val a = bandRows.as("a"); val b = bandRows.as("b")
-      val dropped = a
-        .join(b, col("a.b.band") === col("b.b.band")
-          && col("a.b.bv") === col("b.b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-        .filter(hamming(col("a.sh"), col("b.sh")) <= 3)
-        .select(col("b.doc_id").as("doc_id"))
+      val dropped = simhashPairsOf(h)
+        .select(col("db").as("doc_id"))
         .distinct()
       dd.join(broadcast(dropped), Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.runner.Materialize
+
+/** Incremental corpus curation — dedup a NEW document batch against an
+  * existing curated corpus without recomputing the full near-dup graph.
+  * This is the real 100 TB workflow: the corpus is built once (full
+  * graph), then grows by batches whose edge computation touches only
+  * batch x (batch ∪ state) signatures, never state x state.
+  *
+  * The STATE is one frame: every quality-passing, exact-deduped doc —
+  * INCLUDING cluster-dropped ones, because a future batch doc can
+  * near-dup a dropped doc without matching its surviving representative
+  * (A~B, B~C non-transitivity), and from-scratch semantics route it
+  * into that doc's cluster — plus its stored signatures and component:
+  *
+  *   (doc columns..., __h md5, sh simhash, mh0..mh7 minhash, component)
+  *
+  * Batch arrival reconstructs connectivity WITHOUT the old graph: the
+  * old (doc_id -> component) mapping is itself a set of star edges that
+  * preserves exactly the old components, so CC over
+  * (old stars ∪ new batch-involved edges) equals CC over the full edge
+  * set — and the result matches a from-scratch build row for row, as
+  * long as batch doc_ids exceed state doc_ids (the natural append
+  * order; min-id representatives can then never migrate into a batch).
+  *
+  * Scale shape: the per-batch full-text kernels (tokenize, shingle,
+  * simhash) run over the BATCH only; stored docs are re-tokenized only
+  * when they appear in a candidate pair (a semi-join against the
+  * candidate ids, |candidates|-sized). The signature band joins shuffle
+  * (|state| + |batch|) fixed-width rows — 9 longs a doc, no text.
+  */
+object IncrementalCuration {
+
+  private val MetaCols: Seq[String] =
+    Seq("__h", "sh", "component") ++ DedupQueries.SigCols
+
+  /** Full build: quality gate -> exact dedup -> signatures -> near-dup
+    * graph -> components. Returns the state frame (see object doc).
+    */
+  def initState(dd: DataFrame, minChars: Long = 100): DataFrame = {
+    val base = dd.filter(col("n_chars") >= minChars)
+    val hashedDocs = base.withColumn("__h", md5(col("text")))
+    val keepIds = hashedDocs.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = Materialize.track(hashedDocs.join(keepIds, Seq("__h", "doc_id")))
+    val toks = Materialize.track(DedupQueries.tokens(kept))
+    val hashed = Materialize.track(DedupQueries.shingleHashesFrom(toks))
+    val sh = Materialize.track(DedupQueries.simhashOf(toks))
+    val sigs = Materialize.track(DedupQueries.minhashSigsOf(hashed))
+    val edges = DedupQueries.simhashPairsOf(sh).select(col("da"), col("db"))
+      .unionAll(DedupQueries.verifiedByJaccard(
+        DedupQueries.minhashCandidates(sigs), hashed))
+    val labels = graft.operators.ConnectedComponents.run(edges)
+      .withColumnRenamed("id", "doc_id")
+    kept.join(sh, Seq("doc_id")).join(sigs, Seq("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+  }
+
+  /** Fold a new batch into the state. Only batch-involved edges are
+    * computed; old connectivity rides along as the stored star edges.
+    * Existing docs can only LOSE retained status (a batch doc bridging
+    * two old clusters merges them — the higher representative drops),
+    * exactly as a from-scratch rebuild would decide.
+    */
+  def addBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): DataFrame = {
+    val base = batch.filter(col("n_chars") >= minChars)
+    val bh = base.withColumn("__h", md5(col("text")))
+    // exact dedup: batch-internal min id, then drop any text already in
+    // the state (its stored doc has the smaller id under append order)
+    val keepIds = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+    val bKept = Materialize.track(
+      bh.join(keepIds, Seq("__h", "doc_id"))
+        .join(state.select(col("__h")).distinct(), Seq("__h"), "left_anti"))
+    // batch signatures: full-text kernels over the batch ONLY
+    val toks = Materialize.track(DedupQueries.tokens(bKept))
+    val hashedB = Materialize.track(DedupQueries.shingleHashesFrom(toks))
+    val shB = Materialize.track(DedupQueries.simhashOf(toks))
+    val sigB = Materialize.track(DedupQueries.minhashSigsOf(hashedB))
+    // signature-level edge discovery over state ∪ batch, batch-involved
+    // pairs only (old x old connectivity is already in the state)
+    val shAll = state.select(col("doc_id"), col("sh"))
+      .withColumn("__new", lit(false))
+      .unionByName(shB.withColumn("__new", lit(true)))
+    val sigAll = state.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
+      .withColumn("__new", lit(false))
+      .unionByName(sigB.withColumn("__new", lit(true)))
+    val simEdges = DedupQueries.simhashPairsOf(shAll, Some("__new"))
+      .select(col("da"), col("db"))
+    val cand = Materialize.track(
+      DedupQueries.minhashCandidates(sigAll, Some("__new")))
+    // exact-Jaccard verification needs shingle hashes for candidate
+    // docs; batch docs have them, state docs re-tokenize via a
+    // candidate-sized semi-join
+    val candIds = cand.select(col("da").as("doc_id"))
+      .unionAll(cand.select(col("db").as("doc_id"))).distinct()
+    val hashedStateCand = DedupQueries.shingleHashesFrom(DedupQueries.tokens(
+      state.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))))
+    val mhEdges = DedupQueries.verifiedByJaccard(
+      cand, hashedB.unionByName(hashedStateCand))
+    // old components as star edges + new edges -> exact full-graph CC
+    val oldStars = state.filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("da"), col("component").as("db"))
+    val labels = graft.operators.ConnectedComponents
+      .run(simEdges.unionAll(mhEdges).unionAll(oldStars))
+      .withColumnRenamed("id", "doc_id")
+    val allDocs = state.drop("component")
+      .unionByName(bKept.join(shB, Seq("doc_id")).join(sigB, Seq("doc_id")))
+    allDocs.join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+  }
+
+  /** The curated corpus a state represents: cluster representatives
+    * with the deterministic split and token count — the same output
+    * frame [[CurationQueries.curate]] builds from scratch.
+    */
+  def corpus(state: DataFrame): DataFrame =
+    CurationQueries.withSplitAndTokens(
+      state.filter(col("doc_id") === col("component")).drop(MetaCols: _*))
+}

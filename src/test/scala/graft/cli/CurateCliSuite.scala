@@ -32,4 +32,28 @@ class CurateCliSuite extends SparkTestBase {
     assert(csv.head == "split,lang,n_docs,total_tokens")
     assert(csv.length == rollup.length + 1)
   }
+
+  test("add mode grows the corpus to exactly the full-build output") {
+    val sf = "/root/testdata/sf0.001"
+    val outFull = tmpDir("curate_full")
+    Curate.run(spark, sf, outFull, 100L)
+
+    // split the source into two "arrival batches" by doc_id
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val m = docs.agg(expr("percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val b1 = tmpDir("curate_b1"); val b2 = tmpDir("curate_b2")
+    docs.filter(col("doc_id") <= m).write.parquet(s"$b1/documents.parquet")
+    docs.filter(col("doc_id") > m).write.parquet(s"$b2/documents.parquet")
+
+    val outInc = tmpDir("curate_inc")
+    Curate.run(spark, b1, outInc, 100L)
+    Curate.runAdd(spark, b2, outInc, 100L)
+
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    assert(corpus(outInc) == corpus(outFull))
+    // state survives for the NEXT batch
+    assert(spark.read.parquet(s"$outInc/state").columns.contains("component"))
+  }
 }
