@@ -73,7 +73,55 @@ object CurationQueries {
       curate(docs(s, d))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
-        .orderBy(col("split"), col("lang")))
+        .orderBy(col("split"), col("lang"))),
+
+    // Benchmark-contamination detection: flag training docs sharing >= 3
+    // distinct 5-gram shingles with the held-out eval set (simulated
+    // here as a deterministic 1% id slice — in production the eval set
+    // is the benchmark suite). Inverted-index join on the 60-bit shingle
+    // hash: the eval shingle set is benchmark-sized (tiny — AQE
+    // broadcasts it), the train side streams, output is bounded by the
+    // train shingle count — linear at 100 TB, no pair blow-up. Joining
+    // on the hash instead of the string cuts shuffle payload ~4x; the
+    // oracle joins on the raw string, so a 60-bit collision could flag
+    // one extra doc on the Spark side only — negligible, not impossible.
+    "q73_contamination" -> ((s, d) => {
+      val dd = docs(s, d)
+      val isEval = pmod(col("doc_id"), lit(100)) === 7
+      val sh5 = (f: DataFrame) => f.select(col("doc_id"), col("lang"),
+        explode(shinglesDistinct(words(col("text")), 5)).as("shingle"))
+        .withColumn("h", wordHash60(col("shingle"))).drop("shingle")
+      val evalSh = sh5(dd.filter(isEval)).select(col("h")).distinct()
+      val trainSh = sh5(dd.filter(!isEval))
+      val contaminated = trainSh.join(evalSh, "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 3)
+        .select(col("doc_id"), lit(1).as("__c"))
+      dd.filter(!isEval)
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          count(col("__c")).as("n_contaminated"))
+        .orderBy(col("lang"))
+    }),
+
+    // Stratified sampling for dataset mixing: per-language keep rates
+    // applied via the deterministic md5 bucket (same trick as the q71
+    // split — reproducible across runs and cluster sizes, no RNG state).
+    // Downsamples the dominant language to rebalance the mix; a pure
+    // column expression, map-side only until the final rollup.
+    "q74_stratified_sample" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bucket = conv(substring(
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % 1000
+      val rate = when(col("lang") === "en", 500L).otherwise(1000L) // en: 50%
+      dd.filter(bucket < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(size(words(col("text")))).cast("bigint").as("total_tokens"))
+        .orderBy(col("lang"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -98,6 +146,38 @@ object CurationQueries {
          |              ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
          |                % 100 AS b
          |            FROM uniq))
-         |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // contamination: same 5-gram shingle universe, eval = the 1% id
+    // slice, >= 3 shared distinct shingles flags a train doc
+    "q73_contamination" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, doc_id % 100 = 7 AS is_eval FROM documents),
+        |sh5 AS (
+        |  SELECT doc_id, is_eval,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ws)-4, 0)),
+        |      i -> array_to_string(ws[i:i+4], ' ')))) AS shingle
+        |  FROM (SELECT doc_id, is_eval,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM base)),
+        |ev AS (SELECT DISTINCT shingle FROM sh5 WHERE is_eval),
+        |cont AS (
+        |  SELECT doc_id FROM sh5 JOIN ev USING (shingle)
+        |  WHERE NOT is_eval GROUP BY doc_id HAVING count(*) >= 3)
+        |SELECT lang, count(*) AS n_train,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |FROM base WHERE NOT is_eval
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q74_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+        |    AS total_tokens
+        |FROM (SELECT lang, text,
+        |        ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |          % 1000 AS b
+        |      FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
