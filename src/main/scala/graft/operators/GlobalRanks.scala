@@ -116,7 +116,9 @@ object GlobalRanks {
     // pick DIFFERENT bounds. Freeze the partitioning by materializing the
     // exchanged+sorted frame once (runner-owned, released after the
     // query's action); both jobs then read the same cached partitions.
-    val parted = graft.runner.Materialize.track(df
+    // trackLazy: the counting aggregate below scans every partition, so
+    // IT materializes the cache — no separate eager count job.
+    val parted = graft.runner.Materialize.trackLazy(df
       .repartitionByRange(partitions, col(orderCol))
       .sortWithinPartitions(col(orderCol)))
     // Job 1 — per-partition row counts as a codegen'd 32-row aggregate;
