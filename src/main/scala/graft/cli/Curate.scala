@@ -35,38 +35,54 @@ object Curate {
     try {
       val docs = graft.Tables.parallelized(
         graft.Tables.load(spark, sfDir, "documents"))
-      writeOut(spark, graft.queries.IncrementalCuration.initState(docs, minChars), outDir)
+      val state = graft.queries.IncrementalCuration.initState(docs, minChars)
+      state.drop("component").write.mode("overwrite")
+        .parquet(s"$outDir/state/docs")
+      state.select(col("doc_id"), col("component")).write.mode("overwrite")
+        .parquet(s"$outDir/state/components")
+      writeCorpusAndSummary(spark, outDir)
     } finally graft.runner.Materialize.releaseAll()
   }
 
-  /** Incremental run: fold a new batch into an existing corpus dir. */
+  /** Incremental run: fold a new batch into an existing corpus dir.
+    * Writes are O(batch) + O(components): the batch's doc rows APPEND
+    * to state/docs (they are runner-cached, so the append never reads
+    * the dir it mutates), and only the small (doc_id, component) file
+    * is rewritten — never the corpus-sized doc+signature store.
+    */
   def runAdd(spark: SparkSession, batchDir: String, outDir: String,
       minChars: Long): Seq[String] = {
     try {
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "state")),
         s"$outDir/state not found — run the full build first")
-      val state = spark.read.parquet(s"$outDir/state")
+      val state = readState(spark, outDir)
       val batch = graft.Tables.parallelized(
         graft.Tables.load(spark, batchDir, "documents"))
-      writeOut(spark,
-        graft.queries.IncrementalCuration.addBatch(state, batch, minChars), outDir)
+      val prep = graft.queries.IncrementalCuration.prepareBatch(state, batch, minChars)
+      // components first (its plan READS the old state dirs — must run
+      // before any mutation), to a sibling dir + swap
+      val compPath = java.nio.file.Paths.get(outDir, "state", "components")
+      val newPath = java.nio.file.Paths.get(outDir, "state", "components.new")
+      graft.queries.IncrementalCuration.components(state, prep)
+        .write.mode("overwrite").parquet(newPath.toString)
+      prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
+      deleteRec(compPath.toFile)
+      java.nio.file.Files.move(newPath, compPath)
+      writeCorpusAndSummary(spark, outDir)
     } finally graft.runner.Materialize.releaseAll()
   }
 
-  private def writeOut(spark: SparkSession, state: org.apache.spark.sql.DataFrame,
-      outDir: String): Seq[String] = {
-    val curated = graft.queries.IncrementalCuration.corpus(state)
-    curated.write.mode("overwrite").partitionBy("split")
-      .parquet(s"$outDir/docs")
-    // the state plan may READ outDir/state (add mode) — write to a
-    // sibling dir and swap, never overwrite a path mid-read. (On a real
-    // lakehouse this would be a manifest version bump.)
-    val statePath = java.nio.file.Paths.get(outDir, "state")
-    val newPath = java.nio.file.Paths.get(outDir, "state.new")
-    state.write.mode("overwrite").parquet(newPath.toString)
-    deleteRec(statePath.toFile)
-    java.nio.file.Files.move(newPath, statePath)
+  private def readState(spark: SparkSession, outDir: String) =
+    spark.read.parquet(s"$outDir/state/docs")
+      .join(spark.read.parquet(s"$outDir/state/components"), Seq("doc_id"))
 
+  /** The curated corpus + summary, computed FROM the persisted state
+    * (one narrow join + filter — not a pipeline re-run).
+    */
+  private def writeCorpusAndSummary(spark: SparkSession, outDir: String): Seq[String] = {
+    graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
+      .write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/docs")
     val summary = spark.read.parquet(s"$outDir/docs")
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))

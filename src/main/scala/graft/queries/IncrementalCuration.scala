@@ -59,58 +59,83 @@ object IncrementalCuration {
       .withColumn("component", coalesce(col("component"), col("doc_id")))
   }
 
-  /** Fold a new batch into the state. Only batch-involved edges are
-    * computed; old connectivity rides along as the stored star edges.
-    * Existing docs can only LOSE retained status (a batch doc bridging
-    * two old clusters merges them — the higher representative drops),
-    * exactly as a from-scratch rebuild would decide.
+  /** A prepared batch: the NEW state doc rows (exact-deduped batch docs
+    * with signature columns, no component yet) plus their shingle
+    * hashes for edge verification. `rows` and `shingleHashes` are
+    * runner-tracked caches, so persisting `rows` (the CLI's append-only
+    * state write) never re-reads the stored state mid-mutation.
     */
-  def addBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): DataFrame = {
+  case class BatchPrep(rows: DataFrame, shingleHashes: DataFrame)
+
+  /** Quality-gate, exact-dedup (batch-internal min id + drop texts the
+    * state already has), and signature computation for a new batch —
+    * the only full-text kernels of an incremental add, batch-sized.
+    */
+  def prepareBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): BatchPrep = {
     val base = batch.filter(col("n_chars") >= minChars)
     val bh = base.withColumn("__h", md5(col("text")))
-    // exact dedup: batch-internal min id, then drop any text already in
-    // the state (its stored doc has the smaller id under append order)
     val keepIds = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
     val bKept = Materialize.track(
       bh.join(keepIds, Seq("__h", "doc_id"))
         .join(state.select(col("__h")).distinct(), Seq("__h"), "left_anti"))
-    // batch signatures: full-text kernels over the batch ONLY
     val toks = Materialize.track(DedupQueries.tokens(bKept))
     val hashedB = Materialize.track(DedupQueries.shingleHashesFrom(toks))
     val shB = Materialize.track(DedupQueries.simhashOf(toks))
     val sigB = Materialize.track(DedupQueries.minhashSigsOf(hashedB))
-    // signature-level edge discovery over state ∪ batch, batch-involved
-    // pairs only (old x old connectivity is already in the state)
+    BatchPrep(
+      Materialize.track(bKept.join(shB, Seq("doc_id")).join(sigB, Seq("doc_id"))),
+      hashedB)
+  }
+
+  /** Component labels for EVERY doc (state ∪ prepared batch) after the
+    * batch's edges are folded in. Only batch-involved edges are
+    * computed — signature band joins over state ∪ batch fixed-width
+    * rows with an at-least-one-new filter; exact-Jaccard verification
+    * re-tokenizes only state docs appearing in a candidate pair. Old
+    * connectivity rides along as the stored (doc_id -> component) star
+    * edges, so the result equals full-graph CC.
+    */
+  def components(state: DataFrame, prep: BatchPrep): DataFrame = {
     val shAll = state.select(col("doc_id"), col("sh"))
       .withColumn("__new", lit(false))
-      .unionByName(shB.withColumn("__new", lit(true)))
+      .unionByName(prep.rows.select(col("doc_id"), col("sh"))
+        .withColumn("__new", lit(true)))
     val sigAll = state.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
       .withColumn("__new", lit(false))
-      .unionByName(sigB.withColumn("__new", lit(true)))
+      .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
+        .withColumn("__new", lit(true)))
     val simEdges = DedupQueries.simhashPairsOf(shAll, Some("__new"))
       .select(col("da"), col("db"))
     val cand = Materialize.track(
       DedupQueries.minhashCandidates(sigAll, Some("__new")))
-    // exact-Jaccard verification needs shingle hashes for candidate
-    // docs; batch docs have them, state docs re-tokenize via a
-    // candidate-sized semi-join
     val candIds = cand.select(col("da").as("doc_id"))
       .unionAll(cand.select(col("db").as("doc_id"))).distinct()
     val hashedStateCand = DedupQueries.shingleHashesFrom(DedupQueries.tokens(
       state.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"))))
     val mhEdges = DedupQueries.verifiedByJaccard(
-      cand, hashedB.unionByName(hashedStateCand))
-    // old components as star edges + new edges -> exact full-graph CC
+      cand, prep.shingleHashes.unionByName(hashedStateCand))
     val oldStars = state.filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("da"), col("component").as("db"))
     val labels = graft.operators.ConnectedComponents
       .run(simEdges.unionAll(mhEdges).unionAll(oldStars))
       .withColumnRenamed("id", "doc_id")
-    val allDocs = state.drop("component")
-      .unionByName(bKept.join(shB, Seq("doc_id")).join(sigB, Seq("doc_id")))
-    allDocs.join(labels, Seq("doc_id"), "left")
+    state.select(col("doc_id")).unionAll(prep.rows.select(col("doc_id")))
+      .join(labels, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
+  }
+
+  /** Fold a new batch into the state (frame-level composition of
+    * [[prepareBatch]] + [[components]]). Existing docs can only LOSE
+    * retained status (a batch doc bridging two old clusters merges
+    * them — the higher representative drops), exactly as a from-scratch
+    * rebuild would decide.
+    */
+  def addBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): DataFrame = {
+    val prep = prepareBatch(state, batch, minChars)
+    val comps = components(state, prep)
+    state.drop("component").unionByName(prep.rows)
+      .join(comps, Seq("doc_id"))
   }
 
   /** The curated corpus a state represents: cluster representatives

@@ -53,7 +53,11 @@ class CurateCliSuite extends SparkTestBase {
       .select("doc_id", "lang", "split", "n_tok")
       .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
     assert(corpus(outInc) == corpus(outFull))
-    // state survives for the NEXT batch
-    assert(spark.read.parquet(s"$outInc/state").columns.contains("component"))
+    // state survives for the NEXT batch: append-only doc+signature
+    // store plus the small components file
+    assert(spark.read.parquet(s"$outInc/state/docs").columns.contains("sh"))
+    val comps = spark.read.parquet(s"$outInc/state/components")
+    assert(comps.columns.sorted.toSeq == Seq("component", "doc_id"))
+    assert(comps.count() == spark.read.parquet(s"$outInc/state/docs").count())
   }
 }
