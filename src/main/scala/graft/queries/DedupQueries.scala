@@ -177,20 +177,26 @@ object DedupQueries {
     * shingle pair), not impossible.
     */
   private[queries] def verifiedByJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
-    val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val x = hashed.select(col("doc_id"), col("h1")).as("x")
-    val y = hashed.select(col("doc_id"), col("h1")).as("y")
-    // no broadcast hint on cand: AQE broadcasts it while it is small;
+    // One sorted hash ARRAY per doc, joined to each candidate side; the
+    // common count is a codegen'd two-pointer merge. The obvious
+    // formulation — explode both sides, equi-join on h1, count per pair
+    // — shuffles |candidates| x |shingles-per-doc| skinny rows (~30M at
+    // the 10x near-dup-heavy corpus, the measured q69 hot job); this
+    // shape shuffles |docs| arrays + |candidates| rows and computes the
+    // same counts (duplicate runs multiply in the kernel exactly like
+    // join rows, so results are bit-identical).
+    // No broadcast hint on cand: AQE broadcasts it while it is small;
     // at scale the candidate set itself can exceed executor memory and
-    // must be allowed to shuffle
-    val common = cand
-      .join(x, col("da") === col("x.doc_id"))
-      .join(y, col("db") === col("y.doc_id") && col("x.h1") === col("y.h1"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .filter(round(col("common") / (col("sa.n") + col("sb.n") - col("common")), 6) >= 0.5)
+    // must be allowed to shuffle.
+    val sets = hashed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h1"))).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
+      .withColumn("common",
+        graft.text.VectorExpressions.sortedJoinCount(col("ha"), col("hb")))
+      .filter(round(col("common") /
+        (size(col("ha")) + size(col("hb")) - col("common")), 6) >= 0.5)
       .select(col("da"), col("db"))
   }
 

@@ -26,6 +26,83 @@ object VecKernels {
     }
     acc
   }
+
+  /** Equi-join match count of two SORTED ARRAY<BIGINT> columns: the
+    * exact number of row pairs `a JOIN b ON a.v = b.v` would emit
+    * (duplicate runs multiply, ra*rb per value — bit-identical to the
+    * join-count formulation, so swapping a join+aggregate for this
+    * kernel can never change a result). Two-pointer merge, O(|a|+|b|).
+    */
+  def sortedJoinCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i); val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        var ra = 0L; var rb = 0L
+        while (i < na && a.getLong(i) == va) { ra += 1; i += 1 }
+        while (j < nb && b.getLong(j) == va) { rb += 1; j += 1 }
+        c += ra * rb
+      }
+    }
+    c
+  }
+}
+
+/** Join-match count over two sorted ARRAY<BIGINT> columns as a
+  * codegen'd expression — the vectorized replacement for the
+  * "explode both sides, equi-join, count per pair" shape whose
+  * intermediate row count is |pairs| x |elements| (the candidate
+  * verification hot spot at scale).
+  */
+case class SortedJoinCount(left: Expression, right: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_sorted_join_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"$prettyName requires ARRAY<BIGINT> inputs")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    VecKernels.sortedJoinCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val anyNull =
+      if (nullable) s"${l.isNull} || ${r.isNull}" else "false"
+    val code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.text.VecKernels.sortedJoinCount(${l.value}, ${r.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
 }
 
 /** dot(a, b) over two ARRAY<FLOAT> columns as a codegen'd expression. */
@@ -81,4 +158,8 @@ object VectorExpressions {
   /** Codegen'd double-precision dot product of two ARRAY<FLOAT> columns. */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd equi-join match count of two sorted ARRAY<BIGINT> columns. */
+  def sortedJoinCount(a: Column, b: Column): Column =
+    Bridge.column(SortedJoinCount(Bridge.expression(a), Bridge.expression(b)))
 }

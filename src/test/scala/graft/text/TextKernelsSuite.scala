@@ -80,6 +80,33 @@ class TextKernelsSuite extends SparkTestBase {
     assert(rows.count(_.isNullAt(0)) === 1)
   }
 
+  test("sortedJoinCount == explode-join count, duplicates multiply") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(31)
+    // small value domain forces matches AND within-array duplicates
+    val rows = Seq.tabulate(60) { i =>
+      (i.toLong,
+        Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted,
+        Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      graft.text.VectorExpressions.sortedJoinCount(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: literal join-count semantics (duplicate runs multiply)
+    rows.foreach { case (id, a, b) =>
+      val expected = a.map(v => b.count(_ == v).toLong).sum
+      assert(got(id) == expected, s"id=$id a=$a b=$b")
+    }
+    // null propagation
+    val n = Seq((1L, Seq(1L, 2L), null.asInstanceOf[Seq[Long]]))
+      .toDF("id", "a", "b")
+      .select(graft.text.VectorExpressions.sortedJoinCount(col("a"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("markerScores == per-set size(filter(isin)) terms") {
     val sets = Seq(Seq("the", "and", "of"), Seq("le", "la"), Seq("zzz_nohit"))
     val slow = sets.zipWithIndex.map { case (stops, i) =>
