@@ -93,6 +93,52 @@ object GlobalRanks {
     joined.agg(corr(col("r1"), col("r2"))).collect()(0).getDouble(0)
   }
 
+  /** Token-budget sequence packing: assign each row, in `orderCol`
+    * order, to training sequence `floor(runningWeightBefore / budget)`
+    * — the streaming-concatenation packing an LLM data loader applies
+    * when it chains documents into fixed-budget context windows
+    * (sequence boundaries fall wherever the running token total crosses
+    * a budget multiple; a document straddling the boundary belongs to
+    * the sequence its first token lands in). Deterministic: a pure
+    * function of (order, weights, budget), so re-runs and engines agree.
+    *
+    * Same shape as [[ntileByRange]]: one range exchange + in-partition
+    * sort, a lightweight per-partition weight-sum job, broadcast
+    * exclusive weight offsets, then local integer math — no global
+    * window, no driver-side rows. Appends a `seq_id` LONG column.
+    */
+  def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
+                   budget: Long, partitions: Int = 32): DataFrame = {
+    require(budget > 0, "packByBudget budget must be positive")
+    require(!df.columns.contains("seq_id"),
+      "packByBudget appends a 'seq_id' column; input already has one")
+    // Freeze the range partitioning (see ntileByRange: two executions of
+    // repartitionByRange can sample different bounds); trackLazy — the
+    // weight-sum aggregate below is the materializing scan.
+    val parted = graft.runner.Materialize.trackLazy(df
+      .repartitionByRange(partitions, col(orderCol))
+      .sortWithinPartitions(col(orderCol)))
+    val perPart = Array.fill(partitions)(0L)
+    parted.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect()
+      .foreach(r => perPart(r.getInt(0)) = r.getLong(1))
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val wIdx = df.schema.fieldIndex(weightCol)
+    val outSchema = df.schema.add("seq_id", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var before = offsets(pid)
+      it.map { row =>
+        val w = row.getAs[Number](wIdx).longValue()
+        val seq = before / budget
+        before += w
+        Row.fromSeq(row.toSeq :+ seq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Scalable ntile: global bucket assignment from broadcast offsets
     * (replaces `ntile(n) OVER (ORDER BY k)` for big tables, and the
     * round-2 join-back formulation the VERDICT flagged as 27× slower).

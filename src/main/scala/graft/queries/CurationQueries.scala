@@ -121,6 +121,57 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_sampled"),
           sum(size(words(col("text")))).cast("bigint").as("total_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // Sequence packing: chain docs (in stable doc_id order) into
+    // fixed-budget 2048-token training sequences via the distributed
+    // cumulative-sum operator (range exchange + broadcast offsets — no
+    // global window, GlobalRanks.packByBudget). Output: corpus-level
+    // packing accounting. The per-seq rollup shuffles |sequences| rows —
+    // corpus_tokens/2048, linear.
+    "q77_seq_packing" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      val packed = graft.operators.GlobalRanks
+        .packByBudget(t, "doc_id", "n_tok", 2048L)
+      packed.groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("docs")).as("n_docs"),
+          max(col("docs")).as("max_docs_per_seq"),
+          min(col("toks")).as("min_seq_tokens"),
+          max(col("toks")).as("max_seq_tokens"))
+    }),
+
+    // Token-budget mixture sampling: given a global token budget (half
+    // the corpus) split equally across languages, derive each
+    // language's deterministic keep-rate — min(1, langShare/langTokens)
+    // as an integer bucket cut so both engines compute identical
+    // arithmetic — and sample via the md5 bucket. The rate table is a
+    // #langs-row frame (broadcast); docs stream through one hash-bucket
+    // filter: map-side at 100 TB, and re-runs/new shards keep identical
+    // membership (no RNG).
+    "q78_mixture_budget" -> ((s, d) => {
+      val t = graft.runner.Materialize.track(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          size(words(col("text"))).cast("long").as("n_tok")))
+      val lt = t.groupBy(col("lang")).agg(sum(col("n_tok")).as("tok"))
+      val g = lt.agg((sum(col("tok")).cast("long")).as("total"),
+        count(lit(1)).as("nl"))
+      val cuts = lt.crossJoin(broadcast(g))
+        .withColumn("cut",
+          least(lit(10000L), expr("(10000 * ((total DIV 2) DIV nl)) DIV tok")))
+        .select(col("lang"), col("cut"))
+      val bucket = conv(substring(
+        md5(concat(lit("mixb|"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % 10000
+      t.join(broadcast(cuts), "lang")
+        .filter(bucket < col("cut"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("kept_tokens"),
+          max(col("cut")).as("bucket_cut"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -178,6 +229,42 @@ object CurationQueries {
         |          % 1000 AS b
         |      FROM documents)
         |WHERE b < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q77_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t),
+        |s AS (
+        |  SELECT before // 2048 AS seq_id, count(*) AS docs, sum(n_tok) AS toks
+        |  FROM c GROUP BY 1)
+        |SELECT count(*) AS n_seqs,
+        |  CAST(sum(docs) AS BIGINT) AS n_docs,
+        |  CAST(max(docs) AS BIGINT) AS max_docs_per_seq,
+        |  CAST(min(toks) AS BIGINT) AS min_seq_tokens,
+        |  CAST(max(toks) AS BIGINT) AS max_seq_tokens
+        |FROM s""".stripMargin,
+    "q78_mixture_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        |  FROM documents),
+        |lt AS (SELECT lang, sum(n_tok) AS tok FROM t GROUP BY lang),
+        |g AS (SELECT sum(tok) AS total, count(*) AS nl FROM lt),
+        |cuts AS (
+        |  SELECT lang, least(10000, (10000 * ((total // 2) // nl)) // tok) AS cut
+        |  FROM lt, g)
+        |SELECT t.lang, count(*) AS n_kept,
+        |  CAST(sum(t.n_tok) AS BIGINT) AS kept_tokens,
+        |  CAST(max(cut) AS BIGINT) AS bucket_cut
+        |FROM t JOIN cuts ON t.lang = cuts.lang
+        |WHERE ('0x' || substr(md5('mixb|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |  % 10000 < cut
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
   )
 }

@@ -355,7 +355,39 @@ object DedupQueries {
     // sides — materialize once per run (runner-owned).
     "q31_simhash" -> ((s, d) =>
       simhashPairs(s, d)
-        .orderBy(col("ham"), col("da"), col("db")))
+        .orderBy(col("ham"), col("da"), col("db"))),
+
+    // Corpus-wide duplicated-SPAN removal (the C4/RefinedWeb line-dedup
+    // shape at span granularity): a doc whose 8-gram spans mostly occur
+    // in OTHER docs is boilerplate/near-copy even when no single doc
+    // PAIR passes a similarity gate — a complementary signal to
+    // q29-q31's pairwise detectors. Inverted index on the 60-bit span
+    // hash (8-byte join payload, not the span string; the oracle joins
+    // raw strings — a cross-doc hash collision could shift one count,
+    // negligible at 2^-60); span frequency is one hash groupBy, the
+    // per-doc dup rollup a second — output bounded by span rows, no
+    // pair blow-up, linear at 100 TB. The spans frame feeds the index
+    // AND the per-doc span counts: materialized once per run.
+    "q76_span_dedup" -> ((s, d) => {
+      val base = graft.runner.Materialize.track(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          shinglesDistinct(words(col("text")), 8).as("spans")))
+      val sp = graft.runner.Materialize.track(
+        base.select(col("doc_id"), explode(col("spans")).as("span"))
+          .select(col("doc_id"), wordHash60(col("span")).as("h")))
+      val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("h"))
+      val perDoc = sp.join(dup, "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      base.select(col("doc_id"), col("lang"), size(col("spans")).as("n_spans"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_dup") * 2 > col("n_spans"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("n_dup")).as("total_dup_spans"))
+        .orderBy(col("lang"))
+    })
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -521,6 +553,28 @@ object DedupQueries {
          |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS ham
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         |ORDER BY ham, da, db""".stripMargin
+         |ORDER BY ham, da, db""".stripMargin,
+    "q76_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ws)-7, 0)),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS spans
+        |  FROM (SELECT doc_id, lang,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents)),
+        |sp AS (SELECT doc_id, unnest(spans) AS span FROM w),
+        |dup AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_dup
+        |  FROM sp JOIN dup USING (span) GROUP BY doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_dup*2 > n_spans THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(n_dup) AS BIGINT) AS total_dup_spans
+        |FROM (SELECT w.lang, len(w.spans) AS n_spans,
+        |        coalesce(per.n_dup, 0) AS n_dup
+        |      FROM w LEFT JOIN per USING (doc_id))
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

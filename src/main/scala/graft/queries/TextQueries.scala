@@ -110,6 +110,30 @@ object TextQueries {
     // appends land every doc in the same split on every engine. Bucket =
     // first 4 hex digits of md5("split|" + doc_id) mod 100; 80/10/10.
     // Pure map-side expression: one shuffle total (the final rollup).
+    // Gopher-style repetition quality gate (Rae et al. 2021 §A1.1): drop
+    // docs whose most frequent word dominates (> 12% of tokens) or whose
+    // duplicate-2-gram fraction exceeds 5%. All three raw counts come
+    // from ONE codegen'd traversal (repetitionStats) — the HOF
+    // formulation is O(distinct x n) interpreted work per row. Per-row
+    // map + one rollup shuffle: linear at 100 TB.
+    "q75_repetition_filter" -> ((s, d) => {
+      val st = repetitionStats(words(col("text")))
+      val kept = docs(s, d)
+        .withColumn("n_tok", size(words(col("text"))))
+        .withColumn("top_frac", st(0).cast("double") / col("n_tok"))
+        .withColumn("dup2_frac",
+          when(col("n_tok") > 1,
+            lit(1.0) - st(2).cast("double") / (col("n_tok") - 1))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", col("top_frac") <= 0.12 && col("dup2_frac") <= 0.05)
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          round(avg(col("top_frac")), 6).as("avg_top_word_frac"),
+          round(avg(col("dup2_frac")), 6).as("avg_dup_2gram_frac"))
+        .orderBy(col("lang"))
+    }),
+
     "q71_hash_split" -> ((s, d) => {
       val bucket = conv(substring(
         md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
@@ -180,6 +204,26 @@ object TextQueries {
         |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |      FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q75_repetition_filter" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN top_frac <= 0.12 AND dup2_frac <= 0.05
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | round(avg(top_frac),6) AS avg_top_word_frac,
+        | round(avg(dup2_frac),6) AS avg_dup_2gram_frac
+        |FROM (SELECT lang,
+        |        max_wc*1.0/n_tok AS top_frac,
+        |        CASE WHEN n_tok > 1
+        |          THEN 1.0 - d2g*1.0/(n_tok-1) ELSE 0.0 END AS dup2_frac
+        |      FROM (SELECT lang, len(ws) AS n_tok,
+        |              list_max(list_transform(list_distinct(ws),
+        |                x -> len(list_filter(ws, y -> y = x)))) AS max_wc,
+        |              len(list_distinct(list_transform(
+        |                generate_series(1, greatest(len(ws)-1,0)),
+        |                i -> ws[i] || ' ' || ws[i+1]))) AS d2g
+        |            FROM (SELECT lang,
+        |                    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |                  FROM documents)))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q71_hash_split" ->
       """SELECT split, lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars

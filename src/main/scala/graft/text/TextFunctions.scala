@@ -80,6 +80,15 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       WordMarkerScores(org.apache.spark.sql.graftbridge.Bridge.expression(ws), sets))
 
+  /** Repetition stats `[maxWordCount, distinctWords, distinct2grams]`
+    * (ARRAY<LONG>) over a words array in a single codegen'd traversal —
+    * the per-document inputs of the Gopher-style repetition quality
+    * gates (Rae et al. 2021, arXiv:2112.11446 §A1.1).
+    */
+  def repetitionStats(ws: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      RepetitionStats(org.apache.spark.sql.graftbridge.Bridge.expression(ws)))
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

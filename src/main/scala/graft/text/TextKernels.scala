@@ -91,6 +91,42 @@ object TextKernels {
       out.toArray(new Array[AnyRef](out.size())))
   }
 
+  /** Repetition statistics over a words array in ONE traversal:
+    * `[maxWordCount, distinctWords, distinct2grams]` — the inputs of the
+    * Gopher-style repetition quality gates (top-word fraction, duplicate
+    * 2-gram fraction). The HOF formulation
+    * (`list_max(transform(array_distinct(ws), w -> size(filter(ws, =w))))`)
+    * is O(distinct x n) interpreted work per row; this kernel is one
+    * hash-map pass. Null words are skipped for the word/2-gram counts but
+    * callers divide by size(ws), matching the HOF semantics where nulls
+    * never equal anything.
+    */
+  def repetitionStats(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    val grams = new java.util.HashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var maxC = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val w = if (ws.isNullAt(i)) null else ws.getUTF8String(i)
+      if (w != null) {
+        val c = counts.merge(w, 1, (a, b) => a + b)
+        if (c > maxC) maxC = c
+        // exact distinct 2-grams (space-joined, like the SQL `a||' '||b`);
+        // grams touching a null word are skipped, matching SQL where
+        // null-concat yields null and list_distinct counts it separately
+        // from every real gram — callers never see null words from words()
+        if (prev != null) grams.add(UTF8String.concatWs(sep, prev, w))
+      }
+      prev = w
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(maxC.toLong, counts.size().toLong, grams.size().toLong))
+  }
+
   /** Per-marker-set membership counts over a words array in one traversal
     * (q26 lang-ID: 5 interpreted `size(filter(ws, isin(...)))` terms each
     * re-evaluated the split — round-3 VERDICT #2).
@@ -152,6 +188,28 @@ case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.distinctShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `repetitionStats(ARRAY<STRING>) -> ARRAY<LONG>`:
+  * `[maxWordCount, distinctWords, distinct2grams]` in one codegen'd pass.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.repetitionStats($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -19,6 +19,42 @@ class GlobalRanksSuite extends SparkTestBase {
     assert(ranks(9.0) == 5.0)
   }
 
+  test("packByBudget == windowed cumulative-sum formulation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(23)
+    // weights straddle the budget freely, including single rows > budget
+    val df = (1 to 3000).map(i =>
+      (i.toLong, (rnd.nextInt(40) + 1).toLong * (if (rnd.nextInt(50) == 0) 10 else 1)))
+      .toDF("id", "w")
+    val packed = GlobalRanks.packByBudget(df, "id", "w", budget = 100L, partitions = 8)
+    val ref = df.withColumn("before",
+      coalesce(sum(col("w")).over(
+        Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_ref", floor(col("before") / 100L))
+    val mism = packed.join(ref.select(col("id"), col("seq_ref")), "id")
+      .filter(col("seq_id") =!= col("seq_ref")).count()
+    assert(mism === 0L)
+    // sequences are contiguous id ranges starting at 0
+    val seqs = packed.groupBy(col("seq_id")).agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .orderBy(col("seq_id")).collect()
+    assert(seqs.head.getLong(0) === 0L)
+    seqs.sliding(2).foreach {
+      case Array(a, b) => assert(b.getAs[Long]("lo") === a.getAs[Long]("hi") + 1)
+      case _ =>
+    }
+  }
+
+  test("packByBudget exact small case with an over-budget row") {
+    val spark2 = spark
+    import spark2.implicits._
+    // budget 10, weights 4,9,20,3,1 → offsets-before 0,4,13,33,36 → seqs 0,0,1,3,3
+    val df = Seq((1L, 4L), (2L, 9L), (3L, 20L), (4L, 3L), (5L, 1L)).toDF("id", "w")
+    val got = GlobalRanks.packByBudget(df, "id", "w", budget = 10L, partitions = 3)
+      .orderBy(col("id")).select(col("seq_id")).as[Long].collect().toSeq
+    assert(got === Seq(0L, 0L, 1L, 3L, 3L))
+  }
+
   test("spearman: monotone transform gives 1, reversal gives -1") {
     val spark2 = spark
     import spark2.implicits._

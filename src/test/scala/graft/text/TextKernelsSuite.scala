@@ -53,6 +53,34 @@ class TextKernelsSuite extends SparkTestBase {
     assert(out.count(_.isNullAt(1)) === 0)
   }
 
+  test("repetitionStats == HOF formulation on real documents") {
+    val st = repetitionStats(col("ws"))
+    // HOF reference, term for term the DuckDB oracle's shape
+    val maxWc = array_max(transform(array_distinct(col("ws")),
+      x => size(filter(col("ws"), y => y === x)))).cast("long")
+    val nDist = size(array_distinct(col("ws"))).cast("long")
+    val d2g = size(array_distinct(shingles(col("ws"), 2))).cast("long")
+    val diff = docsWords
+      .select(st.as("fast"), array(maxWc, nDist, d2g).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0L)
+  }
+
+  test("repetitionStats edge cases: single word, repeats, empty, null") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a')), (array('a','a')), (array('a','b','a','b')),
+        |  (CAST(array() AS ARRAY<STRING>)), (CAST(NULL AS ARRAY<STRING>))
+        |AS t(ws)""".stripMargin)
+    val out = df.select(repetitionStats(col("ws")).as("st")).collect()
+    assert(out(0).getSeq[Long](0) === Seq(1L, 1L, 0L)) // no 2-grams
+    assert(out(1).getSeq[Long](0) === Seq(2L, 1L, 1L)) // 'a a'
+    assert(out(2).getSeq[Long](0) === Seq(2L, 2L, 2L)) // grams 'a b','b a','a b' → 2 distinct
+    assert(out(3).getSeq[Long](0) === Seq(0L, 0L, 0L))
+    assert(out(4).isNullAt(0)) // null-in/null-out
+  }
+
   test("shinglesDistinct == array_distinct(shingles(ws, n)) on real documents") {
     for (n <- Seq(2, 3, 5)) {
       val diff = docsWords
