@@ -191,6 +191,37 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("n_vecs").desc, col("signature"))
         .limit(10)
+    }),
+
+    // Per-label centroids + cohesion spread (mean-pool embedding
+    // aggregation — the "cluster quality / diversity" readout a corpus
+    // embedding index needs). Scale shape: the mean-pool explodes to
+    // (label, pos) but PARTIAL aggregation compresses each map task's
+    // output to labels x dim rows before the shuffle; the labels x dim
+    // centroid table is then broadcast and every vector scores against
+    // its centroid map-side (index-ordered HOF dot — same order as the
+    // DuckDB list_sum oracle). min/max cohesion, not avg: on unit-norm
+    // vectors avg cos to the centroid IS the centroid norm (identity),
+    // min/max actually measure spread.
+    "q82_label_centroids" -> ((s, d) => {
+      val e = emb(s, d)
+      val c = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("vf").cast("double")).as("cv"))
+      val cArr = c.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("label"), transform(col("pc"), x => x("cv")).as("centroid"))
+      val scored = e.join(broadcast(cArr), "label")
+        .withColumn("d", dot(col("embedding"), col("centroid")))
+        .withColumn("vn", sqrt(vecDot(col("embedding"), col("embedding"))))
+        .withColumn("nrm", sqrt(dot(col("centroid"), col("centroid"))))
+        .withColumn("cos", col("d") / (col("vn") * col("nrm")))
+      scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(first(col("nrm")), 6).as("centroid_norm"),
+          round(min(col("cos")), 6).as("min_cos_to_centroid"),
+          round(max(col("cos")), 6).as("max_cos_to_centroid"))
+        .orderBy(col("label"))
     })
   )
 
@@ -317,6 +348,25 @@ object SimilarityQueries {
          |sigs AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS signature
          |         FROM bits GROUP BY vec_id)
          |SELECT signature, count(*) AS n_vecs FROM sigs
-         |GROUP BY signature ORDER BY n_vecs DESC, signature LIMIT 10""".stripMargin
+         |GROUP BY signature ORDER BY n_vecs DESC, signature LIMIT 10""".stripMargin,
+    "q82_label_centroids" ->
+      s"""WITH x AS (
+         |  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS cv
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          generate_subscripts(embedding, 1) AS pos
+         |        FROM embeddings)
+         |  GROUP BY label, pos),
+         |c AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM x GROUP BY label),
+         |sc AS (
+         |  SELECT e.label,
+         |    ${dotSql("e.embedding", "c.centroid")} AS d,
+         |    ${normSql("e.embedding")} AS vn,
+         |    ${normSql("c.centroid")} AS nrm
+         |  FROM embeddings e JOIN c USING (label))
+         |SELECT label, count(*) AS n_vecs,
+         |  round(any_value(nrm), 6) AS centroid_norm,
+         |  round(min(d/(vn*nrm)), 6) AS min_cos_to_centroid,
+         |  round(max(d/(vn*nrm)), 6) AS max_cos_to_centroid
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -134,6 +134,93 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Unigram-LM surprisal (the CCNet/DataComp "LM quality" signal with
+    // a corpus-trained unigram model standing in for the external LM —
+    // fully self-contained and distributed): per-doc cross-entropy
+    // avg(-ln p(word)) under the corpus word distribution; high = rare/
+    // garbled vocabulary, low = repetitive boilerplate. The exploded
+    // (doc_id, word) frame feeds BOTH the frequency table and the
+    // scoring join — materialized once per run. Frequency join strategy
+    // is AQE's choice: vocab-sized (broadcast at test SF, shuffle join
+    // when a 100 TB Zipf vocabulary outgrows the threshold). Per-doc
+    // scores are rounded to 6 dp BEFORE the flag compare so both
+    // engines threshold identical values.
+    "q79_unigram_surprisal" -> ((s, d) => {
+      val w = graft.runner.Materialize.track(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          explode(words(col("text"))).as("word")))
+      val f = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val n = f.agg(sum(col("c")).as("total"))
+      val scored = w.join(f, "word").crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang")).as("lang"),
+          round(avg(-log(col("c") / col("total"))), 6).as("sur"))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("sur")), 6).as("avg_surprisal"),
+          sum(when(col("sur") > 3.43, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy(col("lang"))
+    }),
+
+    // Distinctive terms per language ("keyness"): relative-frequency
+    // ratio p(w|lang)/p(w|corpus), top 5 per language at min support
+    // tf >= 5. Deliberately log-free — pure rational arithmetic, so
+    // both engines compute bit-identical scores. Top-k runs as the
+    // TopKByScore AGGREGATE (k-bounded heap, map-side partials), not a
+    // `row_number` window: a window over few groups caps parallelism at
+    // #groups and shuffles the whole vocab-sized input, where the
+    // aggregate shuffles at most k rows per (group, partition). Ties
+    // break on the ROUNDED score then word — a total order, so the
+    // result is partitioning-independent. tf is re-attached by joining
+    // the 25-row top-k frame back to the cached (lang, word) counts.
+    "q80_keyness_terms" -> ((s, d) => {
+      val w = docs(s, d).select(col("lang"),
+        explode(words(col("text"))).as("word"))
+      val lw = graft.runner.Materialize.track(
+        w.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf")))
+      val lt = lw.groupBy(col("lang")).agg(sum(col("tf")).as("lt"))
+      val cw = lw.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+      val ct = cw.agg(sum(col("cf")).as("n"))
+      val sc = lw.filter(col("tf") >= 5)
+        .join(broadcast(lt), "lang")
+        .join(cw, "word")
+        .crossJoin(broadcast(ct))
+        .withColumn("keyness",
+          round((col("tf") / col("lt")) / (col("cf") / col("n")), 6))
+      val top = sc.groupBy(col("lang"))
+        .agg(graft.operators.TopKAgg
+          .topKByScore(col("keyness"), col("word"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.payload").as("word"), col("col.score").as("keyness"))
+      // the k x #groups frame is the broadcast side; lw stays vocab-sized
+      lw.join(broadcast(top), Seq("lang", "word"))
+        .select(col("lang"), col("rk"), col("word"), col("tf"), col("keyness"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Document chunking for embedding/context windows: overlapping
+    // 64-word chunks at stride 48 (16-word overlap), the split an
+    // embedding model's bounded context imposes before any similarity
+    // indexing. Pure per-row array math (sequence + slice — chunk COUNT
+    // and lengths here; the chunk text itself is the same slice joined)
+    // + one rollup: linear, no shuffle before the final groupBy.
+    "q81_chunking" -> ((s, d) => {
+      val n = size(col("ws"))
+      val starts = sequence(lit(0), ceil(n.cast("double") / 48).cast("long") - 1)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+        .select(col("doc_id"), col("lang"),
+          explode(transform(starts,
+            i => size(slice(col("ws"), (i * 48 + 1).cast("int"), lit(64))))).as("chunk_len"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("chunk_len") === 64, 1L).otherwise(0L)).as("n_full"),
+          round(avg(col("chunk_len")), 6).as("avg_chunk_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "q71_hash_split" -> ((s, d) => {
       val bucket = conv(substring(
         md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
@@ -224,6 +311,59 @@ object TextQueries {
         |                    string_split_regex(lower(trim(text)), '\s+') AS ws
         |                  FROM documents)))
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q79_unigram_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |n AS (SELECT sum(c) AS total FROM f),
+        |d AS (
+        |  SELECT doc_id, any_value(lang) AS lang,
+        |    round(avg(-ln(c*1.0/total)), 6) AS sur
+        |  FROM w JOIN f USING (word), n GROUP BY doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(sur), 6) AS avg_surprisal,
+        |  CAST(sum(CASE WHEN sur > 3.43 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q80_keyness_terms" ->
+      """WITH w AS (
+        |  SELECT lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |lw AS (SELECT lang, word, count(*) AS tf FROM w GROUP BY lang, word),
+        |lt AS (SELECT lang, sum(tf) AS lt FROM lw GROUP BY lang),
+        |cw AS (SELECT word, sum(tf) AS cf FROM lw GROUP BY word),
+        |ct AS (SELECT sum(cf) AS n FROM cw),
+        |sc AS (
+        |  SELECT lw.lang, lw.word, lw.tf,
+        |    round((lw.tf*1.0/lt.lt)/(cw.cf*1.0/ct.n), 6) AS keyness
+        |  FROM lw JOIN lt USING (lang) JOIN cw USING (word), ct
+        |  WHERE lw.tf >= 5),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY keyness DESC, word) AS rk
+        |  FROM sc)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, word,
+        |  CAST(tf AS BIGINT) AS tf, keyness
+        |FROM rk WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "q81_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(
+        |      generate_series(0, CAST(ceil(len(ws)*1.0/48) AS BIGINT)-1),
+        |      i -> len(ws[i*48+1:i*48+64]))) AS chunk_len
+        |  FROM w)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN chunk_len = 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full,
+        |  round(avg(chunk_len),6) AS avg_chunk_tokens
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
     "q71_hash_split" ->
       """SELECT split, lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
