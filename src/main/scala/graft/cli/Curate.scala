@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * corpus from this dump", and for growing it batch by batch.
   *
   * Usage:
-  *   runMain graft.cli.Curate <sfDir> <outDir> [minChars]       full build
+  *   runMain graft.cli.Curate <sfDir> <outDir> [minChars] [packBudget]
+  *     full build; with packBudget each split's docs also get their
+  *     training-sequence id (seq_id) from budget-token packing
   *   runMain graft.cli.Curate add <batchDir> <outDir> [minChars]
   *     fold <batchDir>'s documents into the corpus at <outDir> —
   *     signatures are read from the stored state, edges are computed
@@ -31,7 +33,7 @@ object Curate {
     * shared session.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      minChars: Long): Seq[String] = {
+      minChars: Long, packBudget: Option[Long] = None): Seq[String] = {
     try {
       val docs = graft.Tables.parallelized(
         graft.Tables.load(spark, sfDir, "documents"))
@@ -40,7 +42,7 @@ object Curate {
         .parquet(s"$outDir/state/docs")
       state.select(col("doc_id"), col("component")).write.mode("overwrite")
         .parquet(s"$outDir/state/components")
-      writeCorpusAndSummary(spark, outDir)
+      writeCorpusAndSummary(spark, outDir, packBudget)
     } finally graft.runner.Materialize.releaseAll()
   }
 
@@ -77,10 +79,26 @@ object Curate {
       .join(spark.read.parquet(s"$outDir/state/components"), Seq("doc_id"))
 
   /** The curated corpus + summary, computed FROM the persisted state
-    * (one narrow join + filter — not a pipeline re-run).
+    * (one narrow join + filter — not a pipeline re-run). With a pack
+    * budget, each split additionally gets its training-sequence id
+    * (`seq_id`): docs chained in doc_id order into budget-token
+    * sequences via the distributed cumulative sum — sequences never
+    * cross splits, so packing runs per split.
     */
-  private def writeCorpusAndSummary(spark: SparkSession, outDir: String): Seq[String] = {
-    graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
+  private def writeCorpusAndSummary(spark: SparkSession, outDir: String,
+      packBudget: Option[Long] = None): Seq[String] = {
+    val corpus = graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
+    val toWrite = packBudget match {
+      case Some(b) =>
+        Seq("train", "val", "test").map { sp =>
+          graft.operators.GlobalRanks.packByBudget(
+            corpus.filter(col("split") === sp)
+              .withColumn("n_tok", col("n_tok").cast("long")),
+            "doc_id", "n_tok", b)
+        }.reduce(_ unionAll _)
+      case None => corpus
+    }
+    toWrite
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/docs")
     val summary = spark.read.parquet(s"$outDir/docs")
@@ -115,7 +133,8 @@ object Curate {
       case _ =>
         val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
         val outDir = args.lift(1).getOrElse("/tmp/graft_curated")
-        run(spark, sfDir, outDir, args.lift(2).map(_.toLong).getOrElse(100L))
+        run(spark, sfDir, outDir, args.lift(2).map(_.toLong).getOrElse(100L),
+          args.lift(3).map(_.toLong))
     }
     lines.foreach(println)
     println("[curate] corpus written")

@@ -33,27 +33,35 @@ object GlobalRanks {
     // scans every partition, so IT materializes the cache — one job per
     // rank pass instead of an eager count plus the aggregate (the count
     // re-scanned the source; measured ~0.45 s per pass on q51).
+    // __pid frozen into the cached rows (evaluated in the exchange's own
+    // stage): TaskContext.getPartitionId is STAGE-relative, so any
+    // downstream plan that unions this frame with another would renumber
+    // the tasks past the offset table (the packByBudget union bug); the
+    // stored column survives stage composition, and per-__pid reset
+    // handles a coalesced read of several cached partitions.
     val parted = graft.runner.Materialize.trackLazy(df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions(col("v")))
+      .sortWithinPartitions(col("v"))
+      .withColumn("__pid", spark_partition_id()))
     // tiny codegen'd job: per-partition row totals → exclusive offsets
-    // (AQE may have coalesced the cached exchange, so index by observed
-    // pid, not by the requested partition count)
-    val per = parted.groupBy(spark_partition_id().as("pid"))
+    // (indexed by observed pid, not the requested partition count)
+    val per = parted.groupBy(col("__pid"))
       .agg(sum(col("c")).as("rows")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = per.keys.foldLeft(-1)(math.max) + 1
-    val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + per.getOrElse(i, 0L)).toArray
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = per.map(_._1)
+      .zip(per.map(_._2).scanLeft(0L)(_ + _)).toMap
     val outSchema = new StructType()
       .add("v", DoubleType, nullable = false)
       .add("avg_rank", DoubleType, nullable = false)
     parted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var before = offsets(pid)
+      var cur = Int.MinValue
+      var before = 0L
       it.map { row =>
+        val pid = row.getInt(2)
+        if (pid != cur) { cur = pid; before = offsets.getOrElse(pid, 0L) }
         val c = row.getLong(1)
         val avg = before + 1 + (c - 1) / 2.0 // ranks are 1-based
         before += c
@@ -114,27 +122,40 @@ object GlobalRanks {
       "packByBudget appends a 'seq_id' column; input already has one")
     // Freeze the range partitioning (see ntileByRange: two executions of
     // repartitionByRange can sample different bounds); trackLazy — the
-    // weight-sum aggregate below is the materializing scan.
+    // weight-sum aggregate below is the materializing scan. The range
+    // partition id is FROZEN INTO the cached rows (__pid, evaluated in
+    // the exchange's own stage): TaskContext.getPartitionId is
+    // stage-relative, so a caller that unions two packed frames (e.g.
+    // per-split packing) would see the second branch's tasks numbered
+    // past the first — the stored column survives any downstream stage
+    // composition, and a coalesced read of several cached partitions
+    // resets the running sum at each __pid change.
     val parted = graft.runner.Materialize.trackLazy(df
       .repartitionByRange(partitions, col(orderCol))
-      .sortWithinPartitions(col(orderCol)))
-    val perPart = Array.fill(partitions)(0L)
-    parted.groupBy(spark_partition_id().as("pid"))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id()))
+    val perPart = parted.groupBy(col("__pid"))
       .agg(sum(col(weightCol).cast("long")).as("w"))
       .collect()
-      .foreach(r => perPart(r.getInt(0)) = r.getLong(1))
-    val offsets = perPart.scanLeft(0L)(_ + _)
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = perPart.map(_._1)
+      .zip(perPart.map(_._2).scanLeft(0L)(_ + _))
+      .toMap
     val wIdx = df.schema.fieldIndex(weightCol)
+    val pidIdx = df.schema.length // __pid is appended last
     val outSchema = df.schema.add("seq_id", org.apache.spark.sql.types.LongType,
       nullable = false)
     parted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var before = offsets(pid)
+      var cur = Int.MinValue
+      var before = 0L
       it.map { row =>
+        val pid = row.getInt(pidIdx)
+        if (pid != cur) { cur = pid; before = offsets.getOrElse(pid, 0L) }
         val w = row.getAs[Number](wIdx).longValue()
         val seq = before / budget
         before += w
-        Row.fromSeq(row.toSeq :+ seq)
+        Row.fromSeq(row.toSeq.init :+ seq)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -164,18 +185,20 @@ object GlobalRanks {
     // query's action); both jobs then read the same cached partitions.
     // trackLazy: the counting aggregate below scans every partition, so
     // IT materializes the cache — no separate eager count job.
+    // __pid frozen into the cache — see averageRanks for why task-context
+    // partition ids are unsafe under downstream stage composition.
     val parted = graft.runner.Materialize.trackLazy(df
       .repartitionByRange(partitions, col(orderCol))
-      .sortWithinPartitions(col(orderCol)))
-    // Job 1 — per-partition row counts as a codegen'd 32-row aggregate;
-    // spark_partition_id() in the partial-agg stage == cached partition.
-    val perPart = Array.fill(partitions)(0L)
-    parted.groupBy(spark_partition_id().as("pid"))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id()))
+    // Job 1 — per-partition row counts as a codegen'd 32-row aggregate.
+    val per = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("c"))
       .collect()
-      .foreach(r => perPart(r.getInt(0)) = r.getLong(1))
-    val offsets = perPart.scanLeft(0L)(_ + _)
-    val total = offsets.last
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = per.map(_._1)
+      .zip(per.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val total = per.map(_._2).sum
     require(total > 0, "ntileByRange on an empty dataframe")
     // ntile semantics: first (total % n) buckets get ceil(total/n) rows
     val base = total / n
@@ -185,18 +208,21 @@ object GlobalRanks {
     // (round-3 VERDICT #4: the old rdd/createDataFrame(RDD[Row]) hop
     // broke whole-stage codegen twice and re-validated every row):
     // global rank0 = broadcast partition offset + intra-partition index.
+    val pidIdx = df.schema.length // __pid is appended last
     val outSchema = df.schema.add("bucket", IntegerType, nullable = false)
     parted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var rank0 = offsets(pid) // 0-based global rank of the next row
+      var cur = Int.MinValue
+      var rank0 = 0L // 0-based global rank of the next row
       it.map { row =>
+        val pid = row.getInt(pidIdx)
+        if (pid != cur) { cur = pid; rank0 = offsets.getOrElse(pid, 0L) }
         val b =
           if (rank0 < cut) (rank0 / (base + 1) + 1).toInt
           // base == 0 implies total < n, where every rank0 < cut = total —
           // this branch then only runs with base >= 1; max() is a belt.
           else ((rank0 - cut) / math.max(base, 1L) + extra + 1).toInt
         rank0 += 1
-        Row.fromSeq(row.toSeq :+ b)
+        Row.fromSeq(row.toSeq.init :+ b)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -33,6 +33,25 @@ class CurateCliSuite extends SparkTestBase {
     assert(csv.length == rollup.length + 1)
   }
 
+  test("pack budget appends per-split sequence ids matching the windowed cumsum") {
+    val out = tmpDir("curate_packed")
+    Curate.run(spark, "/root/testdata/sf0.001", out, 100L, packBudget = Some(512L))
+    val docs = spark.read.parquet(s"$out/docs")
+    assert(docs.columns.contains("seq_id"))
+    import org.apache.spark.sql.expressions.Window
+    // per split: seq_id == floor(running-tokens-before / budget) in
+    // doc_id order, and sequences never cross splits
+    val ref = docs.withColumn("before",
+      coalesce(sum(col("n_tok")).over(
+        Window.partitionBy(col("split")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_ref", floor(col("before") / 512L))
+    assert(ref.filter(col("seq_id") =!= col("seq_ref")).count() == 0)
+    // every split restarts its packing at sequence 0
+    val starts = docs.groupBy(col("split")).agg(min(col("seq_id")).as("lo")).collect()
+    assert(starts.nonEmpty && starts.forall(_.getAs[Long]("lo") == 0L))
+  }
+
   test("add mode grows the corpus to exactly the full-build output") {
     val sf = "/root/testdata/sf0.001"
     val outFull = tmpDir("curate_full")

@@ -45,6 +45,27 @@ class GlobalRanksSuite extends SparkTestBase {
     }
   }
 
+  test("packByBudget/ntileByRange survive a downstream union (stage-relative pid regression)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Regression: the assignment pass read TaskContext.getPartitionId,
+    // which is STAGE-relative — a union of two packed frames renumbered
+    // the second branch's tasks past the offset table (observed as an
+    // ArrayIndexOutOfBounds in the per-split Curate packing). The pid is
+    // now frozen into the cached rows.
+    val a = (1 to 500).map(i => (i.toLong, 7L)).toDF("id", "w")
+    val b = (1 to 400).map(i => (i.toLong, 3L)).toDF("id", "w")
+    val u = GlobalRanks.packByBudget(a, "id", "w", budget = 50L, partitions = 8)
+      .unionAll(GlobalRanks.packByBudget(b, "id", "w", budget = 50L, partitions = 8))
+    assert(u.count() === 900L) // executes both branches in one union plan
+    val firstSeq = u.filter(col("id") === 1L).select(col("seq_id"))
+      .as[Long].collect().toSeq
+    assert(firstSeq === Seq(0L, 0L)) // both branches start at sequence 0
+    val n = GlobalRanks.ntileByRange(a, "id", 4, partitions = 8)
+      .unionAll(GlobalRanks.ntileByRange(b, "id", 4, partitions = 8))
+    assert(n.groupBy(col("bucket")).count().count() === 4L)
+  }
+
   test("packByBudget exact small case with an over-budget row") {
     val spark2 = spark
     import spark2.implicits._
