@@ -76,9 +76,13 @@ object Bench {
       "\"" + k + "\":[" + rs.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RUNS.json"),
-      s"""{"sf":"$sfDir","runs":$runs}""" + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
+    // only a FULL sweep records the committed two-run detail — a filtered
+    // dev run must not clobber the sweep artifact beside the repo
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RUNS.json"),
+        s"""{"sf":"$sfDir","runs":$runs}""" + "\n")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","leaked_caches":$leakedCaches,"queries":$qs}""")
     spark.stop()
   }

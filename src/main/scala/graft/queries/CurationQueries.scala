@@ -143,6 +143,32 @@ object CurationQueries {
           max(col("toks")).as("max_seq_tokens"))
     }),
 
+    // Deterministic weighted sampling: priority sampling (Duffield, Lund
+    // & Thorup, JACM'07) with priority w/u — w the doc's token count, u
+    // a uniform 60-bit md5 hash of its id — and the top 10 priorities
+    // kept per language. Longer docs are proportionally likelier to be
+    // drawn, yet membership is a pure function of the corpus (no RNG
+    // state, stable under re-runs/appends — same property as q71/q74).
+    // Runs on the TopKByScore aggregate: k-bounded heaps map-side, no
+    // per-lang window over the corpus. Priorities are exact IEEE
+    // divisions of identical integers, so both engines rank identically.
+    "q83_weighted_sample" -> ((s, d) => {
+      val u = conv(substring(
+        md5(concat(lit("ws|"), col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+      val t = docs(s, d).select(col("lang"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+        .withColumn("priority",
+          col("n_tok").cast("double") / (u + 1).cast("double"))
+      t.groupBy(col("lang"))
+        .agg(graft.operators.TopKAgg
+          .topKByScore(col("priority"), col("doc_id").cast("string"), 10).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.payload").cast("long").as("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Token-budget mixture sampling: given a global token budget (half
     // the corpus) split equally across languages, derive each
     // language's deterministic keep-rate — min(1, langShare/langTokens)
@@ -230,6 +256,22 @@ object CurationQueries {
         |      FROM documents)
         |WHERE b < CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q83_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+        |    ('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id,
+        |    CAST(n_tok AS DOUBLE) / CAST(u + 1 AS DOUBLE) AS pr
+        |  FROM t),
+        |rk AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY pr DESC, CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM p)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM rk WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     "q77_seq_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

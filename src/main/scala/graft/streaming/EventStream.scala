@@ -50,6 +50,37 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming near-dup gate against the STATIC curated-corpus state:
+    * newly arriving documents are dropped on arrival when they sit at
+    * SimHash hamming <= 3 from any already-curated doc — the streaming
+    * twin of IncrementalCuration's batch near-dup check. EXACT by the
+    * same pigeonhole as the batch q31 band join (hamming <= 3 ⇒ at
+    * least one of the four 15-bit bands is identical), expressed as
+    * four CHAINED stream-static LEFT ANTI equi-joins, one per band: a
+    * doc survives only if every band join misses. Each join's key is
+    * the band value — hash-joinable, so the state side shuffles or
+    * broadcasts like any dimension and there is NO nested-loop scan;
+    * state-free on the stream side (no watermark needed — stream-static
+    * anti joins keep no stream state).
+    *
+    * `stateSig` is the stored `(sh)` signature column of the curated
+    * corpus (Curate writes it in state/docs); re-resolved per
+    * micro-batch, so a corpus grown between batches gates later
+    * arrivals against the newer state.
+    */
+  def nearDupGate(docs: DataFrame, stateSig: DataFrame): DataFrame = {
+    import graft.text.TextFunctions._
+    val s = docs.withColumn("__sh", simhash60(words(col("text"))))
+    (0 until 4).foldLeft(s) { (acc, j) =>
+      val st = stateSig.select(col("sh").as("__ssh"),
+        simhashBand(col("sh"), j).as("__sbv"))
+      acc.join(st,
+        simhashBand(col("__sh"), j) === col("__sbv") &&
+          hamming(col("__sh"), col("__ssh")) <= 3,
+        "left_anti")
+    }.drop("__sh")
+  }
+
   /** Stream-stream interval join — the streaming twin of the batch
     * RangeJoin: every left row opens a window `[lTs, lTs+window)` and
     * matches right rows inside it. Spark refuses stream-stream joins

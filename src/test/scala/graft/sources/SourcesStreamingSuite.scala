@@ -235,6 +235,43 @@ class SourcesStreamingSuite extends SparkTestBase {
     assert(got < 1000, "duplicates must actually be dropped")
   }
 
+  test("streaming near-dup gate equals the batch band join against the state") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.text.TextFunctions._
+    // state = the real sf0.001 corpus signatures; arriving docs = the
+    // same corpus with ids shifted (every doc is a near-dup and must be
+    // dropped) plus clearly-novel word-salad docs that must survive
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stateSig = corpus.select(simhash60(words(col("text"))).as("sh"))
+    val arrivals = corpus.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionAll((0 until 40).map(i =>
+        (200000L + i, s"novel${i}a zz${i}b qq${i}c xx${i}d ww${i}e vv${i}f " * 4))
+        .toDF("doc_id", "text"))
+    val srcDir = tmpDir("neardup_src")
+    arrivals.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(arrivals.schema).parquet(srcDir)
+    val gated = EventStream.nearDupGate(stream, stateSig)
+    val q = gated.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("neardup_test").select("doc_id")
+      .as[Long].collect().toSet
+    // batch reference: exact hamming<=3 check against the state
+    val sh = arrivals.withColumn("sh2", simhash60(words(col("text"))))
+    val want = sh.crossJoin(stateSig)
+      .withColumn("ham", hamming(col("sh2"), col("sh")))
+      .groupBy(col("doc_id")).agg(min(col("ham")).as("mh"))
+      .filter(col("mh") > 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want,
+      s"stream kept ${got.size}, batch kept ${want.size}; diff=${(got diff want).take(5)} ${(want diff got).take(5)}")
+    assert(want.exists(_ >= 200000L)) // the novel docs actually survive
+    assert(!got.exists(_ < 200000L))  // every shifted near-dup dropped
+  }
+
   test("multimodal: stub decode is deterministic, frames/resize plumb through") {
     val media = Multimodal.synthetic(spark, 90)
     assert(media.count() == 90)
