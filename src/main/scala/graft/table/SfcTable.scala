@@ -170,14 +170,28 @@ object ZoneTranslator {
     case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
       attr(a).toSeq.flatMap { case (c, dom) =>
         val lits = list.collect { case Literal(v, dt) => (v, dt) }
-        val strs = lits.flatMap { case (v, dt) => litStr(v, dt, dom) }
-        val nums = lits.flatMap { case (v, dt) => litNum(v, dt, dom) }
-        if (strs.length == lits.length) Seq(StrIn(c, strs))
-        else if (nums.length == lits.length && nums.nonEmpty)
-          Seq(NumBetween(c, nums.min, nums.max)) // coarse but sound
-        else Nil
+        inPreds(c, dom, lits)
+      }
+    // OptimizeIn rewrites In(...) to InSet above
+    // spark.sql.optimizer.inSetConversionThreshold (default 10) literals —
+    // without this arm a >10-key IN silently stops pruning. InSet holds
+    // raw internal values (UTF8String etc.), same representation a
+    // Literal carries, typed by the child expression.
+    case ins: InSet =>
+      attr(ins.child).toSeq.flatMap { case (c, dom) =>
+        inPreds(c, dom, ins.hset.toSeq.map(v => (v, ins.child.dataType)))
       }
     case _ => Nil
+  }
+
+  private def inPreds(c: String, dom: Domain,
+      lits: Seq[(Any, DataType)]): Seq[ZonePredicate] = {
+    val strs = lits.flatMap { case (v, dt) => litStr(v, dt, dom) }
+    val nums = lits.flatMap { case (v, dt) => litNum(v, dt, dom) }
+    if (strs.length == lits.length && strs.nonEmpty) Seq(StrIn(c, strs))
+    else if (nums.length == lits.length && nums.nonEmpty)
+      Seq(NumBetween(c, nums.min, nums.max)) // coarse but sound
+    else Nil
   }
 
   private def point(a: Expression, v: Any, dt: DataType): Seq[ZonePredicate] =
@@ -221,5 +235,38 @@ object SfcTable {
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(Bridge.classicSession(spark))
     Bridge.ofRows(spark, LogicalRelation(relation))
+  }
+
+  /** Dim-driven zone-map file pruning for a fact ⋈ dim equi-join — the
+    * zone-map analog of dynamic file pruning / dynamic partition
+    * pruning: when the (already-filtered) dim side is small, the fact
+    * side can skip whole files by the dim's join-key values BEFORE the
+    * join executes. One bounded dim job runs first: up to
+    * `inListLimit + 1` distinct keys are fetched — at or under the
+    * limit the fact scan opens with `key IN (...)` (exact per-file
+    * membership for string keys, min–max bounds for numeric); above it
+    * a two-value min/max aggregate bounds the scan with
+    * `key BETWEEN lo AND hi`. Either predicate reaches
+    * [[GraftFileIndex]] at planning time (file skips) AND the parquet
+    * reader (row-group skips). Semantics are exactly
+    * `open(factDir).join(dim, factKey === dimKey)`: rows outside the
+    * dim key set can never join, so the extra filter is a no-op on the
+    * result. The driver-side key fetch is bounded by `inListLimit`
+    * (the same bounded-collect contract DPP's subquery-broadcast uses).
+    */
+  def joinPruned(spark: SparkSession, factDir: String, dim: DataFrame,
+      factKey: String, dimKey: String, inListLimit: Int = 256): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val fact = open(spark, factDir)
+    val keys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
+      .distinct().limit(inListLimit + 1).collect().map(_.get(0))
+    val pruned =
+      if (keys.isEmpty) fact.filter(lit(false)) // empty dim: empty join
+      else if (keys.length <= inListLimit) fact.filter(col(factKey).isin(keys: _*))
+      else {
+        val r = dim.agg(min(col(dimKey)), max(col(dimKey))).collect()(0)
+        fact.filter(col(factKey).between(lit(r.get(0)), lit(r.get(1))))
+      }
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 }

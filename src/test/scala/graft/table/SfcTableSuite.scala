@@ -45,6 +45,41 @@ class SfcTableSuite extends SparkTestBase {
     assert(viaPlain.filesScanned == 16)
   }
 
+  test("joinPruned skips fact files from the dim join-key values, result identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // dim selects a narrow x-range: only the zone-mapped files covering
+    // it should be read on the fact side
+    val dim = (120 to 140).map(x => (x, s"grp${x % 3}")).toDF("k", "grp")
+    val viaPruned = QueryRunner.run(spark,
+      SfcTable.joinPruned(spark, dir, dim, "x", "k")
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("id")).as("s")),
+      "join_pruned", action = "collect")
+    val plain = spark.read.parquet(dir)
+    val viaPlain = QueryRunner.run(spark,
+      plain.join(dim, plain("x") === dim("k"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("id")).as("s")),
+      "join_plain", action = "collect")
+    assert(viaPruned.filesScanned < viaPlain.filesScanned,
+      s"dim keys should skip fact files: ${viaPruned.filesScanned} vs ${viaPlain.filesScanned}")
+    val a = SfcTable.joinPruned(spark, dir, dim, "x", "k")
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .orderBy(col("grp")).collect().map(_.toSeq).toSeq
+    val b = plain.join(dim, plain("x") === dim("k"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .orderBy(col("grp")).collect().map(_.toSeq).toSeq
+    assert(a == b, "pruned join result must match the plain join")
+    // beyond the IN limit the min/max-bounds path must also prune
+    val viaBounds = QueryRunner.run(spark,
+      SfcTable.joinPruned(spark, dir, dim, "x", "k", inListLimit = 5)
+        .groupBy(col("grp")).agg(count(lit(1)).as("n")),
+      "join_bounds", action = "collect")
+    assert(viaBounds.filesScanned < viaPlain.filesScanned)
+    // an empty dim yields an empty join, zero fact files
+    val empty = dim.filter(lit(false))
+    assert(SfcTable.joinPruned(spark, dir, empty, "x", "k").count() == 0)
+  }
+
   test("DataFrame-API predicates prune too; unknown predicates keep all files") {
     val t = SfcTable.open(spark, dir)
     val m = QueryRunner.run(spark,
