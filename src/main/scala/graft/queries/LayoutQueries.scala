@@ -25,7 +25,8 @@ object LayoutQueries {
       spark: SparkSession, sfDir: String, table: String,
       layout: String, cols: Seq[String],
       partitionBy: Seq[String] = Nil): String =
-    cache.getOrElseUpdate((sfDir + "/" + table, layout + partitionBy.mkString(",")), {
+    cache.getOrElseUpdate(
+      (sfDir + "/" + table, layout + cols.mkString("(", ",", ")") + partitionBy.mkString(",")), {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_layout_${layout}_").toString
       LayoutWriter.write(
@@ -84,6 +85,27 @@ object LayoutQueries {
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Dim-driven zone-map join pruning (SfcTable.joinPruned — the
+    // zone-map analog of dynamic file pruning): the fact side is laid
+    // out linear on the join key, the dim side is a filtered supplier
+    // set, and the fact scan opens with the dim's key values (IN-list
+    // or min/max bounds depending on cardinality) so non-matching files
+    // skip before the join. The oracle runs the plain join on the
+    // original table — matching results prove the pruned join loses no
+    // rows at either the IN or the bounds path (cardinality crosses the
+    // limit as sf grows).
+    "q84_join_pruned" -> ((s, d) => {
+      val dir = layoutDir(s, d, "lineitem", "linear", Seq("l_suppkey"))
+      val dim = Tables.load(s, d, "supplier")
+        .filter(col("s_acctbal") > 5000)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.table.SfcTable.joinPruned(s, dir, dim, "l_suppkey", "s_suppkey")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Hive-style partitioned write (S3 partitionBy + P8 partition-eq
     // predicate, reference demo q1_filter shape): partition dirs prune
     // in Catalyst (PartitionFilters) AND via the manifest string stats.
@@ -135,6 +157,14 @@ object LayoutQueries {
          |WHERE l_shipdate BETWEEN TIMESTAMP '$dLo' AND TIMESTAMP '$dHi'
          |  AND l_quantity BETWEEN 25.0 AND 35.0
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q84_join_pruned" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+        | round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem
+        |JOIN (SELECT s_suppkey, s_nationkey FROM supplier
+        |      WHERE s_acctbal > 5000) s
+        |  ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q49_partitioned_eq" ->
       """SELECT l_linestatus, count(*) AS cnt,
         | round(sum(l_extendedprice),2) AS sum_price
