@@ -111,6 +111,21 @@ case class StrAtLeast(col: String, lo: String) extends ZonePredicate {
   }
 }
 
+/** value IN (set) on a numeric column — a file survives only if SOME
+  * value sits inside its [min,max]. Strictly stronger than collapsing
+  * the set to one NumBetween(min(values), max(values)): scattered keys
+  * (a dim join-key list, say 7 and 9000 over a key-clustered fact)
+  * prune every file between the extremes that contains neither.
+  */
+case class NumIn(col: String, values: Seq[Double]) extends ZonePredicate {
+  def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
+    case None => true
+    case Some(r) if r.allNull => false
+    case Some(r) =>
+      values.exists(v => r.min.forall(_ <= v) && r.max.forall(_ >= v))
+  }
+}
+
 /** value IN (set) on a string column — prunes on [min,max] containment. */
 case class StrIn(col: String, values: Seq[String]) extends ZonePredicate {
   def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {

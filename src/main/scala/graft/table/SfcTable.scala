@@ -190,7 +190,7 @@ object ZoneTranslator {
     val nums = lits.flatMap { case (v, dt) => litNum(v, dt, dom) }
     if (strs.length == lits.length && strs.nonEmpty) Seq(StrIn(c, strs))
     else if (nums.length == lits.length && nums.nonEmpty)
-      Seq(NumBetween(c, nums.min, nums.max)) // coarse but sound
+      Seq(NumIn(c, nums)) // per-value containment, not coarse bounds
     else Nil
   }
 

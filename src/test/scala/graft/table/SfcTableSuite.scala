@@ -78,6 +78,22 @@ class SfcTableSuite extends SparkTestBase {
     // an empty dim yields an empty join, zero fact files
     val empty = dim.filter(lit(false))
     assert(SfcTable.joinPruned(spark, dir, empty, "x", "k").count() == 0)
+    // SCATTERED keys: NumIn prunes per value — two extreme keys must not
+    // keep every file the coarse [min,max] envelope would
+    val scattered = Seq((2, "a"), (997, "b")).toDF("k", "grp")
+    val viaScattered = QueryRunner.run(spark,
+      SfcTable.joinPruned(spark, dir, scattered, "x", "k")
+        .groupBy(col("grp")).agg(count(lit(1)).as("n")),
+      "join_scattered", action = "collect")
+    assert(viaScattered.filesScanned < viaPlain.filesScanned,
+      s"scattered IN keys should still prune: ${viaScattered.filesScanned}")
+    val sa = SfcTable.joinPruned(spark, dir, scattered, "x", "k")
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .orderBy(col("grp")).collect().map(_.toSeq).toSeq
+    val sb = plain.join(scattered, plain("x") === scattered("k"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .orderBy(col("grp")).collect().map(_.toSeq).toSeq
+    assert(sa == sb)
   }
 
   test("DataFrame-API predicates prune too; unknown predicates keep all files") {
