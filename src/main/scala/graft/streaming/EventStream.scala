@@ -81,6 +81,29 @@ object EventStream {
     }.drop("__sh")
   }
 
+  /** The full streaming arrival gate — the streaming twin of the batch
+    * curation pipeline's per-doc stages: quality floor, exact dedup
+    * against the stored corpus (anti join on the content hash), then
+    * the [[nearDupGate]] band joins. All three are stateless on the
+    * stream side (per-row expressions + stream-static anti joins), so
+    * the gate runs at ingest rate with no watermark or state store;
+    * within-batch duplicates are left to the periodic batch fold
+    * (IncrementalCuration), which also refreshes `state` so later
+    * micro-batches gate against the grown corpus.
+    *
+    * `state` needs the stored `(__h, sh)` columns (content-hash +
+    * simhash signature — both written by Curate's state store,
+    * IncrementalCuration.initState).
+    */
+  def arrivalGate(docs: DataFrame, state: DataFrame,
+      minChars: Long = 100): DataFrame = {
+    val fresh = docs.filter(col("n_chars") >= minChars)
+      .withColumn("__fp", md5(col("text")))
+      .join(state.select(col("__h").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    nearDupGate(fresh, state.select(col("sh")))
+  }
+
   /** Stream-stream interval join — the streaming twin of the batch
     * RangeJoin: every left row opens a window `[lTs, lTs+window)` and
     * matches right rows inside it. Spark refuses stream-stream joins

@@ -272,6 +272,54 @@ class SourcesStreamingSuite extends SparkTestBase {
     assert(!got.exists(_ < 200000L))  // every shifted near-dup dropped
   }
 
+  test("streaming arrival gate: quality + exact-dup + near-dup vs the Curate state") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.text.TextFunctions._
+    // real state store from a full Curate build
+    val stateDir = tmpDir("gate_state")
+    graft.cli.Curate.run(spark, "/root/testdata/sf0.001", stateDir, 100L)
+    val state = spark.read.parquet(s"$stateDir/state/docs")
+    // arrivals: an exact copy of a curated doc (exact-dup — dropped), a
+    // short doc (quality — dropped), near-dups of the corpus (dropped),
+    // and novel docs (kept)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val one = corpus.orderBy(col("doc_id")).limit(1)
+      .select(lit(500000L).as("doc_id"), col("text"), col("n_chars"))
+    val arrivals = corpus
+      .select((col("doc_id") + 600000).as("doc_id"), col("text"), col("n_chars"))
+      .unionAll(one)
+      .unionAll(Seq((700000L, "tiny", 4L)).toDF("doc_id", "text", "n_chars"))
+      .unionAll((0 until 20).map(i =>
+        (800000L + i, s"fresh${i}a yy${i}b rr${i}c uu${i}d oo${i}e hh${i}f " * 5, 200L))
+        .toDF("doc_id", "text", "n_chars"))
+    val srcDir = tmpDir("gate_src")
+    arrivals.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(arrivals.schema).parquet(srcDir)
+    val gated = EventStream.arrivalGate(stream, state)
+    val q = gated.writeStream.format("memory").queryName("gate_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("gate_test").select("doc_id").as[Long].collect().toSet
+
+    // batch reference with identical semantics
+    val quality = arrivals.filter(col("n_chars") >= 100)
+      .withColumn("fp2", md5(col("text")))
+      .withColumn("sh2", simhash60(words(col("text"))))
+    val exact = quality.join(state.select(col("__h").as("fp2")), Seq("fp2"), "left_anti")
+    val want = exact.crossJoin(state.select(col("sh")))
+      .withColumn("ham", hamming(col("sh2"), col("sh")))
+      .groupBy(col("doc_id")).agg(min(col("ham")).as("mh"))
+      .filter(col("mh") > 3).select("doc_id").as[Long].collect().toSet
+    assert(got == want,
+      s"gate kept ${got.size}, batch kept ${want.size}")
+    assert(!got.contains(500000L)) // the exact copy was dropped
+    assert(!got.contains(700000L)) // the short doc was dropped
+    assert((800000L until 800020L).forall(got.contains)) // novel docs kept
+    graft.runner.Materialize.releaseAll()
+  }
+
   test("multimodal: stub decode is deterministic, frames/resize plumb through") {
     val media = Multimodal.synthetic(spark, 90)
     assert(media.count() == 90)
