@@ -41,18 +41,19 @@ object Analyze {
       def section(name: String) =
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(s"$outDir/sections/$name")
+      // coalesce(0): an empty corpus leaves header-only section CSVs
+      // whose sums are null — the summary must still be written
+      def sumOf(name: String, expr: org.apache.spark.sql.Column): Long =
+        section(name).agg(coalesce(sum(expr), lit(0L)).cast("long"))
+          .collect()(0).getLong(0)
       val tok = section("q24_token_count")
-        .agg(sum(col("n_docs")).cast("long").as("docs"),
-          sum(col("total_tokens")).cast("long").as("toks"),
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("docs"),
+          coalesce(sum(col("total_tokens")), lit(0L)).cast("long").as("toks"),
           count(lit(1)).as("langs")).collect()(0)
-      val rep = section("q75_repetition_filter")
-        .agg(sum(col("n_docs") - col("n_kept")).cast("long")).collect()(0).getLong(0)
-      val spn = section("q76_span_dedup")
-        .agg(sum(col("n_dropped")).cast("long")).collect()(0).getLong(0)
-      val sur = section("q79_unigram_surprisal")
-        .agg(sum(col("n_flagged")).cast("long")).collect()(0).getLong(0)
-      val dup = section("q28_dedup_exact")
-        .agg(sum(col("n_docs") - col("n_unique")).cast("long")).collect()(0).getLong(0)
+      val rep = sumOf("q75_repetition_filter", col("n_docs") - col("n_kept"))
+      val spn = sumOf("q76_span_dedup", col("n_dropped"))
+      val sur = sumOf("q79_unigram_surprisal", col("n_flagged"))
+      val dup = sumOf("q28_dedup_exact", col("n_docs") - col("n_unique"))
       val summary =
         s"""{"sf_dir":"$sfDir","n_docs":${tok.getLong(0)},"total_tokens":${tok.getLong(1)},
            |"n_langs":${tok.getLong(2)},"exact_dup_docs":$dup,

@@ -42,8 +42,24 @@ object Curate {
         .parquet(s"$outDir/state/docs")
       state.select(col("doc_id"), col("component")).write.mode("overwrite")
         .parquet(s"$outDir/state/components")
+      // the pack budget is part of the corpus DEFINITION — persist it so
+      // incremental adds keep packing (a rewrite without seq_id would
+      // silently break downstream loaders)
+      val budgetFile = java.nio.file.Paths.get(outDir, "state", "pack_budget")
+      packBudget match {
+        case Some(b) => java.nio.file.Files.writeString(budgetFile, b.toString)
+        case None => java.nio.file.Files.deleteIfExists(budgetFile)
+      }
       writeCorpusAndSummary(spark, outDir, packBudget)
     } finally graft.runner.Materialize.releaseAll()
+  }
+
+  /** The stored pack budget of a corpus dir, if its full build set one. */
+  private def storedBudget(outDir: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(outDir, "state", "pack_budget")
+    if (java.nio.file.Files.exists(f))
+      Some(java.nio.file.Files.readString(f).trim.toLong)
+    else None
   }
 
   /** Incremental run: fold a new batch into an existing corpus dir.
@@ -70,7 +86,8 @@ object Curate {
       prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
       deleteRec(compPath.toFile)
       java.nio.file.Files.move(newPath, compPath)
-      writeCorpusAndSummary(spark, outDir)
+      // keep packing if the full build packed (stored with the state)
+      writeCorpusAndSummary(spark, outDir, storedBudget(outDir))
     } finally graft.runner.Materialize.releaseAll()
   }
 
@@ -87,16 +104,20 @@ object Curate {
     */
   private def writeCorpusAndSummary(spark: SparkSession, outDir: String,
       packBudget: Option[Long] = None): Seq[String] = {
-    val corpus = graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
     val toWrite = packBudget match {
       case Some(b) =>
+        // one materialization of the state join feeds all three split
+        // filters (and each packByBudget's two passes) — released by the
+        // caller's finally
+        val corpus = graft.runner.Materialize.track(
+          graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
+            .withColumn("n_tok", col("n_tok").cast("long")))
         Seq("train", "val", "test").map { sp =>
           graft.operators.GlobalRanks.packByBudget(
-            corpus.filter(col("split") === sp)
-              .withColumn("n_tok", col("n_tok").cast("long")),
-            "doc_id", "n_tok", b)
+            corpus.filter(col("split") === sp), "doc_id", "n_tok", b)
         }.reduce(_ unionAll _)
-      case None => corpus
+      case None =>
+        graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
     }
     toWrite
       .write.mode("overwrite").partitionBy("split")

@@ -134,8 +134,12 @@ object GlobalRanks {
       .repartitionByRange(partitions, col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .withColumn("__pid", spark_partition_id()))
+    // coalesce(0): a null weight contributes nothing to the running
+    // total (the windowed-sum semantics, where sum() skips nulls) —
+    // without it an all-null partition returns a null sum (driver NPE)
+    // while the assignment pass would NPE on the executor side.
     val perPart = parted.groupBy(col("__pid"))
-      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("w"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -152,7 +156,8 @@ object GlobalRanks {
       it.map { row =>
         val pid = row.getInt(pidIdx)
         if (pid != cur) { cur = pid; before = offsets.getOrElse(pid, 0L) }
-        val w = row.getAs[Number](wIdx).longValue()
+        val n = row.getAs[Number](wIdx)
+        val w = if (n == null) 0L else n.longValue() // null weight = 0, like sum()
         val seq = before / budget
         before += w
         Row.fromSeq(row.toSeq.init :+ seq)

@@ -45,6 +45,15 @@ case class TopKByScore(
   override def right: Expression = payload
   override def prettyName: String = "graft_topk_by_score"
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, payload.dataType) match {
+      case (DoubleType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (s, p) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (DOUBLE score, STRING payload), got ($s, $p) — cast explicitly")
+    }
   override def dataType: DataType = ArrayType(
     new StructType().add("payload", StringType).add("score", DoubleType),
     containsNull = false)
@@ -54,8 +63,12 @@ case class TopKByScore(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val p = payload.eval(input)
-    // null score or payload carries no rank — skipped, like SQL ordering
-    // ignores rows a window frame would place last anyway
+    // Rows with a null score or payload are EXCLUDED from the ranking.
+    // NB this deliberately DIFFERS from `row_number() OVER (ORDER BY s
+    // DESC, p ASC)`, where SQL null ordering would rank them (nulls
+    // LAST for s DESC, FIRST for p ASC): an output row with a null key
+    // is useless to every current caller. Callers wanting SQL null
+    // ordering must coalesce() their inputs first.
     if (s != null && p != null) {
       buf.offer(s.asInstanceOf[Double], p.asInstanceOf[UTF8String])
     }
@@ -138,8 +151,13 @@ final class TopKBuffer(k: Int) {
       heap.add((s, if (copied) p else p.copy()))
     } else {
       val worst = heap.peek()
-      // strictly better than the current worst under (score DESC, payload ASC)
-      val better = s > worst._1 || (s == worst._1 && p.compareTo(worst._2) < 0)
+      // strictly better than the current worst under (score DESC,
+      // payload ASC). Double.compare, not primitive >/==: primitives
+      // make NaN incomparable (silently dropped here, ranked FIRST by
+      // the window's s DESC), where Double.compare orders NaN above
+      // every value — consistent with Spark's sort order for doubles.
+      val c = java.lang.Double.compare(s, worst._1)
+      val better = c > 0 || (c == 0 && p.compareTo(worst._2) < 0)
       if (better) {
         heap.poll()
         heap.add((s, if (copied) p else p.copy()))
@@ -152,11 +170,15 @@ final class TopKBuffer(k: Int) {
     while (it.hasNext) { val e = it.next(); f(e._1, e._2) }
   }
 
-  /** Best-first (score DESC, payload ASC) — the emit order. */
+  /** Best-first (score DESC, payload ASC) — the emit order. Double
+    * .compare keeps the comparator a total order under NaN (primitive
+    * !=/> on NaN violates the sort contract and can throw in TimSort).
+    */
   def sortedBest: Seq[(Double, UTF8String)] = {
     val arr = heap.toArray(new Array[(Double, UTF8String)](heap.size()))
     arr.sortWith { (a, b) =>
-      if (a._1 != b._1) a._1 > b._1 else a._2.compareTo(b._2) < 0
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c > 0 else a._2.compareTo(b._2) < 0
     }.toSeq
   }
 }

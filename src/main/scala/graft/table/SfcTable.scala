@@ -244,8 +244,9 @@ object SfcTable {
     * join executes. One bounded dim job runs first: up to
     * `inListLimit + 1` distinct keys are fetched — at or under the
     * limit the fact scan opens with `key IN (...)` (exact per-file
-    * membership for string keys, min–max bounds for numeric); above it
-    * a two-value min/max aggregate bounds the scan with
+    * membership for both string and numeric keys — NumIn/StrIn check
+    * each value against the file range); above it a two-value min/max
+    * aggregate bounds the scan with
     * `key BETWEEN lo AND hi`. Either predicate reaches
     * [[GraftFileIndex]] at planning time (file skips) AND the parquet
     * reader (row-group skips). Semantics are exactly
@@ -258,15 +259,22 @@ object SfcTable {
       factKey: String, dimKey: String, inListLimit: Int = 256): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     val fact = open(spark, factDir)
-    val keys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
+    // Materialized once (runner-released): the key fetch, the optional
+    // bounds aggregate, and the join itself must all see the SAME dim
+    // rows — a re-executed nondeterministic dim (limit/sample/rand)
+    // could otherwise produce keys the pruning filter already removed,
+    // silently dropping join rows. Caching also stops the dim pipeline
+    // from being recomputed per consumer.
+    val stableDim = graft.runner.Materialize.track(dim)
+    val keys = stableDim.select(col(dimKey)).filter(col(dimKey).isNotNull)
       .distinct().limit(inListLimit + 1).collect().map(_.get(0))
     val pruned =
       if (keys.isEmpty) fact.filter(lit(false)) // empty dim: empty join
       else if (keys.length <= inListLimit) fact.filter(col(factKey).isin(keys: _*))
       else {
-        val r = dim.agg(min(col(dimKey)), max(col(dimKey))).collect()(0)
+        val r = stableDim.agg(min(col(dimKey)), max(col(dimKey))).collect()(0)
         fact.filter(col(factKey).between(lit(r.get(0)), lit(r.get(1))))
       }
-    pruned.join(dim, pruned(factKey) === dim(dimKey))
+    pruned.join(stableDim, pruned(factKey) === stableDim(dimKey))
   }
 }

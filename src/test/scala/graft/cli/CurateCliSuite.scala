@@ -79,4 +79,25 @@ class CurateCliSuite extends SparkTestBase {
     assert(comps.columns.sorted.toSeq == Seq("component", "doc_id"))
     assert(comps.count() == spark.read.parquet(s"$outInc/state/docs").count())
   }
+
+  test("add mode keeps packing when the full build set a budget") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val m = docs.agg(expr("percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val b1 = tmpDir("curate_pb1"); val b2 = tmpDir("curate_pb2")
+    docs.filter(col("doc_id") <= m).write.parquet(s"$b1/documents.parquet")
+    docs.filter(col("doc_id") > m).write.parquet(s"$b2/documents.parquet")
+
+    val outFull = tmpDir("curate_pfull")
+    Curate.run(spark, sf, outFull, 100L, packBudget = Some(512L))
+    val outInc = tmpDir("curate_pinc")
+    Curate.run(spark, b1, outInc, 100L, packBudget = Some(512L))
+    // runAdd takes no budget argument — it must pick up the stored one
+    Curate.runAdd(spark, b2, outInc, 100L)
+
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok", "seq_id")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    assert(corpus(outInc) == corpus(outFull))
+  }
 }

@@ -52,6 +52,19 @@ class TopKAggSuite extends SparkTestBase {
     assert(got === Seq(("x", 1.0), ("x", 1.0)))
   }
 
+  test("topKByScore: NaN scores rank first, like the window's DESC order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("g", "a", 1.0), ("g", "b", Double.NaN), ("g", "c", 2.0),
+      ("g", "d", Double.NaN)).toDF("g", "p", "s").repartition(4)
+    val got = aggTopK(df, 3).orderBy(col("rk")).select(col("p"))
+      .as[String].collect().toSeq
+    val want = windowTopK(df, 3).orderBy(col("rk")).select(col("p"))
+      .as[String].collect().toSeq
+    assert(got === want)
+    assert(got === Seq("b", "d", "c")) // NaN above every finite score
+  }
+
   test("topKByScore: groups smaller than k emit all rows; null scores skipped") {
     val spark2 = spark
     import spark2.implicits._
