@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.MaintenanceQueries.queries ++
       graft.queries.TpchQueries.queries ++
       graft.queries.MediaQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.MaintenanceQueries.oracles ++
       graft.queries.TpchQueries.oracles ++
       graft.queries.MediaQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.SearchQueries.oracles
 }

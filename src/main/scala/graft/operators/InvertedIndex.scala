@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions.words
+
+/** Positional inverted index + ranked retrieval over a text column.
+  * Greenfield (no reference counterpart) — the retrieval half of a
+  * training-data pipeline: corpus search for curation debugging,
+  * contamination auditing ("which training docs contain this eval
+  * phrase"), and BM25-ranked quality probes.
+  *
+  * Scale design (the 100 TB lens):
+  *  - [[postings]] is one narrow projection + `posexplode` — no shuffle
+  *    of its own; every consumer aggregates it ON the term key, so the
+  *    single shuffle each pipeline pays is the one that builds its
+  *    per-term state. At warehouse scale you'd persist this frame
+  *    bucketed by `term` and share it across queries (same pattern as
+  *    the layout family's write-order manifests).
+  *  - [[bm25]] filters the postings to the query's terms BEFORE any
+  *    aggregation: tf/df state is O(docs containing a query term), not
+  *    O(corpus). The only corpus-sized aggregates are the per-doc
+  *    length frame and one scalar (N, avgdl) pass; the final score join
+  *    keys on doc_id against the tiny tf side, so AQE broadcasts it.
+  *  - [[phraseHits]] is the classic positional-index phrase join:
+  *    filter postings to the phrase's terms, then m-1 self-equi-joins
+  *    on (doc_id, pos+offset). Each join side is |postings of one
+  *    term|, shuffled on (doc_id, pos) — never a cartesian, and never
+  *    a corpus re-scan per term (one postings frame feeds all m sides).
+  */
+object InvertedIndex {
+
+  /** Positional postings `(term, doc_id, pos)` — pos is 1-based (first
+    * token = 1), matching SQL array indexing so oracles stay literal.
+    */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("p0", "term")))
+      .select(col("term"), col("doc_id"), (col("p0") + 1).as("pos"))
+
+  /** Per-doc token counts `(doc_id, dl)` — one pass, no explode. */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      size(words(col(textCol))).cast("long").as("dl"))
+
+  /** BM25 scores for a bag of query terms: one row per doc containing at
+    * least one term, `(doc_id, score)`, score = Σ_t idf(t) · tf / (tf +
+    * k1·(1 − b + b·dl/avgdl)) with the Lucene-style non-negative idf
+    * ln((N − df + ½)/(df + ½) + 1).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(df, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+    val tf = post.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // docs-per-term off the tf frame: one row per (doc, term) already
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tracked: dl (two longs per doc) feeds the scalar stats AND the
+    // score join — untracked, each reference re-scans the corpus text
+    val dl = graft.runner.Materialize.track(docLengths(df, idCol, textCol))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val idf = log(
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    tf.join(dft, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // single-row frame
+      .withColumn("term_score",
+        idf * col("tf") /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Exact phrase occurrences via the positional index: `(doc_id,
+    * n_hits, first_pos)` for every doc containing the consecutive-token
+    * phrase. Counts overlapping occurrences ("x x x" has two hits of
+    * "x x") — the regex formulation with consumed boundaries undercounts
+    * exactly that case, which is why the suite pins it.
+    */
+  def phraseHits(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseHits: empty phrase")
+    // tracked: the filtered postings (small — phrase terms only) feed
+    // one join side per phrase token; without the persist each side
+    // would re-scan and re-explode the whole corpus (runner releases it)
+    val post = graft.runner.Materialize.track(postings(df, idCol, textCol)
+      .filter(col("term").isin(phrase.distinct: _*)))
+    // m-1 chained equi-joins on (doc_id, start-anchored position)
+    val anchored = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    val starts = anchored.reduce { (a, bdf) =>
+      a.join(bdf, Seq("doc_id", "start"))
+    }
+    starts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
+  /** Bigram sequence `(doc_id, w1, w2)` — every adjacent token pair, in
+    * order, duplicates kept (LM counts need multiplicity). One zip of
+    * two array slices per row; no positional explode or self-join.
+    */
+  def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    df.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Per-doc cross-entropy (bits/bigram) under an add-k smoothed bigram
+    * LM trained on the corpus itself — the CCNet/FineWeb-style
+    * perplexity quality filter, self-trained so it needs no external
+    * model. `(doc_id, xent, n_bigrams)`; higher xent = less like the
+    * corpus. P(w2|w1) = (C(w1,w2) + k) / (C(w1·) + k·V), V = unigram
+    * vocabulary size.
+    *
+    * Two corpus passes (count bigrams; score docs) sharing one bigram
+    * frame; the LM join keys on (w1,w2) — a vocabulary-sized frame that
+    * AQE broadcasts when small and shuffles when not. Nothing is
+    * driver-side except the two scalar stats.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    // tracked: the frame feeds BOTH the LM counts and the scoring join —
+    // Spark re-executes common subtrees, so without the persist the
+    // corpus would be scanned+exploded twice (runner releases it)
+    val bg = graft.runner.Materialize.track(bigrams(df, idCol, textCol))
+    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cw = cbg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val voc = df.select(explode(words(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(cbg, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .crossJoin(broadcast(voc)) // single-row frame
+      .groupBy(col("doc_id"))
+      .agg(
+        (-sum(log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))))
+          / log(lit(2.0)) / count(lit(1))).as("xent"),
+        count(lit(1)).as("n_bigrams"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.InvertedIndex
+
+/** Retrieval + language-model scoring over the `documents` table:
+  * BM25 ranked search, self-trained bigram-LM perplexity filtering, and
+  * positional phrase search. Greenfield (no reference counterpart) —
+  * the corpus-search/quality half of a training-data pipeline
+  * (contamination auditing, CCNet-style perplexity filters).
+  *
+  * All three gate queries rank by a ROUNDED score with a doc_id
+  * tie-break on BOTH engines, so the top-k cutoff is deterministic even
+  * where float sums differ in association order.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.parallelized(Tables.load(s, d, "documents"))
+
+  private val QueryTerms = Seq("hash", "join", "merge")
+  private val Phrase = Seq("hash", "join")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-20 for a fixed 3-term query (k1=1.2, b=0.75, Lucene-style
+    // non-negative idf). tf/df state is bounded by the docs containing a
+    // query term; the only corpus-wide passes are doc-lengths + one
+    // scalar stat.
+    "q85_bm25" -> ((s, d) => {
+      InvertedIndex.bm25(docs(s, d), "doc_id", "text", QueryTerms)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Self-trained bigram-LM cross-entropy (bits/bigram, add-0.5
+    // smoothing): the 20 most corpus-unlike docs — the perplexity
+    // quality filter with no external model.
+    "q86_bigram_lm" -> ((s, d) => {
+      InvertedIndex.bigramCrossEntropy(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), round(col("xent"), 6).as("xent"),
+          col("n_bigrams"))
+        .orderBy(round(col("xent"), 6).desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Positional phrase search: every doc containing the exact
+    // consecutive-token phrase, with overlap-correct occurrence counts
+    // and the 1-based position of the first occurrence.
+    "q87_phrase_search" -> ((s, d) => {
+      InvertedIndex.phraseHits(docs(s, d), "doc_id", "text", Phrase)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val inTerms = QueryTerms.map(t => s"'$t'").mkString("(", ",", ")")
+
+  val oracles: Map[String, String] = Map(
+    // Independent formulation: array/position CTEs instead of the
+    // postings join, same BM25 math.
+    "q85_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+         |       WHERE w IN $inTerms GROUP BY 1,2),
+         |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok
+         |       WHERE w IN $inTerms GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+         |         * tf.tf / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS score
+         |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score
+         |FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q86_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |             FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+        |        FROM tok WHERE len(ws) >= 2),
+        |big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM pos),
+        |cbg AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1,2),
+        |cw  AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cbg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |              FROM documents)),
+        |xent AS (
+        |  SELECT b.doc_id,
+        |    -sum(ln((cbg.c2 + 0.5)/(cw.c1 + 0.5*voc.v))/ln(2))/count(*) AS xent,
+        |    count(*) AS n_bigrams
+        |  FROM big b JOIN cbg ON b.w1=cbg.w1 AND b.w2=cbg.w2
+        |  JOIN cw ON b.w1=cw.w1 CROSS JOIN voc
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, round(xent, 6) AS xent, n_bigrams
+        |FROM xent ORDER BY round(xent, 6) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q87_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |             FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+        |        FROM tok WHERE len(ws) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(i) AS BIGINT) AS first_pos
+        |FROM pos WHERE ws[i] = 'hash' AND ws[i+1] = 'join'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
