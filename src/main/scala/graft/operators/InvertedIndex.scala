@@ -52,13 +52,24 @@ object InvertedIndex {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(df, idCol, textCol)
       .filter(col("term").isin(terms: _*))
+    // tracked: dl (two longs per doc) feeds the scalar stats AND the
+    // score join — untracked, each reference re-scans the corpus text
+    val dl = graft.runner.Materialize.track(docLengths(df, idCol, textCol))
+    bm25FromPostings(post, dl, k1, b)
+  }
+
+  /** BM25 off pre-built frames: `post` = term-filtered postings (only
+    * the query's terms), `dl` = the full corpus `(doc_id, dl)`. Shared
+    * by the inline path above and the persisted [[SearchIndex]], whose
+    * postings arrive from a term-sorted zone-map table that already
+    * skipped non-matching files.
+    */
+  private[operators] def bm25FromPostings(post: DataFrame, dl: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     val tf = post.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // docs-per-term off the tf frame: one row per (doc, term) already
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // tracked: dl (two longs per doc) feeds the scalar stats AND the
-    // score join — untracked, each reference re-scans the corpus text
-    val dl = graft.runner.Materialize.track(docLengths(df, idCol, textCol))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val idf = log(
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
@@ -86,7 +97,15 @@ object InvertedIndex {
     // would re-scan and re-explode the whole corpus (runner releases it)
     val post = graft.runner.Materialize.track(postings(df, idCol, textCol)
       .filter(col("term").isin(phrase.distinct: _*)))
-    // m-1 chained equi-joins on (doc_id, start-anchored position)
+    phraseFromPostings(post, phrase)
+  }
+
+  /** Phrase matching off a pre-built postings frame (already filtered
+    * or file-skipped to the phrase's terms): m−1 chained equi-joins on
+    * (doc_id, start-anchored position).
+    */
+  private[operators] def phraseFromPostings(post: DataFrame,
+      phrase: Seq[String]): DataFrame = {
     val anchored = phrase.zipWithIndex.map { case (t, i) =>
       post.filter(col("term") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))
