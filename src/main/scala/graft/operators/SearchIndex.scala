@@ -47,6 +47,45 @@ object SearchIndex {
   def postings(spark: SparkSession, dir: String): DataFrame =
     SfcTable.open(spark, s"$dir/postings")
 
+  /** Fold a NEW document batch into the stored index without touching
+    * existing files: the batch's postings append as term-sorted files,
+    * only those files are stat-scanned, and their entries join the
+    * manifest — O(batch), the same incremental contract as `Curate add`.
+    * Batch files overlap the old files' term ranges, so skipping
+    * degrades as batches accumulate; [[optimize]] restores one global
+    * term sort. Caller owns doc_id disjointness (index a curated
+    * corpus, not raw arrivals).
+    */
+  def add(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, dir: String, batchFiles: Int = 4): Unit = {
+    val pdir = s"$dir/postings"
+    val before = graft.layout.ZoneMap.read(pdir)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.toString
+    val known = before.files.map(f => norm(f.path)).toSet
+    InvertedIndex.postings(batch, idCol, textCol)
+      .repartitionByRange(batchFiles, col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(pdir)
+    val fs = new org.apache.hadoop.fs.Path(pdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(pdir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map(p => norm(p.toString)).filterNot(known)
+    val entries = graft.layout.ZoneMap.collectStatsDf(
+      spark.read.parquet(fresh.toIndexedSeq: _*), before.statsCols)
+    graft.layout.ZoneMap.write(pdir, before.copy(files = before.files ++ entries))
+    InvertedIndex.docLengths(batch, idCol, textCol)
+      .write.mode("append").parquet(s"$dir/doclen")
+  }
+
+  /** Re-sort the postings into one global term order (the maintenance
+    * pass after a run of [[add]]s) — delegates to the table-maintenance
+    * family; the index is a plain graft table.
+    */
+  def optimize(spark: SparkSession, dir: String,
+      targetFileBytes: Long = graft.layout.Compactor.DefaultTargetFileBytes): Unit =
+    graft.layout.Compactor.compact(spark, s"$dir/postings", targetFileBytes)
+
   /** BM25 top scores from the stored index — identical math and output
     * to [[InvertedIndex.bm25]], but reads only the query terms' postings
     * files plus the doclen table; the corpus text is never touched.
