@@ -181,6 +181,47 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup with CLUSTER-bounded
+    // pair generation — assign every vector to its nearest of 16
+    // centroids (q35b semantics), then drop any vector with a
+    // smaller-id same-cluster neighbor at cosine >= 0.3 (the synthetic
+    // embeddings are near-uniform — max corpus pair cosine is ~0.51 —
+    // so the production-typical 0.95 would gate a no-op). The cluster
+    // bucketing is what makes it scale: pair candidates are
+    // |cluster|^2, never corpus^2, and clusters shard the shuffle key.
+    // Complements q33c, which buckets by LSH band instead of semantics.
+    "q88_semdedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = withNorm(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")), "cemb", "cn")
+      val vecs = withNorm(e.select(col("vec_id"), col("embedding")), "embedding", "vn")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))
+      // tracked: the assignment feeds both pair sides and the rollup
+      val assigned = graft.runner.Materialize.track(
+        vecs.join(broadcast(cents))
+          .withColumn("sim",
+            round(vecDot(col("embedding"), col("cemb")) / (col("vn") * col("cn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("embedding"), col("vn")))
+      val a = assigned.select(col("cid"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("vn").as("na"))
+      val b = assigned.select(col("cid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("vn").as("nb"))
+      val dropped = a.join(b, Seq("cid"))
+        .filter(col("va") < col("vb"))
+        .filter(round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          >= 0.3)
+        .select(col("cid"), col("vb")).distinct()
+      assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+        .join(dropped.groupBy(col("cid")).agg(count(lit(1)).as("nd")), Seq("cid"), "left")
+        .select(col("cid"), col("n_assigned"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          (col("n_assigned") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+        .orderBy(col("cid"))
+    }),
+
     // Random-hyperplane LSH: 16-bit signature from sign(dot(x, plane_j)),
     // planes = embeddings of vec_id 0..15 (deterministic, data-derived).
     // Output: the 10 most-populated buckets.
@@ -298,6 +339,32 @@ object SimilarityQueries {
          |  (SELECT count(*) FROM dropped) AS n_dropped,
          |  (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM dropped)
          |    AS n_retained""".stripMargin,
+    "q88_semdedup" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings v CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a2.cid, b2.vec_id AS vb
+         |  FROM assigned a2 JOIN assigned b2
+         |    ON a2.cid = b2.cid AND a2.vec_id < b2.vec_id
+         |  JOIN embeddings ea ON a2.vec_id = ea.vec_id
+         |  JOIN embeddings eb ON b2.vec_id = eb.vec_id
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.3)
+         |SELECT ag.cid, ag.n_assigned,
+         |  CAST(coalesce(dg.nd, 0) AS BIGINT) AS n_dropped,
+         |  ag.n_assigned - CAST(coalesce(dg.nd, 0) AS BIGINT) AS n_kept
+         |FROM (SELECT cid, count(*) AS n_assigned FROM assigned GROUP BY cid) ag
+         |LEFT JOIN (SELECT cid, count(*) AS nd FROM dropped GROUP BY cid) dg
+         |  USING (cid)
+         |ORDER BY ag.cid""".stripMargin,
+
     "q35b_ivf_assign" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding AS cemb
