@@ -52,6 +52,46 @@ object SearchQueries {
     "q87_phrase_search" -> ((s, d) => {
       InvertedIndex.phraseHits(docs(s, d), "doc_id", "text", Phrase)
         .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid retrieval: BM25 top-50 and dense-cosine top-50 (query =
+    // vec 0's embedding; vec_id aligns 1:1 with doc_id) fused by
+    // Reciprocal Rank Fusion, rrf = Σ 1/(60 + rank). Ranks are
+    // integers off rounded scores with doc_id tie-breaks, so the fused
+    // doubles are bit-identical across engines. Scale shape: each list
+    // is a distributed orderBy+limit (TakeOrdered, no global window
+    // over the corpus — the row_number runs over ≤50 rows); the fusion
+    // itself is a 50x50 outer join.
+    "q89_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.VectorExpressions.vecDot
+      val sparse50 = InvertedIndex.bm25(docs(s, d), "doc_id", "text", QueryTerms)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("r_sparse",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      val e = graft.Tables.load(s, d, "embeddings")
+      val norm = (v: org.apache.spark.sql.Column) => sqrt(vecDot(v, v))
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"), norm(col("embedding")).as("qn"))
+      val dense50 = e.crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          round(vecDot(col("embedding"), col("qemb"))
+            / (norm(col("embedding")) * col("qn")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("r_dense",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      sparse50.select(col("doc_id"), col("r_sparse"))
+        .join(dense50.select(col("doc_id"), col("r_dense")), Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          when(col("r_sparse").isNotNull, lit(1.0) / (lit(60) + col("r_sparse")))
+            .otherwise(lit(0.0)) +
+          when(col("r_dense").isNotNull, lit(1.0) / (lit(60) + col("r_dense")))
+            .otherwise(lit(0.0)), 6))
+        .select(col("doc_id"), col("rrf"),
+          col("r_sparse").cast("long").as("r_sparse"),
+          col("r_dense").cast("long").as("r_dense"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     })
   )
 
@@ -108,6 +148,50 @@ object SearchQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
         |  CAST(min(i) AS BIGINT) AS first_pos
         |FROM pos WHERE ws[i] = 'hash' AND ws[i+1] = 'join'
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q89_hybrid_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+         |       WHERE w IN $inTerms GROUP BY 1,2),
+         |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok
+         |       WHERE w IN $inTerms GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+         |         * tf.tf / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS score
+         |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |sparse AS (
+         |  SELECT doc_id, rn AS r_sparse FROM (
+         |    SELECT doc_id, row_number() OVER
+         |      (ORDER BY round(score, 6) DESC, doc_id) AS rn FROM sc)
+         |  WHERE rn <= 50),
+         |q0 AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |cosv AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(list_sum(list_transform(generate_series(1, 64),
+         |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q0.qemb[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(e.embedding,
+         |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(q0.qemb,
+         |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cos
+         |  FROM embeddings e CROSS JOIN q0),
+         |dense AS (
+         |  SELECT doc_id, rn AS r_dense FROM (
+         |    SELECT doc_id, row_number() OVER
+         |      (ORDER BY cos DESC, doc_id) AS rn FROM cosv)
+         |  WHERE rn <= 50)
+         |SELECT doc_id,
+         |  round(coalesce(CAST(1 AS DOUBLE)/(60 + r_sparse), 0)
+         |      + coalesce(CAST(1 AS DOUBLE)/(60 + r_dense), 0), 6) AS rrf,
+         |  CAST(r_sparse AS BIGINT) AS r_sparse,
+         |  CAST(r_dense AS BIGINT) AS r_dense
+         |FROM sparse FULL OUTER JOIN dense USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }
