@@ -237,6 +237,17 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // CUBE: all 2^n grouping sets in one pass (same Expand-based plan
+    // family as rollup — Spark replicates each input row once per
+    // grouping set before ONE hash agg, so it stays a single shuffle).
+    "q90_cube" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // Session assignment in pure SQL-window form: a session starts where
     // the gap to the previous event of the same user exceeds 30 min;
     // session id = running count of session starts (lag + cumulative sum
@@ -469,6 +480,11 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q90_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q48_sessions" ->
       """WITH marked AS (

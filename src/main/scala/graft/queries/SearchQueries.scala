@@ -92,6 +92,36 @@ object SearchQueries {
           col("r_sparse").cast("long").as("r_sparse"),
           col("r_dense").cast("long").as("r_dense"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
+
+    // Collocation mining by pointwise mutual information: bigrams whose
+    // joint probability beats independence, pmi = log2(P(w1w2) /
+    // (P(w1)·P(w2))), min joint count 20 — the phrase-mining signal a
+    // tokenizer/vocabulary pipeline uses. Two hash aggs (bigram +
+    // unigram counts) and a vocabulary-sized join; nothing corpus².
+    "q91_collocations" -> ((s, d) => {
+      val bg = InvertedIndex.bigrams(docs(s, d), "doc_id", "text")
+      // tracked: both count frames feed two+ consumers (the PMI join and
+      // their totals) — one corpus pass each, vocab-sized afterwards
+      val c2 = graft.runner.Materialize.track(
+        bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+      val uni = docs(s, d)
+        .select(explode(graft.text.TextFunctions.words(col("text"))).as("w"))
+      val c1 = graft.runner.Materialize.track(
+        uni.groupBy(col("w")).agg(count(lit(1)).as("c1")))
+      val t2 = c2.agg(sum(col("c2")).as("t2"))
+      val t1 = c1.agg(sum(col("c1")).as("t1"))
+      c2.filter(col("c2") >= 20)
+        .join(broadcast(c1.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
+        .join(broadcast(c1.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
+        .crossJoin(broadcast(t2)).crossJoin(broadcast(t1)) // single-row frames
+        .select(col("w1"), col("w2"), col("c2"),
+          round(log(
+            (col("c2") / col("t2")) /
+              ((col("c1a") / col("t1")) * (col("c1b") / col("t1"))))
+            / log(lit(2.0)), 6).as("pmi"))
+        .orderBy(round(col("pmi"), 6).desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -192,6 +222,29 @@ object SearchQueries {
          |  CAST(r_sparse AS BIGINT) AS r_sparse,
          |  CAST(r_dense AS BIGINT) AS r_dense
          |FROM sparse FULL OUTER JOIN dense USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q91_collocations" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |             FROM documents),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+        |        FROM tok WHERE len(ws) >= 2),
+        |big AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM pos),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1,2),
+        |uni AS (SELECT unnest(ws) AS w FROM tok),
+        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(c2) AS BIGINT) AS t2 FROM c2),
+        |t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS t1 FROM c1)
+        |SELECT c2.w1, c2.w2, c2.c2,
+        |  round(ln((c2.c2 / t2.t2) /
+        |           ((a.c1 / t1.t1) * (b.c1 / t1.t1))) / ln(2), 6) AS pmi
+        |FROM c2
+        |JOIN c1 a ON c2.w1 = a.w
+        |JOIN c1 b ON c2.w2 = b.w
+        |CROSS JOIN t2 CROSS JOIN t1
+        |WHERE c2.c2 >= 20
+        |ORDER BY round(ln((c2.c2 / t2.t2) /
+        |           ((a.c1 / t1.t1) * (b.c1 / t1.t1))) / ln(2), 6) DESC,
+        |  c2.w1, c2.w2 LIMIT 20""".stripMargin
   )
 }
