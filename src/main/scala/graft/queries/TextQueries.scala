@@ -231,7 +231,19 @@ object TextQueries {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("split"), col("lang"))
-    })
+    }),
+
+    // TRAINED BPE token counting: learn 24 merges from this corpus's
+    // word-frequency dict (Sennrich et al. 2016), then count per-lang
+    // BPE tokens via a broadcast word→length map — a real trainable
+    // tokenizer beside q24's fixed-regex approximation. The training
+    // loop is sequential-greedy with data-dependent argmax, which no
+    // single DuckDB SQL statement expresses — DECLARED rows-only gate;
+    // exactness is covered by BpeSuite (classic-example merges, the
+    // encode==trainer-segmentation invariant, and a driver brute-force
+    // parity run of this exact query shape).
+    "q92_bpe_tokens" -> ((s, d) =>
+      graft.operators.BpeTokenizer.tokenCounts(docs(s, d), "lang", "text", 24))
   )
 
   private val markerSql: Map[String, String] =
