@@ -25,7 +25,8 @@ object Analyze {
   val Sections: Seq[String] = Seq(
     "q24_token_count", "q25_text_quality", "q26_lang_id",
     "q27_fingerprint", "q28_dedup_exact", "q75_repetition_filter",
-    "q76_span_dedup", "q79_unigram_surprisal", "q80_keyness_terms")
+    "q76_span_dedup", "q79_unigram_surprisal", "q80_keyness_terms",
+    "q91_collocations", "q92_bpe_tokens")
 
   def run(spark: SparkSession, sfDir: String, outDir: String): String = {
     try {

@@ -197,6 +197,34 @@ class PlanAuditSuite extends SparkTestBase {
     assert(p.contains("HashAggregate"), "final rollup should hash-aggregate")
   }
 
+  test("retrieval family: tf/df joins hash or broadcast, no plain cartesians") {
+    for (q <- Seq("q85_bm25", "q86_bigram_lm", "q87_phrase_search",
+        "q91_collocations")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      graft.runner.Materialize.releaseAll()
+    }
+    // the single-row stats frames join as broadcast nested loops — that
+    // IS the intended scalar-broadcast shape; assert the score join
+    // itself is a hash join
+    val bm = plan("q85_bm25")
+    assert(bm.contains("BroadcastHashJoin") || bm.contains("SortMergeJoin"),
+      "q85's tf/dl join must be a hash/merge join:\n" + bm.take(1200))
+    graft.runner.Materialize.releaseAll()
+  }
+
+  test("q90 cube stays one Expand + partial/final aggregation, one shuffle") {
+    val p = plan("q90_cube")
+    assert(p.contains("Expand"), "cube should plan an Expand")
+    // formatted explain mentions each node twice (tree + detail header);
+    // count only the numbered detail headers
+    val shuffles = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(shuffles <= 2, // one agg exchange + the final orderBy range
+      s"q90 should shuffle once for the agg (plus the sort), got $shuffles:\n${p.take(1200)}")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
+  }
+
   test("no accidental cartesian products in the relational queries") {
     // q14/q33-style broadcast nested loop joins are intentional
     // (scalar-subquery cross and non-equi pair join); plain
