@@ -331,6 +331,22 @@ object DedupQueries {
         .orderBy(col("cluster_id"))
     }),
 
+    // PageRank centrality over the (symmetrized) near-dup graph, 10
+    // fixed iterations, GraphX semantics — within a duplicate family
+    // the highest-rank member is the most-connected representative, the
+    // principled "which copy to keep" signal beside q69's raw clusters.
+    // The oracle replays the identical iteration as a recursive CTE.
+    "q93_pagerank" -> ((s, d) => {
+      val e = nearDupEdges(docs(s, d))
+      val sym = e.select(col("da").as("u"), col("db").as("v"))
+        .unionAll(e.select(col("db").as("u"), col("da").as("v")))
+        .distinct()
+      graft.operators.PageRank.run(sym, 10)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Near-dup REMOVAL (not just detection): per-language counts of the
     // documents retained after dropping every doc that has a
     // smaller-id neighbor at hamming <= 3 — the "keep one
@@ -527,6 +543,32 @@ object DedupQueries {
          |$ccCtes
          |SELECT component AS cluster_id, count(*) AS n_members
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NB inside WITH RECURSIVE every UNION between CTE branches gets the
+    // recursive-union treatment — plain set-union CTEs must be written
+    // UNION ALL + outer DISTINCT (measured: `a UNION b` here kept dups).
+    "q93_pagerank" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |${nearDupEdgeCtes("documents")},
+         |sym AS (SELECT DISTINCT u, v FROM (
+         |  SELECT da AS u, db AS v FROM edges
+         |  UNION ALL SELECT db AS u, da AS v FROM edges)),
+         |outd AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+         |gnodes AS (SELECT DISTINCT n FROM (
+         |  SELECT u AS n FROM sym UNION ALL SELECT v FROM sym)),
+         |pr(it, node, rank) AS (
+         |  SELECT 0, n, CAST(1.0 AS DOUBLE) FROM gnodes
+         |  UNION ALL
+         |  SELECT it + 1, node, (1 - 0.85) + 0.85 * sum(c)
+         |  FROM (
+         |    SELECT p.it, s.v AS node, p.rank / o.d AS c
+         |    FROM pr p JOIN outd o ON o.u = p.node JOIN sym s ON s.u = p.node
+         |    UNION ALL
+         |    SELECT p.it, p.node, CAST(0.0 AS DOUBLE) FROM pr p) contrib
+         |  WHERE it < 10
+         |  GROUP BY it, node)
+         |SELECT node AS doc_id, round(rank, 6) AS rank
+         |FROM pr WHERE it = 10
+         |ORDER BY round(rank, 6) DESC, node LIMIT 20""".stripMargin,
     "q31b_simhash_dedup" ->
       s"""WITH h AS (
          |  SELECT doc_id, $simhashExpr AS sh
