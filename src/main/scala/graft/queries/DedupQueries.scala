@@ -337,7 +337,9 @@ object DedupQueries {
     // principled "which copy to keep" signal beside q69's raw clusters.
     // The oracle replays the identical iteration as a recursive CTE.
     "q93_pagerank" -> ((s, d) => {
-      val e = nearDupEdges(docs(s, d))
+      // tracked: the union references the edge pipeline twice — without
+      // the persist both near-dup signal branches execute twice
+      val e = graft.runner.Materialize.track(nearDupEdges(docs(s, d)))
       val sym = e.select(col("da").as("u"), col("db").as("v"))
         .unionAll(e.select(col("db").as("u"), col("da").as("v")))
         .distinct()

@@ -33,6 +33,20 @@ class PageRankSuite extends SparkTestBase {
       assert(math.abs(got(n) - r) < 1e-9, s"node $n: ${got(n)} vs $r") }
   }
 
+  test("fast path and distributed path agree across the threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (3L, 5L))
+    val fast = PageRank.run(edges.toDF("u", "v"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = PageRank.run(edges.toDF("u", "v"), 10, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.runner.Materialize.releaseAll()
+    assert(fast.keySet === dist.keySet)
+    fast.foreach { case (n, r) =>
+      assert(math.abs(dist(n) - r) < 1e-12, s"node $n") }
+  }
+
   test("rank ordering reflects centrality on a star graph") {
     val spark2 = spark
     import spark2.implicits._
