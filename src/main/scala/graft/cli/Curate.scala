@@ -37,7 +37,10 @@ object Curate {
     try {
       val docs = graft.Tables.parallelized(
         graft.Tables.load(spark, sfDir, "documents"))
-      val state = graft.queries.IncrementalCuration.initState(docs, minChars)
+      // tracked: the state frame is written TWICE (docs + components) —
+      // untracked, each write re-runs the 4-way state join and the CC job
+      val state = graft.runner.Materialize.track(
+        graft.queries.IncrementalCuration.initState(docs, minChars))
       state.drop("component").write.mode("overwrite")
         .parquet(s"$outDir/state/docs")
       state.select(col("doc_id"), col("component")).write.mode("overwrite")

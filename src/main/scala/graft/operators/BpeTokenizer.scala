@@ -34,20 +34,21 @@ object BpeTokenizer {
     * on THIS corpus: `(groupCol, n_docs, total_ws_tokens,
     * total_bpe_tokens)`. One corpus pass builds the vocabulary, the
     * merge loop and per-distinct-word encoding run on the dict, and one
-    * more pass joins the broadcast length map.
+    * more pass joins the broadcast length map. `idCol` names the
+    * document identity column for the per-doc rollup.
     */
   def tokenCounts(df: DataFrame, groupCol: String, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int, idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
     val vocab = collectVocab(df, textCol)
     val ranks = Bpe.train(vocab, numMerges).zipWithIndex.toMap
     val lens = vocab.map { case (w, _) =>
       (w, Bpe.encode(w, ranks).length.toLong) }
     val lensDf = spark.createDataFrame(lens).toDF("w", "n_bpe")
-    df.select(col(groupCol), col("doc_id"),
+    df.select(col(groupCol), col(idCol),
         explode(TextFunctions.words(col(textCol))).as("w"))
       .join(broadcast(lensDf), "w")
-      .groupBy(col(groupCol), col("doc_id"))
+      .groupBy(col(groupCol), col(idCol))
       .agg(count(lit(1)).as("n_ws"), sum(col("n_bpe")).as("n_bpe"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),

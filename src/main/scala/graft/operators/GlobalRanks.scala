@@ -120,6 +120,9 @@ object GlobalRanks {
     require(budget > 0, "packByBudget budget must be positive")
     require(!df.columns.contains("seq_id"),
       "packByBudget appends a 'seq_id' column; input already has one")
+    require(!df.columns.contains("__pid"),
+      "packByBudget uses an internal '__pid' column; input already has one" +
+        " (withColumn would replace it in place and break the row arity)")
     // Freeze the range partitioning (see ntileByRange: two executions of
     // repartitionByRange can sample different bounds); trackLazy — the
     // weight-sum aggregate below is the materializing scan. The range

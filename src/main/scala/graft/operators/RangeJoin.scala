@@ -42,8 +42,12 @@ object RangeJoin {
     * that know their data can still pass an explicit width.
     */
   def autoBinWidth(intervals: DataFrame, loCol: String, hiCol: String): Long = {
+    // cast: approx_percentile returns the input type — for INT/SHORT
+    // interval columns (valid per pointInInterval's integral contract)
+    // getLong on the raw result would ClassCastException
     val r = intervals.filter(col(loCol) < col(hiCol))
-      .agg(expr(s"approx_percentile(`$hiCol` - `$loCol`, 0.5)").as("w"))
+      .agg(expr(s"approx_percentile(`$hiCol` - `$loCol`, 0.5)")
+        .cast("long").as("w"))
       .collect()(0)
     if (r.isNullAt(0)) 1L else math.max(r.getLong(0), 1L)
   }

@@ -154,7 +154,12 @@ object DedupQueries {
         md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
     }
     val keep = col("doc_id") +: newFlag.map(col).toSeq
+    // null signatures (shingle-less docs from the incremental state's
+    // LEFT sig join) must not band: concat_ws SKIPS nulls, so they would
+    // all share the md5("") bucket — a pair blowup of always-unverifiable
+    // candidates
     val bandRows = sigs
+      .filter(col(SigCols.head).isNotNull)
       .select(keep :+ explode(array(bands: _*)).as("b"): _*)
       .select(keep ++ Seq(col("b.band").as("band"), col("b.bucket").as("bucket")): _*)
     val ba = bandRows.as("ba"); val bb = bandRows.as("bb")

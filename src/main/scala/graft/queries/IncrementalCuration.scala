@@ -54,7 +54,11 @@ object IncrementalCuration {
         DedupQueries.minhashCandidates(sigs), hashed))
     val labels = graft.operators.ConnectedComponents.run(edges)
       .withColumnRenamed("id", "doc_id")
-    kept.join(sh, Seq("doc_id")).join(sigs, Seq("doc_id"))
+    // sigs LEFT: a quality-passing doc with < 3 tokens has no shingles,
+    // hence no MinHash group — an inner join would silently drop it from
+    // the state (and the corpus) where the from-scratch pipeline keeps
+    // it; null signatures are excluded from banding in minhashCandidates
+    kept.join(sh, Seq("doc_id")).join(sigs, Seq("doc_id"), "left")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
   }
@@ -83,7 +87,10 @@ object IncrementalCuration {
     val shB = Materialize.track(DedupQueries.simhashOf(toks))
     val sigB = Materialize.track(DedupQueries.minhashSigsOf(hashedB))
     BatchPrep(
-      Materialize.track(bKept.join(shB, Seq("doc_id")).join(sigB, Seq("doc_id"))),
+      // sigB LEFT for the same reason as initState: shingle-less docs
+      // stay in the state with null signatures
+      Materialize.track(
+        bKept.join(shB, Seq("doc_id")).join(sigB, Seq("doc_id"), "left")),
       hashedB)
   }
 
@@ -132,6 +139,16 @@ object IncrementalCuration {
     * rebuild would decide.
     */
   def addBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): DataFrame = {
+    // the rebuild-parity argument requires batch ids ABOVE all state ids
+    // (component minima must not migrate; equal ids would fan out every
+    // doc_id join) — two scalar aggs turn silent corruption into an error
+    val smax = state.agg(max(col("doc_id"))).collect()(0)
+    val bmin = batch.agg(min(col("doc_id"))).collect()(0)
+    if (!smax.isNullAt(0) && !bmin.isNullAt(0)) {
+      require(bmin.getLong(0) > smax.getLong(0),
+        s"addBatch: batch doc_ids must exceed all state doc_ids " +
+          s"(state max ${smax.getLong(0)}, batch min ${bmin.getLong(0)})")
+    }
     val prep = prepareBatch(state, batch, minChars)
     val comps = components(state, prep)
     state.drop("component").unionByName(prep.rows)

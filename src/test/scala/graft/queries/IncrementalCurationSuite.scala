@@ -84,4 +84,55 @@ class IncrementalCurationSuite extends SparkTestBase {
     // so ONLY the min-id representative survives (not a vacuous pass)
     assert(inc.map(_.head) == Seq(1L), s"expected sole survivor 1, got $inc")
   }
+
+  test("quality-passing docs with fewer than 3 tokens survive the state") {
+    import spark.implicits._
+    // Regression: a doc over the char floor whose text is ONE long token
+    // has no 3-gram shingles, hence no MinHash signature group — the
+    // former inner sig join silently dropped it from the state while the
+    // from-scratch pipeline kept it.
+    val mk = (id: Long, text: String) =>
+      (id, text, "en", "unit", text.length.toLong)
+    val longToken = "x" * 120
+    val corpus0 = Seq(
+      mk(1, longToken),
+      mk(2, Seq.tabulate(50)(i => s"w$i").mkString(" "))).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val full = snapshot(CurationQueries.curate(corpus0))
+    graft.runner.Materialize.releaseAll()
+    val viaState = snapshot(IncrementalCuration.corpus(
+      IncrementalCuration.initState(corpus0)))
+    graft.runner.Materialize.releaseAll()
+    assert(viaState == full)
+    assert(viaState.map(_.head).contains(1L),
+      s"the shingle-less doc must survive, got ${viaState.map(_.head)}")
+
+    // and an incremental add of another shingle-less doc keeps parity
+    val batch = Seq(mk(100, "y" * 150)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val fullB = snapshot(CurationQueries.curate(corpus0.unionByName(batch)))
+    graft.runner.Materialize.releaseAll()
+    val st = IncrementalCuration.addBatch(
+      IncrementalCuration.initState(corpus0), batch)
+    val incB = snapshot(IncrementalCuration.corpus(st))
+    graft.runner.Materialize.releaseAll()
+    assert(incB == fullB)
+    assert(incB.map(_.head).contains(100L))
+  }
+
+  test("addBatch rejects batches whose ids do not exceed the state's") {
+    import spark.implicits._
+    val mk = (id: Long, text: String) =>
+      (id, text, "en", "unit", text.length.toLong)
+    val corpus0 = Seq(mk(10, "a" * 120)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val badBatch = Seq(mk(5, "b" * 120)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val st = IncrementalCuration.initState(corpus0)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalCuration.addBatch(st, badBatch)
+    }
+    graft.runner.Materialize.releaseAll()
+    assert(ex.getMessage.contains("must exceed"))
+  }
 }
