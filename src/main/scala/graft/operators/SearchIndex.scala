@@ -86,6 +86,22 @@ object SearchIndex {
       targetFileBytes: Long = graft.layout.Compactor.DefaultTargetFileBytes): Unit =
     graft.layout.Compactor.compact(spark, s"$dir/postings", targetFileBytes)
 
+  /** Frozen BM25 corpus statistics for a query — the driver-side handle
+    * that lets a STREAM score arrivals without joins (see
+    * EventStream.bm25Score). Reading df(t) touches only the query
+    * terms' postings files; N/avgdl come from the doclen table.
+    */
+  case class Bm25Stats(n: Long, avgdl: Double, df: Map[String, Long])
+
+  def stats(spark: SparkSession, dir: String, terms: Seq[String]): Bm25Stats = {
+    val dl = spark.read.parquet(s"$dir/doclen")
+    val r = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).collect()(0)
+    val dfm = postings(spark, dir).filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    Bm25Stats(r.getLong(0), r.getDouble(1), dfm)
+  }
+
   /** BM25 top scores from the stored index — identical math and output
     * to [[InvertedIndex.bm25]], but reads only the query terms' postings
     * files plus the doclen table; the corpus text is never touched.

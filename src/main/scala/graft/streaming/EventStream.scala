@@ -104,6 +104,40 @@ object EventStream {
     nearDupGate(fresh, state.select(col("sh")))
   }
 
+  /** Streaming BM25 scoring: score each ARRIVING doc against a fixed
+    * query under corpus statistics frozen from the persisted index
+    * (SearchIndex.stats) — relevance/contamination triage at ingest
+    * rate. 100% stateless and join-free: per-term tf is a per-row
+    * array-count expression over the tokenized text, doc length is
+    * `size(words)`, and N/avgdl/df enter the plan as literals — no
+    * explode, no aggregation, no watermark, no state store. Identical
+    * math to InvertedIndex.bm25 (Lucene-style non-negative idf);
+    * parity pinned in the suite. Docs containing no query term score
+    * 0.0 (they are not dropped — triage, not a gate).
+    */
+  def bm25Score(docs: DataFrame,
+      stats: graft.operators.SearchIndex.Bm25Stats, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.text.TextFunctions.words
+    val ws = words(col("text"))
+    val dl = size(ws).cast("double")
+    val termScores = terms.distinct.flatMap { t =>
+      stats.df.get(t).map { dft =>
+        val idf = math.log(
+          (stats.n - dft + 0.5) / (dft + 0.5) + 1.0)
+        val tf = size(filter(ws, w => w === t)).cast("double")
+        when(tf > 0,
+          lit(idf) * tf /
+            (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / lit(stats.avgdl))))
+          .otherwise(lit(0.0))
+      }
+    }
+    val score =
+      if (termScores.isEmpty) lit(0.0)
+      else termScores.reduce(_ + _)
+    docs.withColumn("score", score)
+  }
+
   /** Stream-stream interval join — the streaming twin of the batch
     * RangeJoin: every left row opens a window `[lTs, lTs+window)` and
     * matches right rows inside it. Spark refuses stream-stream joins

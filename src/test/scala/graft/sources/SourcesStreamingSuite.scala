@@ -381,4 +381,37 @@ class SourcesStreamingSuite extends SparkTestBase {
       Seq(Multimodal.AudioRow(77L, Array[Byte](9, 9))).toDS()).collect()(0)
     assert(!bad.decodeOk && bad.nSamples == 0)
   }
+
+  test("streaming BM25 scoring equals the indexed batch scores, join-free") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val idx = tmpDir("stream_bm25_idx")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.SearchIndex.build(corpus, "doc_id", "text", idx)
+    val terms = Seq("hash", "join", "merge")
+    val stats = graft.operators.SearchIndex.stats(spark, idx, terms)
+    graft.runner.Materialize.releaseAll()
+
+    val srcDir = tmpDir("stream_bm25_src")
+    corpus.select("doc_id", "text").write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(corpus.select("doc_id", "text").schema).parquet(srcDir)
+    val scored = EventStream.bm25Score(stream, stats, terms)
+    val q = scored.writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("bm25_stream").select("doc_id", "score")
+      .as[(Long, Double)].collect().toMap
+    val want = graft.operators.SearchIndex.bm25(spark, idx, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.runner.Materialize.releaseAll()
+    assert(got.size == corpus.count(), "every arrival must be scored")
+    want.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-9, s"doc $id: ${got(id)} vs $s") }
+    // docs without any query term score exactly zero and are retained
+    (got.keySet -- want.keySet).foreach { id =>
+      assert(got(id) == 0.0, s"doc $id without query terms must score 0") }
+  }
 }
