@@ -248,6 +248,36 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // Explicit GROUPING SETS (an arbitrary set list, not the rollup/cube
+    // lattice): per-returnflag totals, per-linestatus totals, and the
+    // grand total — rows distinguished by their null pattern, no
+    // engine-specific grouping_id bit order in the gate. Same
+    // single-Expand single-shuffle plan family.
+    "q94_grouping_sets" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Rank-distribution windows: percent_rank + cume_dist per language
+    // over doc length, emitting only the top tail (cume_dist <= 0.05).
+    // Partitioned windows (per-lang), never a global sort.
+    "q95_percent_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      T(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("cume") <= 0.05)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Session assignment in pure SQL-window form: a session starts where
     // the gap to the previous event of the same user exceeds 30 min;
     // session id = running count of session starts (lag + cumulative sum
@@ -486,6 +516,20 @@ object RelationalQueries {
         | round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q94_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q95_percent_rank" ->
+      """SELECT lang, doc_id, n_chars, pct_rank, cume FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    round(percent_rank() OVER w, 6) AS pct_rank,
+        |    round(cume_dist() OVER w, 6) AS cume
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id))
+        |WHERE cume <= 0.05 ORDER BY lang, doc_id""".stripMargin,
     "q48_sessions" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,
