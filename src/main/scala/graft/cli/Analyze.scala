@@ -38,23 +38,26 @@ object Analyze {
       }
       // headline numbers from the written sections (each is a tiny
       // per-lang/source rollup — driver-side reads are bounded by the
-      // group counts, never corpus-sized)
+      // group counts, never corpus-sized). Columns are cast explicitly:
+      // inferSchema on a header-only (empty-corpus) CSV types every
+      // column string, and implicit string arithmetic is fragile if a
+      // section ever gains a same-named non-numeric column.
       def section(name: String) =
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .csv(s"$outDir/sections/$name")
+        spark.read.option("header", "true").csv(s"$outDir/sections/$name")
+      def asL(name: String) = col(name).cast("long")
       // coalesce(0): an empty corpus leaves header-only section CSVs
       // whose sums are null — the summary must still be written
       def sumOf(name: String, expr: org.apache.spark.sql.Column): Long =
         section(name).agg(coalesce(sum(expr), lit(0L)).cast("long"))
           .collect()(0).getLong(0)
       val tok = section("q24_token_count")
-        .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("docs"),
-          coalesce(sum(col("total_tokens")), lit(0L)).cast("long").as("toks"),
+        .agg(coalesce(sum(asL("n_docs")), lit(0L)).cast("long").as("docs"),
+          coalesce(sum(asL("total_tokens")), lit(0L)).cast("long").as("toks"),
           count(lit(1)).as("langs")).collect()(0)
-      val rep = sumOf("q75_repetition_filter", col("n_docs") - col("n_kept"))
-      val spn = sumOf("q76_span_dedup", col("n_dropped"))
-      val sur = sumOf("q79_unigram_surprisal", col("n_flagged"))
-      val dup = sumOf("q28_dedup_exact", col("n_docs") - col("n_unique"))
+      val rep = sumOf("q75_repetition_filter", asL("n_docs") - asL("n_kept"))
+      val spn = sumOf("q76_span_dedup", asL("n_dropped"))
+      val sur = sumOf("q79_unigram_surprisal", asL("n_flagged"))
+      val dup = sumOf("q28_dedup_exact", asL("n_docs") - asL("n_unique"))
       val summary =
         s"""{"sf_dir":"$sfDir","n_docs":${tok.getLong(0)},"total_tokens":${tok.getLong(1)},
            |"n_langs":${tok.getLong(2)},"exact_dup_docs":$dup,

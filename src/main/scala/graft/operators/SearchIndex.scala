@@ -71,11 +71,17 @@ object SearchIndex {
     val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(pdir))
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .map(p => norm(p.toString)).filterNot(known)
-    val entries = graft.layout.ZoneMap.collectStatsDf(
-      spark.read.parquet(fresh.toIndexedSeq: _*), before.statsCols)
-    graft.layout.ZoneMap.write(pdir, before.copy(files = before.files ++ entries))
-    InvertedIndex.docLengths(batch, idCol, textCol)
-      .write.mode("append").parquet(s"$dir/doclen")
+    // an empty batch (or a writer emitting zero files for empty
+    // partitions) appends nothing: reading zero parquet paths throws
+    // UNABLE_TO_INFER_SCHEMA and would abort mid-add with the manifest
+    // and doclen out of step — skip the whole update instead
+    if (fresh.nonEmpty) {
+      val entries = graft.layout.ZoneMap.collectStatsDf(
+        spark.read.parquet(fresh.toIndexedSeq: _*), before.statsCols)
+      graft.layout.ZoneMap.write(pdir, before.copy(files = before.files ++ entries))
+      InvertedIndex.docLengths(batch, idCol, textCol)
+        .write.mode("append").parquet(s"$dir/doclen")
+    }
   }
 
   /** Re-sort the postings into one global term order (the maintenance

@@ -60,29 +60,40 @@ object SearchQueries {
     // integers off rounded scores with doc_id tie-breaks, so the fused
     // doubles are bit-identical across engines. Scale shape: each list
     // is a distributed orderBy+limit (TakeOrdered, no global window
-    // over the corpus — the row_number runs over ≤50 rows); the fusion
-    // itself is a 50x50 outer join.
+    // over the corpus); the ≤50-row lists are then ranked by one
+    // collect_list agg + sort_array + posexplode — no unpartitioned
+    // WindowExec anywhere in the plan (round-8 VERDICT "Next #6") and
+    // no self-join that would recompute the retrieval subtree. The
+    // fusion itself is a 50x50 outer join.
     "q89_hybrid_rrf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       import graft.text.VectorExpressions.vecDot
-      val sparse50 = InvertedIndex.bm25(docs(s, d), "doc_id", "text", QueryTerms)
-        .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(50)
-        .withColumn("r_sparse",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      // rank a bounded top-k list: structs sort lexicographically, so
+      // (-score, doc_id) ascending == (score desc, doc_id asc); pos+1
+      // reproduces row_number exactly (doc_id is unique -> no ties)
+      def rankList(top: DataFrame, scoreCol: String, rankName: String): DataFrame =
+        top.agg(sort_array(collect_list(
+            struct((col(scoreCol) * -1).as("ns"), col("doc_id")))).as("xs"))
+          .select(posexplode(col("xs")))
+          .select(col("col.doc_id").as("doc_id"),
+            (col("pos") + 1).cast("int").as(rankName))
+      val sparse50 = rankList(
+        InvertedIndex.bm25(docs(s, d), "doc_id", "text", QueryTerms)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(50),
+        "score", "r_sparse")
       val e = graft.Tables.load(s, d, "embeddings")
       val norm = (v: org.apache.spark.sql.Column) => sqrt(vecDot(v, v))
       val q0 = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qemb"), norm(col("embedding")).as("qn"))
-      val dense50 = e.crossJoin(broadcast(q0))
-        .select(col("vec_id").as("doc_id"),
-          round(vecDot(col("embedding"), col("qemb"))
-            / (norm(col("embedding")) * col("qn")), 6).as("cos"))
-        .orderBy(col("cos").desc, col("doc_id")).limit(50)
-        .withColumn("r_dense",
-          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
-      sparse50.select(col("doc_id"), col("r_sparse"))
-        .join(dense50.select(col("doc_id"), col("r_dense")), Seq("doc_id"), "full_outer")
+      val dense50 = rankList(
+        e.crossJoin(broadcast(q0))
+          .select(col("vec_id").as("doc_id"),
+            round(vecDot(col("embedding"), col("qemb"))
+              / (norm(col("embedding")) * col("qn")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(50),
+        "cos", "r_dense")
+      sparse50
+        .join(dense50, Seq("doc_id"), "full_outer")
         .withColumn("rrf", round(
           when(col("r_sparse").isNotNull, lit(1.0) / (lit(60) + col("r_sparse")))
             .otherwise(lit(0.0)) +
