@@ -17,9 +17,12 @@ object Tables {
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
-  /** The events table's `ts` column is parquet TIMESTAMP(NANOS), which
-    * Spark only reads as LongType behind the legacy flag. We convert to
-    * microsecond TimestampType (truncating) so SQL date functions work.
+  /** The events table's `ts` column has shipped as parquet
+    * TIMESTAMP(NANOS) (read as LongType behind the legacy flag) and as
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TimestampNTZType).
+    * Normalize both to session-TZ TimestampType (the session is pinned
+    * UTC, so NTZ values carry over bit-identically) so `unix_micros` and
+    * SQL date functions work regardless of the writer's physical type.
     */
   private def normalizeEvents(df: DataFrame): DataFrame = {
     df.schema("ts").dataType match {
@@ -28,6 +31,8 @@ object Tables {
         // double ulp is ~256ns, so float division could shift a boundary
         // timestamp by 1µs and flip a date_trunc bucket.
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -236,12 +236,11 @@ object TextQueries {
     // TRAINED BPE token counting: learn 24 merges from this corpus's
     // word-frequency dict (Sennrich et al. 2016), then count per-lang
     // BPE tokens via a broadcast word→length map — a real trainable
-    // tokenizer beside q24's fixed-regex approximation. The training
-    // loop is sequential-greedy with data-dependent argmax, which no
-    // single DuckDB SQL statement expresses — DECLARED rows-only gate;
-    // exactness is covered by BpeSuite (classic-example merges, the
+    // tokenizer beside q24's fixed-regex approximation. Oracle: the
+    // merge loop replayed as a DuckDB recursive CTE (see oracles below);
+    // BpeSuite additionally pins classic-example merges, the
     // encode==trainer-segmentation invariant, and a driver brute-force
-    // parity run of this exact query shape).
+    // parity run of this exact query shape.
     "q92_bpe_tokens" -> ((s, d) =>
       graft.operators.BpeTokenizer.tokenCounts(docs(s, d), "lang", "text", 24))
   )
@@ -386,6 +385,66 @@ object TextQueries {
         |              ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
         |                % 100 AS b
         |            FROM documents))
-        |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // Trained-BPE replay: the sequential-greedy merge loop becomes a
+    // recursive CTE (the q93 PageRank replay pattern) — `state` carries
+    // every vocab word's current segmentation as a delimited string
+    // (chr(1) tok chr(2) per token, so replace() on a pair is exactly
+    // the trainer's left-to-right non-overlapping mergePair), and each
+    // recursion step joins the one argmax pair (count desc, left, right
+    // — Bpe.train's tie-break) computed over the working table, for 24
+    // steps or until no pair repeats. Per-word BPE length then reads
+    // off the FINAL segmentation — valid because encode() over merge
+    // ranks reproduces the trainer's final segmentation for every
+    // trained word (the invariant BpeSuite pins), and at gate scale the
+    // whole vocabulary trains (no maxVocab cap reached).
+    "q92_bpe_tokens" ->
+      """WITH RECURSIVE
+        |vocab AS (
+        |  SELECT w, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY w),
+        |state(it, w, cnt, s) AS (
+        |  SELECT 0, w, cnt,
+        |    array_to_string(list_transform(string_split(w, ''),
+        |      c -> chr(1) || c || chr(2)), '') || chr(1) || '</w>' || chr(2)
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT st.it + 1, st.w, st.cnt,
+        |    replace(st.s, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+        |                  chr(1)||b.l||b.r||chr(2))
+        |  FROM state st
+        |  JOIN (
+        |    SELECT it, l, r FROM (
+        |      SELECT it, l, r,
+        |        row_number() OVER (PARTITION BY it
+        |          ORDER BY sum(m) DESC, l, r) AS rn
+        |      FROM (
+        |        SELECT p.it, p.m, p.toks[i.i] AS l, p.toks[i.i + 1] AS r
+        |        FROM (SELECT it, cnt AS m,
+        |                string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS toks
+        |              FROM state) p,
+        |             unnest(generate_series(1, len(p.toks) - 1)) AS i(i))
+        |      GROUP BY it, l, r
+        |      HAVING sum(m) >= 2)
+        |    WHERE rn = 1) b ON b.it = st.it
+        |  WHERE st.it < 24),
+        |fin AS (
+        |  SELECT w,
+        |    len(string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)))::BIGINT AS n_bpe
+        |  FROM state WHERE it = (SELECT max(it) FROM state)),
+        |corpus AS (
+        |  SELECT lang, doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT lang, doc_id, count(*) AS n_ws, sum(n_bpe) AS n_bpe
+        |  FROM corpus JOIN fin USING (w)
+        |  GROUP BY lang, doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -62,13 +62,24 @@ object ScaleUp {
           // (ts shifted by the full span + 1h per copy, users/ids
           // shifted) so per-user densities and window populations stay
           // constant — time-colocated replication would grow keyless
-          // interval-join output QUADRATICALLY, not 10x. ts is raw
-          // TIMESTAMP(NANOS)-as-long here (no Tables normalization).
-          val b = df.agg(max(col("event_id")), max(col("user_id")),
+          // interval-join output QUADRATICALLY, not 10x. The raw ts
+          // column has shipped as TIMESTAMP(NANOS)-as-long and as
+          // TIMESTAMP(MICROS) (no Tables normalization here): shift in
+          // the source unit, restoring the source type afterwards.
+          val isTs = df.schema("ts").dataType !=
+            org.apache.spark.sql.types.LongType
+          val dfl =
+            if (isTs) df.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+            else df
+          val unitPerSec = if (isTs) 1000000L else 1000000000L
+          val b = dfl.agg(max(col("event_id")), max(col("user_id")),
             max(col("ts")) - min(col("ts"))).head()
-          val span = b.getLong(2) + 3600L * 1000000000L
-          replicate(df, Seq("event_id" -> (b.getLong(0) + 1),
+          val span = b.getLong(2) + 3600L * unitPerSec
+          val rep = replicate(dfl, Seq("event_id" -> (b.getLong(0) + 1),
             "user_id" -> (b.getLong(1) + 1), "ts" -> span))
+          if (isTs) rep.withColumn("ts",
+            timestamp_micros(col("ts")).cast("timestamp_ntz"))
+          else rep
         case "documents" =>
           // copy i>0 mutates each doc by deterministically dropping
           // ~10% of words (seeded by doc/copy/position): vocabulary and
