@@ -52,7 +52,14 @@ object Bench {
       case None => allNames.filterNot(baselineQueries)
     }
     var leakedCaches = 0
-    case class Run(sec: Double, spillMb: Long, gcMs: Long, cachedMb: Long, evictions: Int)
+    // task_gc and driver_gc are recorded SEPARATELY (round-9 ADVICE): in
+    // local mode every concurrent task observes the same JVM pause, so
+    // summed task jvmGCTime can legitimately exceed wall time up to the
+    // parallelism factor, and the driver MX-bean delta overlaps it again
+    // — one merged number misleads the regression-vs-environment triage.
+    case class Run(sec: Double, spillMb: Long, taskGcMs: Long, driverGcMs: Long,
+        cachedMb: Long, evictions: Int, jobs: Long, stages: Long, tasks: Long,
+        schedMs: Long, deserMs: Long)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Run = {
@@ -63,7 +70,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
-            return Run(-1.0, 0L, 0L, 0L, 0)
+            return Run(-1.0, 0L, 0L, 0L, 0L, 0, 0L, 0L, 0L, 0L, 0L)
         } finally {
           // leak-free AND honest: frames a builder registered via
           // Materialize.track are dropped after EVERY run, so each
@@ -76,9 +83,12 @@ object Bench {
         val d = diag.snapshot() - d0
         Run(sec,
           spillMb = (d.memSpilled + d.diskSpilled) / 1048576L,
-          gcMs = d.gcTimeMs + math.max(0L, driverGcMs() - g0),
+          taskGcMs = d.gcTimeMs,
+          driverGcMs = math.max(0L, driverGcMs() - g0),
           cachedMb = graft.runner.Materialize.peakTrackedBytes / 1048576L,
-          evictions = graft.runner.Materialize.evictions)
+          evictions = graft.runner.Materialize.evictions,
+          jobs = d.jobs, stages = d.stages, tasks = d.tasks,
+          schedMs = d.schedulerDelayMs, deserMs = d.deserializeMs)
       }
       // Spark's ContextCleaner reclaims shuffle files / broadcast blocks
       // only when their driver-side references are GARBAGE-COLLECTED — a
@@ -116,9 +126,15 @@ object Bench {
       "\"" + k + "\":{" +
         "\"sec\":[" + rs.map(r => f3(r.sec)).mkString(",") + "]," +
         "\"spill_mb\":[" + rs.map(_.spillMb).mkString(",") + "]," +
-        "\"gc_ms\":[" + rs.map(_.gcMs).mkString(",") + "]," +
+        "\"task_gc_ms\":[" + rs.map(_.taskGcMs).mkString(",") + "]," +
+        "\"driver_gc_ms\":[" + rs.map(_.driverGcMs).mkString(",") + "]," +
         "\"cached_mb\":[" + rs.map(_.cachedMb).mkString(",") + "]," +
-        "\"evictions\":[" + rs.map(_.evictions).mkString(",") + "]}"
+        "\"evictions\":[" + rs.map(_.evictions).mkString(",") + "]," +
+        "\"jobs\":[" + rs.map(_.jobs).mkString(",") + "]," +
+        "\"stages\":[" + rs.map(_.stages).mkString(",") + "]," +
+        "\"tasks\":[" + rs.map(_.tasks).mkString(",") + "]," +
+        "\"sched_ms\":[" + rs.map(_.schedMs).mkString(",") + "]," +
+        "\"deser_ms\":[" + rs.map(_.deserMs).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // only a FULL sweep records the committed two-run detail — a filtered

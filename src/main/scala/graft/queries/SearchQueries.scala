@@ -69,10 +69,16 @@ object SearchQueries {
       import graft.text.VectorExpressions.vecDot
       // rank a bounded top-k list: structs sort lexicographically, so
       // (-score, doc_id) ascending == (score desc, doc_id asc); pos+1
-      // reproduces row_number exactly (doc_id is unique -> no ties)
+      // reproduces row_number exactly (doc_id is unique -> no ties).
+      // NaN (a zero-norm embedding or query makes cos 0/0) negates to
+      // NaN, which ascending sort would rank LAST — but both engines'
+      // `ORDER BY score DESC` rank NaN FIRST (sorts greatest). Mapping
+      // NaN to -inf (cos is in [-1,1], no collision) keeps the struct
+      // sort provably identical to row_number(score desc, doc_id).
       def rankList(top: DataFrame, scoreCol: String, rankName: String): DataFrame =
         top.agg(sort_array(collect_list(
-            struct((col(scoreCol) * -1).as("ns"), col("doc_id")))).as("xs"))
+            struct(when(isnan(col(scoreCol)), lit(Double.NegativeInfinity))
+              .otherwise(col(scoreCol) * -1).as("ns"), col("doc_id")))).as("xs"))
           .select(posexplode(col("xs")))
           .select(col("col.doc_id").as("doc_id"),
             (col("pos") + 1).cast("int").as(rankName))

@@ -22,32 +22,40 @@ import org.apache.spark.storage.StorageLevel
   * runners place inside the timed region — measured numbers stay honest
   * (each run pays for computing the frame exactly once).
   *
-  * Robustness under memory pressure (round-8 VERDICT "Next #1"): the
-  * driver's constrained sweep evicted MEMORY_AND_DISK caches and silently
-  * recomputed them, turning 2-second queries into 114-second ones. Two
-  * defenses:
+  * Robustness under memory pressure (round-8 VERDICT "Next #1"): frames
+  * persist at MEMORY_AND_DISK_SER — serialized blocks are smaller in
+  * storage memory and, when they do not fit, *spill to local disk instead
+  * of being dropped*, so pressure becomes a disk read rather than a full
+  * recompute. That spill path is the pressure valve; deliberate eviction
+  * is restricted to frames that OUTLIVED their query (round-9 ADVICE):
+  * unpersisting a frame registered by the query still running forces a
+  * recompute of exactly the nondeterministic frames [[track]] exists to
+  * stabilize (SfcTable.joinPruned's dim — limit/sample/rand re-execution
+  * changes the rows, silently corrupting the join). So [[enforceBudget]]
+  * only ever victimizes entries from earlier [[releaseAll]] epochs
+  * (stragglers a runner failed to release), never the current query's,
+  * and pinned entries never.
   *
-  *  - frames persist at MEMORY_AND_DISK_SER — serialized blocks are
-  *    smaller in storage memory and, when they do not fit, *spill to
-  *    local disk instead of being dropped*, so eviction becomes a disk
-  *    read rather than a full recompute;
-  *  - tracked bytes are bounded by [[budgetBytes]]
-  *    (GRAFT_CACHE_BUDGET_MB, default maxHeap/4): when a new track()
-  *    pushes the total over budget, the LARGEST older frame is evicted
-  *    deliberately (and counted in [[evictions]]) rather than leaving the
-  *    block manager to drop partitions at random mid-stage.
+  * Attribution (round-9 ADVICE): each frame is sized from its OWN
+  * cached-RDD id (CacheManager → cachedColumnBuffers.id →
+  * getRDDStorageInfo), after draining the async listener bus that
+  * populates the status store — not from a before/after delta of global
+  * storage sums, which misattributes concurrent materialization and
+  * misses just-cached blocks still queued on the bus.
   */
 object Materialize {
 
-  private case class Tracked(df: DataFrame, var bytes: Long)
+  private case class Tracked(df: DataFrame, var bytes: Long,
+      epoch: Long, pinned: Boolean)
 
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Tracked]()
   private val evicted = new AtomicInteger(0)
   private val peakBytes = new AtomicLong(0L)
+  private val currentEpoch = new AtomicLong(0L)
 
-  /** Cap on simultaneously-tracked cache bytes; the floor is one frame
-    * (the most recent is never evicted — its consumer is about to read
-    * it).
+  /** Cap on simultaneously-tracked cache bytes; enforcement only reclaims
+    * frames from earlier epochs (see class doc) — within a query the
+    * MEMORY_AND_DISK_SER spill path bounds memory instead.
     */
   val budgetBytes: Long = sys.env.get("GRAFT_CACHE_BUDGET_MB")
     .flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -62,28 +70,41 @@ object Materialize {
 
   def resetDiag(): Unit = { evicted.set(0); peakBytes.set(0L) }
 
-  /** Sum of (memSize + diskSize) over all persisted RDDs — during a
-    * sweep the only persisted frames are tracked ones, so this is the
-    * tracked footprint.
+  /** This frame's own cached footprint (memSize + diskSize of its
+    * cached-column-buffer RDD). Drains the listener bus first: storage
+    * info is populated by the async AppStatusListener, so an immediate
+    * read after count() can miss the just-cached blocks entirely.
     */
   private def storageBytes(df: DataFrame): Long = {
     val sc = df.sparkSession.sparkContext
-    sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    org.apache.spark.graftbridge.SparkBridge.drainListenerBus(sc)
+    org.apache.spark.sql.graftbridge.Bridge.cachedRddId(df) match {
+      case Some(id) =>
+        sc.getRDDStorageInfo.find(_.id == id)
+          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+      case None => 0L
+    }
+  }
+
+  private def trackedBytesTotal: Long = {
+    var t = 0L
+    tracked.forEach(e => t += e.bytes)
+    t
   }
 
   /** Persist + eagerly materialize a frame consumed by multiple plan
     * branches; ownership passes to the next [[releaseAll]] caller.
+    * `pin = true` marks a correctness-critical frame (a stabilized
+    * nondeterministic input) that budget enforcement must never evict.
     */
-  def track(df: DataFrame): DataFrame = {
-    val before = storageBytes(df)
+  def track(df: DataFrame, pin: Boolean = false): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val entry = Tracked(df, 0L)
+    val entry = Tracked(df, 0L, currentEpoch.get(), pin)
     tracked.add(entry)
     df.count()
-    val after = storageBytes(df)
-    entry.bytes = math.max(0L, after - before)
-    peakBytes.accumulateAndGet(after, math.max)
-    enforceBudget(after)
+    entry.bytes = storageBytes(df)
+    peakBytes.accumulateAndGet(trackedBytesTotal, math.max)
+    enforceBudget()
     df
   }
 
@@ -92,37 +113,37 @@ object Materialize {
     * partition, e.g. a full-frame aggregate) — one job instead of
     * [[track]]'s count plus the action. The caller owns the guarantee
     * that the action really touches all partitions before the frame
-    * feeds multiple plan branches. Size is unknown at registration, so
-    * lazy frames are evicted only after every sized frame (bytes 0 sorts
-    * last).
+    * feeds multiple plan branches. Size is unknown at registration
+    * (bytes 0), so these are never budget victims either.
     */
   def trackLazy(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK_SER)
-    tracked.add(Tracked(df, 0L))
+    tracked.add(Tracked(df, 0L, currentEpoch.get(), pinned = false))
     df
   }
 
-  /** Unpersist the largest OLDER tracked frames until under budget. A
-    * consumer of an evicted frame recomputes it lazily — the controlled
-    * analog of what the block manager would otherwise do partition-by-
-    * partition at a worse moment.
+  /** Unpersist the largest sized, unpinned frames REGISTERED BY EARLIER
+    * EPOCHS until the tracked total is under budget. Current-epoch
+    * frames are never victims: their consumers are still running, and a
+    * forced recompute of a stabilized nondeterministic frame is a
+    * correctness bug, not a perf trade (class doc).
     */
-  private def enforceBudget(totalBytes: Long): Unit = {
-    var total = totalBytes
-    while (total > budgetBytes && tracked.size > 1) {
+  private def enforceBudget(): Unit = {
+    var total = trackedBytesTotal
+    val epoch = currentEpoch.get()
+    while (total > budgetBytes) {
       val entries = tracked.toArray(Array.empty[Tracked])
-      // never evict the newest entry (last in FIFO order)
-      val candidates = entries.dropRight(1)
+      val candidates = entries.filter(e => !e.pinned && e.epoch < epoch && e.bytes > 0L)
       if (candidates.isEmpty) return
       val victim = candidates.maxBy(_.bytes)
-      if (victim.bytes <= 0L) return // only unsized lazy frames left
       tracked.remove(victim)
       try victim.df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => () }
       evicted.incrementAndGet()
       System.err.println(
         s"[materialize] budget ${budgetBytes / 1048576} MB exceeded " +
-          s"(${total / 1048576} MB tracked): evicted a ${victim.bytes / 1048576} MB frame")
+          s"(${total / 1048576} MB tracked): evicted a stale " +
+          s"${victim.bytes / 1048576} MB frame (epoch ${victim.epoch})")
       total -= victim.bytes
     }
   }
@@ -136,7 +157,10 @@ object Materialize {
     */
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = trackedRdds.add(rdd)
 
-  /** Unpersist every tracked frame (leak-free runs; non-blocking). */
+  /** Unpersist every tracked frame (leak-free runs; non-blocking) and
+    * advance the eviction epoch — anything tracked after this call
+    * belongs to a new query.
+    */
   def releaseAll(): Unit = {
     var t = tracked.poll()
     while (t != null) {
@@ -150,5 +174,6 @@ object Materialize {
       catch { case scala.util.control.NonFatal(_) => () }
       rdd = trackedRdds.poll()
     }
+    currentEpoch.incrementAndGet()
   }
 }

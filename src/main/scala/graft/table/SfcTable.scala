@@ -265,7 +265,7 @@ object SfcTable {
     // could otherwise produce keys the pruning filter already removed,
     // silently dropping join rows. Caching also stops the dim pipeline
     // from being recomputed per consumer.
-    val stableDim = graft.runner.Materialize.track(dim)
+    val stableDim = graft.runner.Materialize.track(dim, pin = true)
     val keys = stableDim.select(col(dimKey)).filter(col(dimKey).isNotNull)
       .distinct().limit(inListLimit + 1).collect().map(_.get(0))
     val pruned =

@@ -36,4 +36,19 @@ object Bridge {
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+
+  /** The id of the cached-column-buffer RDD backing a persisted Dataset
+    * (CacheManager → InMemoryRelation → CachedRDDBuilder). This is the id
+    * `SparkContext.getRDDStorageInfo` reports the frame's storage under,
+    * so a caller can size ONE frame's footprint instead of diffing global
+    * storage sums (which misattributes concurrent cache/unpersist
+    * activity). None when the frame is not registered with the
+    * CacheManager.
+    */
+  def cachedRddId(df: DataFrame): Option[Int] = {
+    val cs = classicSession(df.sparkSession)
+    cs.sharedState.cacheManager
+      .lookupCachedData(cs, df.queryExecution.analyzed)
+      .map(_.cachedRepresentation.cacheBuilder.cachedColumnBuffers.id)
+  }
 }
