@@ -66,31 +66,97 @@ object Curate {
   }
 
   /** Incremental run: fold a new batch into an existing corpus dir.
-    * Writes are O(batch) + O(components): the batch's doc rows APPEND
-    * to state/docs (they are runner-cached, so the append never reads
-    * the dir it mutates), and only the small (doc_id, component) file
-    * is rewritten — never the corpus-sized doc+signature store.
+    * Writes are O(batch) + O(components) + O(affected corpus files):
+    * the batch's doc rows APPEND to state/docs (they are runner-cached,
+    * so the append never reads the dir it mutates), only the small
+    * (doc_id, component) file is rewritten — never the corpus-sized
+    * doc+signature store — and the curated corpus itself takes a
+    * file-scoped delta (round-9 VERDICT "Next #5"): appending grows a
+    * cluster-set monotonically, so the representative set changes only
+    * by (a) old reps whose cluster merged into a lower id — deleted by
+    * key from just the files whose doc_id zone holds them — and (b)
+    * batch docs that head their own new cluster — appended as new
+    * files. A packed corpus (seq_id) still rewrites fully: removing a
+    * doc shifts every later sequence id in its split by construction.
     */
   def runAdd(spark: SparkSession, batchDir: String, outDir: String,
       minChars: Long): Seq[String] = {
+    // per-phase wall clock to stderr: the incremental path's value claim
+    // is "O(batch), not O(corpus)" — the phase split is what shows which
+    // side of that a slow add actually sits on
+    var t0 = System.nanoTime()
+    def lap(phase: String): Unit = {
+      val t = System.nanoTime()
+      System.err.println(f"[curate.add] $phase ${(t - t0) / 1e9}%.2fs")
+      t0 = t
+    }
     try {
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "state")),
         s"$outDir/state not found — run the full build first")
-      val state = readState(spark, outDir)
+      // docs and components stay SEPARATE frames: only the old-star
+      // edges need components, and joining them up front would charge a
+      // corpus×corpus shuffle join to every narrow signature projection
+      val stateDocs = spark.read.parquet(s"$outDir/state/docs")
+      val stateComps = spark.read.parquet(s"$outDir/state/components")
       val batch = graft.Tables.parallelized(
         graft.Tables.load(spark, batchDir, "documents"))
-      val prep = graft.queries.IncrementalCuration.prepareBatch(state, batch, minChars)
+      val prep = graft.queries.IncrementalCuration.prepareBatch(stateDocs, batch, minChars)
+      lap("prepare_batch")
       // components first (its plan READS the old state dirs — must run
       // before any mutation), to a sibling dir + swap
       val compPath = java.nio.file.Paths.get(outDir, "state", "components")
       val newPath = java.nio.file.Paths.get(outDir, "state", "components.new")
-      graft.queries.IncrementalCuration.components(state, prep)
-        .write.mode("overwrite").parquet(newPath.toString)
+      // tracked: the parquet write, the retired-rep diff, and the
+      // corpus-delta addRows all consume this frame — cached they share
+      // one execution of the edge pipeline + CC instead of re-reading
+      // (or re-running) it per consumer
+      val comps = graft.runner.Materialize.track(
+        graft.queries.IncrementalCuration.components(stateDocs, stateComps, prep))
+      comps.write.mode("overwrite").parquet(newPath.toString)
+      lap("components")
+      val docsDir = s"$outDir/docs"
+      val deltaEligible = storedBudget(outDir).isEmpty &&
+        graft.layout.ZoneMap.exists(docsDir)
+      // retired representatives, BEFORE any state mutation (the state
+      // plan reads the dirs about to change); driver-bounded — these
+      // are cluster-merge events, batch-bounded by construction
+      val dropIds: Seq[Long] =
+        if (!deltaEligible) Nil
+        else comps
+          .filter(col("component") =!= col("doc_id"))
+          .join(stateComps.filter(col("component") === col("doc_id"))
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).limit(100001)
+          .collect().map(_.getLong(0)).toSeq
+      val useDelta = deltaEligible && dropIds.length <= 100000
+      // corpus delta BEFORE any state mutation: the docs dir and the
+      // state dirs are disjoint, and addRows' lineage reads the
+      // (pre-append) state plus components.new — running it first means
+      // no plan ever re-lists a dir that has since been mutated
+      val deltaLines =
+        if (!useDelta) Nil
+        else {
+          val target = spark.read.parquet(docsDir).columns
+          val addRows = graft.queries.IncrementalCuration.corpus(
+            prep.rows.join(comps, Seq("doc_id")))
+            .select(target.map(col).toSeq: _*)
+          graft.layout.KeyedDelta(spark, docsDir, dropIds, Some(addRows))
+          lap(s"corpus_delta (${dropIds.length} retired reps)")
+          val s = writeSummary(spark, outDir)
+          lap("summary")
+          s
+        }
       prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
       deleteRec(compPath.toFile)
       java.nio.file.Files.move(newPath, compPath)
-      // keep packing if the full build packed (stored with the state)
-      writeCorpusAndSummary(spark, outDir, storedBudget(outDir))
+      spark.catalog.refreshByPath(compPath.toString)
+      lap("state_writes")
+      if (useDelta) deltaLines
+      else {
+        // packed corpus, pre-manifest corpus dir, or a degenerate
+        // merge-storm batch: fall back to the full corpus rewrite
+        writeCorpusAndSummary(spark, outDir, storedBudget(outDir))
+      }
     } finally graft.runner.Materialize.releaseAll()
   }
 
@@ -107,11 +173,12 @@ object Curate {
     */
   private def writeCorpusAndSummary(spark: SparkSession, outDir: String,
       packBudget: Option[Long] = None): Seq[String] = {
-    val toWrite = packBudget match {
+    packBudget match {
       case Some(b) =>
         // one materialization of the state join feeds all three split
         // filters (and each packByBudget's two passes) — released by the
-        // caller's finally
+        // caller's finally. Packed corpora have no delta path (object
+        // doc), so no manifest is written.
         val corpus = graft.runner.Materialize.track(
           graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
             .withColumn("n_tok", col("n_tok").cast("long")))
@@ -119,12 +186,27 @@ object Curate {
           graft.operators.GlobalRanks.packByBudget(
             corpus.filter(col("split") === sp), "doc_id", "n_tok", b)
         }.reduce(_ unionAll _)
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outDir/docs")
       case None =>
-        graft.queries.IncrementalCuration.corpus(readState(spark, outDir))
+        // linear-by-doc_id layout + zone-map manifest: tight per-file
+        // doc_id zones are what makes runAdd's delete-by-key touch only
+        // the files that actually hold a retired representative
+        graft.layout.LayoutWriter.write(
+          graft.queries.IncrementalCuration.corpus(readState(spark, outDir)),
+          s"$outDir/docs",
+          graft.layout.LayoutWriter.LayoutSpec(
+            layout = "linear", cols = Seq("doc_id"),
+            recordKey = Some("doc_id"), partitionBy = Seq("split")))
     }
-    toWrite
-      .write.mode("overwrite").partitionBy("split")
-      .parquet(s"$outDir/docs")
+    writeSummary(spark, outDir)
+  }
+
+  /** (split, lang) doc/token rollup of the corpus dir → summary.csv.
+    * A narrow columnar scan (3 columns, never text) — cheap beside any
+    * corpus mutation, and always consistent with what's on disk.
+    */
+  private def writeSummary(spark: SparkSession, outDir: String): Seq[String] = {
     val summary = spark.read.parquet(s"$outDir/docs")
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))

@@ -1,0 +1,75 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** File-scoped delete-by-key + append on a zone-mapped parquet table —
+  * the remaining mutation primitive beside [[Upserter]]'s keyed COW
+  * (reference's L9 family): incremental curation retires a handful of
+  * cluster representatives and appends the new batch's, and rewriting
+  * the whole corpus for that turns an O(batch) fold into an O(corpus)
+  * one (round-9 VERDICT "Next #5").
+  *
+  * Scale shape: only files whose record-key zone may contain a dropped
+  * key are rewritten (NumIn pruning — scattered keys keep untouched
+  * files untouched); appended rows land as NEW files whose stats are
+  * computed by scanning just those files. Cost is O(affected files +
+  * appended rows), never O(table).
+  */
+object KeyedDelta {
+
+  /** Delete `dropKeys` (record-key values) and append `addRows`, updating
+    * the manifest in place. Returns the refreshed manifest.
+    */
+  def apply(spark: SparkSession, dir: String,
+      dropKeys: Seq[Long], addRows: Option[DataFrame]): TableManifest = {
+    val manifest = ZoneMap.read(dir)
+    val key = manifest.recordKey.getOrElse(
+      throw new IllegalArgumentException(s"$dir has no recordKey — cannot delta"))
+    val partitioned = manifest.hivePartitions.nonEmpty
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // ---- delete: rewrite only files whose key zone may hold a victim
+    val (affected, untouched) =
+      if (dropKeys.isEmpty) (Seq.empty[FileEntry], manifest.files)
+      else manifest.files.partition(
+        NumIn(key, dropKeys.map(_.toDouble)).mayMatch)
+    val rewrittenEntries =
+      if (affected.isEmpty) Seq.empty[FileEntry]
+      else {
+        val keep = StagedRewrite
+          .readFiles(spark, dir, affected.map(_.path), partitioned)
+          .filter(!col(key).isin(dropKeys: _*))
+        val staging = dir.stripSuffix("/") + ".delta_tmp"
+        val moved = StagedRewrite.writeAndMove(
+          spark, dir, staging, keep, manifest.hivePartitions)
+        StagedRewrite.deleteFiles(fs, affected)
+        if (moved.isEmpty) Seq.empty[FileEntry]
+        else ZoneMap.collectStatsDf(
+          StagedRewrite.readFiles(spark, dir, moved, partitioned),
+          manifest.statsCols)
+      }
+
+    // ---- append: new files only, stats scanned from just those files
+    val appendedEntries = addRows match {
+      case Some(rows) =>
+        val staging = dir.stripSuffix("/") + ".append_tmp"
+        val moved = StagedRewrite.writeAndMove(
+          spark, dir, staging, rows, manifest.hivePartitions)
+        if (moved.isEmpty) Seq.empty[FileEntry]
+        else ZoneMap.collectStatsDf(
+          StagedRewrite.readFiles(spark, dir, moved, partitioned),
+          manifest.statsCols)
+      case None => Seq.empty[FileEntry]
+    }
+
+    val updated = manifest.copy(
+      files = untouched ++ rewrittenEntries ++ appendedEntries)
+    ZoneMap.write(dir, updated)
+    // manual file moves bypass Spark's write-path invalidation — stale
+    // listings would read deleted part files on the next dir-level scan
+    spark.catalog.refreshByPath(dir)
+    updated
+  }
+}

@@ -74,18 +74,31 @@ object IncrementalCuration {
   /** Quality-gate, exact-dedup (batch-internal min id + drop texts the
     * state already has), and signature computation for a new batch —
     * the only full-text kernels of an incremental add, batch-sized.
+    * `state` here (and in [[components]]) is the doc+signature store
+    * WITHOUT the component column: none of the signature/text reads
+    * need it, and requiring the (docs ⋈ components) join as input made
+    * every narrow projection pay a corpus×corpus shuffle join (round-10
+    * phase profile: the join appeared 4× in one add).
     */
   def prepareBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): BatchPrep = {
     val base = batch.filter(col("n_chars") >= minChars)
     val bh = base.withColumn("__h", md5(col("text")))
     val keepIds = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+    // tracked: the exact-dedup anti-join scans the stored state's __h
+    // column — each UNTRACKED consumer would repeat that corpus-wide
+    // (narrow) scan; everything below it is batch-sized
     val bKept = Materialize.track(
       bh.join(keepIds, Seq("__h", "doc_id"))
         .join(state.select(col("__h")).distinct(), Seq("__h"), "left_anti"))
-    val toks = Materialize.track(DedupQueries.tokens(bKept))
+    // batch-sized kernels are NOT individually tracked (round-10): at a
+    // realistic add cadence the dominant cost of the fold is fixed
+    // per-job latency, and each eager track is one more job — letting
+    // the tokenize/simhash subtrees compute twice inside the two tracked
+    // results below is milliseconds of repeated batch-local work
+    val toks = DedupQueries.tokens(bKept)
     val hashedB = Materialize.track(DedupQueries.shingleHashesFrom(toks))
-    val shB = Materialize.track(DedupQueries.simhashOf(toks))
-    val sigB = Materialize.track(DedupQueries.minhashSigsOf(hashedB))
+    val shB = DedupQueries.simhashOf(toks)
+    val sigB = DedupQueries.minhashSigsOf(hashedB)
     BatchPrep(
       // sigB LEFT for the same reason as initState: shingle-less docs
       // stay in the state with null signatures
@@ -102,7 +115,7 @@ object IncrementalCuration {
     * connectivity rides along as the stored (doc_id -> component) star
     * edges, so the result equals full-graph CC.
     */
-  def components(state: DataFrame, prep: BatchPrep): DataFrame = {
+  def components(state: DataFrame, comps: DataFrame, prep: BatchPrep): DataFrame = {
     val shAll = state.select(col("doc_id"), col("sh"))
       .withColumn("__new", lit(false))
       .unionByName(prep.rows.select(col("doc_id"), col("sh"))
@@ -122,7 +135,7 @@ object IncrementalCuration {
         .select(col("doc_id"), col("text"))))
     val mhEdges = DedupQueries.verifiedByJaccard(
       cand, prep.shingleHashes.unionByName(hashedStateCand))
-    val oldStars = state.filter(col("component") =!= col("doc_id"))
+    val oldStars = comps.filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("da"), col("component").as("db"))
     val labels = graft.operators.ConnectedComponents
       .run(simEdges.unionAll(mhEdges).unionAll(oldStars))
@@ -149,9 +162,11 @@ object IncrementalCuration {
         s"addBatch: batch doc_ids must exceed all state doc_ids " +
           s"(state max ${smax.getLong(0)}, batch min ${bmin.getLong(0)})")
     }
-    val prep = prepareBatch(state, batch, minChars)
-    val comps = components(state, prep)
-    state.drop("component").unionByName(prep.rows)
+    val stateDocs = state.drop("component")
+    val prep = prepareBatch(stateDocs, batch, minChars)
+    val comps = components(stateDocs,
+      state.select(col("doc_id"), col("component")), prep)
+    stateDocs.unionByName(prep.rows)
       .join(comps, Seq("doc_id"))
   }
 
