@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A ~100-query sweep generates thousands of whole-stage-codegen
+  // classes in one JVM; the JDK default 240 MB code cache fills, the
+  // JIT flushes/stops compiling, and late queries run partially
+  // interpreted — observed as scheduler-delay/deserialize-dominated
+  // slow runs (BENCH_RUNS sched_ms/deser_ms) with flat GC and spill.
+  "-XX:ReservedCodeCacheSize=512m",
 )
