@@ -142,13 +142,51 @@ object DedupQueries {
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Cap above which an LSH bucket is "degenerate" for CLUSTER-graph
+    * consumers: within one (band, bucket) an all-pairs candidate join is
+    * O(n²), and the heavy tail of a web corpus (boilerplate families,
+    * mirrored sites) puts millions of near-identical docs in one bucket
+    * — the documented scale weakness of all-pairs LSH joins (Spark ML's
+    * MinHashLSH has exactly this blowup). Beyond the cap, a bucket
+    * keeps all-pairs among its `cap` smallest ids (the HEAD) and emits
+    * STAR candidates from the bucket root (min id) to every larger
+    * member: linear in the tail, every member candidate-connected, and
+    * — because new ids are always larger — head membership and the
+    * root are STABLE UNDER APPEND, so incremental folds compose to
+    * exactly the capped from-scratch candidate set (bandedPairs doc).
+    * This is a declared approximation for degenerate buckets only: a
+    * star edge that fails downstream verification can separate docs an
+    * all-pairs candidate set would have connected through another pair.
+    * Pair-OUTPUT queries (q29/q30/q31x) never cap; no gate-scale corpus
+    * has a bucket within an order of magnitude of the cap, so gated
+    * results are bit-identical with or without it (pinned in
+    * DedupCapSuite).
+    */
+  val DegenerateBucketCap: Int = 64
+
+  /** SimHash band buckets cap an order of magnitude higher: their
+    * verification is one 64-bit XOR+popcount per pair (vs an
+    * array-merge Jaccard), so all-pairs stays cheap far longer, and a
+    * ham<=3 pair is only GUARANTEED a shared band (pigeonhole: 3
+    * differing bits across 4 bands) — capping too early loses real
+    * pairs whose one shared band is merely collision-crowded. Measured
+    * band-bucket maxima: 27 at sf0.01 (gate), 269 at sf0.1 (sweep) —
+    * both far under the cap, so gate and sweep behavior are unchanged;
+    * only degenerate tails (sf10's replicated families, boilerplate at
+    * 100 TB) star-cap.
+    */
+  val SimhashBandCap: Int = 1024
+
   /** Banded candidate pairs (da < db) from a signature frame. With
     * `newFlag` (a boolean column on the frame), only pairs where at
     * least one side is flagged survive — the incremental-batch filter
     * (old x old connectivity is already known and must not be redone).
+    * `maxBucket` (cluster consumers pass [[DegenerateBucketCap]])
+    * star-caps degenerate buckets; Int.MaxValue = exact all-pairs.
     */
   private[queries] def minhashCandidates(
-      sigs: DataFrame, newFlag: Option[String] = None): DataFrame = {
+      sigs: DataFrame, newFlag: Option[String] = None,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val bands = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
@@ -162,13 +200,65 @@ object DedupQueries {
       .filter(col(SigCols.head).isNotNull)
       .select(keep :+ explode(array(bands: _*)).as("b"): _*)
       .select(keep ++ Seq(col("b.band").as("band"), col("b.bucket").as("bucket")): _*)
+    bandedPairs(bandRows, newFlag, maxBucket, Seq.empty)
+      .select(col("da"), col("db"))
+      .distinct()
+  }
+
+  /** Shared band-join core: within each (band, bucket), all-pairs among
+    * the `maxBucket` SMALLEST doc_ids (the bucket HEAD) plus a star
+    * from the bucket root (min id) to every larger member (the TAIL).
+    * `payload` columns ride along from each side as `a_<c>` / `b_<c>`
+    * (e.g. simhash values for the hamming filter).
+    *
+    * The head/tail split — not a size threshold on the whole bucket —
+    * is what makes the capped candidate set APPEND-MONOTONE: new docs
+    * always carry larger ids, so a member's head/tail status and the
+    * bucket root never change as the bucket grows, and an incremental
+    * fold's candidates (filtered to >=1 new side) plus all previous
+    * folds' candidates equal a capped from-scratch build's exactly —
+    * a whole-bucket size switch instead flips small buckets from
+    * all-pairs to star as they cross the cap, silently diverging folds
+    * from rebuilds (measured at sf10, round 10). A bucket at or under
+    * the cap is pure head, i.e. exact all-pairs.
+    *
+    * Cost shape: one rank per band row (window partitioned by bucket —
+    * a sort-shuffle, spillable, no per-bucket array), the head
+    * self-join bounded at cap² per bucket, the tail linear.
+    */
+  private def bandedPairs(bandRows: DataFrame, newFlag: Option[String],
+      maxBucket: Int, payload: Seq[String]): DataFrame = {
     val ba = bandRows.as("ba"); val bb = bandRows.as("bb")
+    val pay = payload.flatMap(c =>
+      Seq(col(s"ba.$c").as(s"a_$c"), col(s"bb.$c").as(s"b_$c")))
     val base = col("ba.band") === col("bb.band") &&
       col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id")
     val cond = newFlag.map(f => base && (col(s"ba.$f") || col(s"bb.$f"))).getOrElse(base)
-    ba.join(bb, cond)
-      .select(col("ba.doc_id").as("da"), col("bb.doc_id").as("db"))
-      .distinct()
+    if (maxBucket == Int.MaxValue)
+      ba.join(bb, cond)
+        .select(Seq(col("ba.doc_id").as("da"), col("bb.doc_id").as("db")) ++ pay: _*)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+      val ranked = bandRows.withColumn("__r", row_number().over(w))
+      val hba = ranked.filter(col("__r") <= maxBucket).drop("__r").as("ba")
+      val hbb = ranked.filter(col("__r") <= maxBucket).drop("__r").as("bb")
+      val head = hba.join(hbb, cond)
+        .select(Seq(col("ba.doc_id").as("da"), col("bb.doc_id").as("db")) ++ pay: _*)
+      val rootCols = Seq(col("band"), col("bucket"), col("doc_id").as("__root")) ++
+        newFlag.map(f => col(f).as("__rootflag")) ++
+        payload.map(c => col(c).as(s"__root_$c"))
+      val roots = ranked.filter(col("__r") === 1).select(rootCols: _*)
+      val starKeep = newFlag
+        .map(f => col("__rootflag") || col(f)).getOrElse(lit(true))
+      val starPay = payload.flatMap(c =>
+        Seq(col(s"__root_$c").as(s"a_$c"), col(c).as(s"b_$c")))
+      val star = ranked.filter(col("__r") > maxBucket)
+        .join(roots, Seq("band", "bucket"))
+        .filter(starKeep)
+        .select(Seq(col("__root").as("da"), col("doc_id").as("db")) ++ starPay: _*)
+      head.unionByName(star)
+    }
   }
 
   /** Exact-Jaccard (>= 0.5) verification of candidate pairs. `hashed`
@@ -205,12 +295,14 @@ object DedupQueries {
       .select(col("da"), col("db"))
   }
 
-  private def minhashVerifiedPairsFrom(toks: DataFrame): DataFrame = {
+  private def minhashVerifiedPairsFrom(toks: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // one materialized pass holds the shingle hashes: signatures AND the
     // verification join both read it, and the verification shuffles
     // 8-byte longs instead of shingle strings (~4x less shuffle payload)
     val hashed = graft.runner.Materialize.track(shingleHashesFrom(toks))
-    verifiedByJaccard(minhashCandidates(minhashSigsOf(hashed)), hashed)
+    verifiedByJaccard(
+      minhashCandidates(minhashSigsOf(hashed), None, maxBucket), hashed)
   }
 
   /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band SimHash
@@ -227,26 +319,28 @@ object DedupQueries {
     toks.select(col("doc_id"), simhash60(col("ws")).as("sh"))
 
   /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band join over
-    * a (doc_id, sh[, flag]) frame. `newFlag` as in [[minhashCandidates]].
+    * a (doc_id, sh[, flag]) frame. `newFlag` and `maxBucket` as in
+    * [[minhashCandidates]] — here a star pair beyond the cap is still
+    * hamming-VERIFIED (the band join is candidate generation; ham <= 3
+    * is the verdict), so capping only thins which pairs get tested.
     */
   private[queries] def simhashPairsOf(
-      h: DataFrame, newFlag: Option[String] = None): DataFrame = {
+      h: DataFrame, newFlag: Option[String] = None,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val keep = Seq(col("doc_id"), col("sh")) ++ newFlag.map(col)
     val bandRows = h.select(keep :+ explode(array((0 until 4).map(j =>
       struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"): _*)
-    val a = bandRows.as("a"); val b = bandRows.as("b")
-    val base = col("a.b.band") === col("b.b.band") &&
-      col("a.b.bv") === col("b.b.bv") && col("a.doc_id") < col("b.doc_id")
-    val cond = newFlag.map(f => base && (col(s"a.$f") || col(s"b.$f"))).getOrElse(base)
-    a.join(b, cond)
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        hamming(col("a.sh"), col("b.sh")).as("ham"))
+      .select((Seq(col("doc_id"), col("sh")) ++ newFlag.map(col) ++
+        Seq(col("b.band").as("band"), col("b.bv").as("bucket"))): _*)
+    bandedPairs(bandRows, newFlag, maxBucket, Seq("sh"))
+      .select(col("da"), col("db"),
+        hamming(col("a_sh"), col("b_sh")).as("ham"))
       .distinct()
       .filter(col("ham") <= 3)
   }
 
-  private def simhashPairsFrom(toks: DataFrame): DataFrame =
-    simhashPairsOf(graft.runner.Materialize.track(simhashOf(toks)))
+  private def simhashPairsFrom(toks: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairsOf(graft.runner.Materialize.track(simhashOf(toks)), None, maxBucket)
 
   /** The union near-dup edge set both cluster-level consumers (q69,
     * the curation pipeline) run CC over: SimHash hamming<=3 plus
@@ -259,8 +353,11 @@ object DedupQueries {
     */
   private[queries] def nearDupEdges(dd: DataFrame): DataFrame = {
     val toks = graft.runner.Materialize.track(tokens(dd))
-    simhashPairsFrom(toks).select(col("da"), col("db"))
-      .unionAll(minhashVerifiedPairsFrom(toks))
+    // cluster consumers cap degenerate buckets (DegenerateBucketCap /
+    // SimhashBandCap): the component graph needs connectivity, not
+    // every pairwise edge
+    simhashPairsFrom(toks, SimhashBandCap).select(col("da"), col("db"))
+      .unionAll(minhashVerifiedPairsFrom(toks, DegenerateBucketCap))
   }
 
   /** Dev-probe access to the pair pipelines (tools.CcProbe). */

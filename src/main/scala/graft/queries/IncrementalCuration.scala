@@ -49,9 +49,17 @@ object IncrementalCuration {
     val hashed = Materialize.track(DedupQueries.shingleHashesFrom(toks))
     val sh = Materialize.track(DedupQueries.simhashOf(toks))
     val sigs = Materialize.track(DedupQueries.minhashSigsOf(hashed))
-    val edges = DedupQueries.simhashPairsOf(sh).select(col("da"), col("db"))
+    // same caps as nearDupEdges — incremental folds compose to exactly
+    // this capped edge set: the head/tail split and the bucket root are
+    // append-stable (bandedPairs doc), so a doc's candidate pairs are
+    // fixed at its arrival fold and never revised. IncBench asserts
+    // outputs_identical per run as the empirical backstop.
+    val edges = DedupQueries
+      .simhashPairsOf(sh, None, DedupQueries.SimhashBandCap)
+      .select(col("da"), col("db"))
       .unionAll(DedupQueries.verifiedByJaccard(
-        DedupQueries.minhashCandidates(sigs), hashed))
+        DedupQueries.minhashCandidates(sigs, None, DedupQueries.DegenerateBucketCap),
+        hashed))
     val labels = graft.operators.ConnectedComponents.run(edges)
       .withColumnRenamed("id", "doc_id")
     // sigs LEFT: a quality-passing doc with < 3 tokens has no shingles,
@@ -124,10 +132,12 @@ object IncrementalCuration {
       .withColumn("__new", lit(false))
       .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
         .withColumn("__new", lit(true)))
-    val simEdges = DedupQueries.simhashPairsOf(shAll, Some("__new"))
+    val simEdges = DedupQueries
+      .simhashPairsOf(shAll, Some("__new"), DedupQueries.SimhashBandCap)
       .select(col("da"), col("db"))
     val cand = Materialize.track(
-      DedupQueries.minhashCandidates(sigAll, Some("__new")))
+      DedupQueries.minhashCandidates(sigAll, Some("__new"),
+        DedupQueries.DegenerateBucketCap))
     val candIds = cand.select(col("da").as("doc_id"))
       .unionAll(cand.select(col("db").as("doc_id"))).distinct()
     val hashedStateCand = DedupQueries.shingleHashesFrom(DedupQueries.tokens(
