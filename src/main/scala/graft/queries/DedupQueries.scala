@@ -222,29 +222,47 @@ object DedupQueries {
     * from rebuilds (measured at sf10, round 10). A bucket at or under
     * the cap is pure head, i.e. exact all-pairs.
     *
-    * Cost shape: one rank per band row (window partitioned by bucket —
-    * a sort-shuffle, spillable, no per-bucket array), the head
-    * self-join bounded at cap² per bucket, the tail linear.
+    * Cost shape: capping is PAY-WHEN-DEGENERATE. One eager scalar
+    * aggregate reads the max bucket size off the (cached-input) band
+    * rows; when every bucket fits the cap — every gate/sweep corpus —
+    * the emitted plan is the exact pre-cap all-pairs join, zero new
+    * operators (both capped formulations that stayed in the lazy plan,
+    * a full-input window rank and a sizes-join split, measured 2-3x on
+    * q69/q72/q93 at sweep scale where the cap never fires). Only a
+    * corpus that actually HAS a degenerate bucket pays the split:
+    * sizes join on the band key, window rank over oversized-bucket
+    * rows only, head self-join bounded at cap² per bucket, tail
+    * linear. The data-dependent branch is planner-style adaptivity at
+    * the builder level; both branches produce identical candidate sets
+    * whenever both are defined (DedupCapSuite pins gate-scale
+    * equality).
     */
   private def bandedPairs(bandRows: DataFrame, newFlag: Option[String],
       maxBucket: Int, payload: Seq[String]): DataFrame = {
-    val ba = bandRows.as("ba"); val bb = bandRows.as("bb")
     val pay = payload.flatMap(c =>
       Seq(col(s"ba.$c").as(s"a_$c"), col(s"bb.$c").as(s"b_$c")))
     val base = col("ba.band") === col("bb.band") &&
       col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id")
     val cond = newFlag.map(f => base && (col(s"ba.$f") || col(s"bb.$f"))).getOrElse(base)
-    if (maxBucket == Int.MaxValue)
-      ba.join(bb, cond)
+    def allPairs(rows: DataFrame): DataFrame =
+      rows.as("ba").join(rows.as("bb"), cond)
         .select(Seq(col("ba.doc_id").as("da"), col("bb.doc_id").as("db")) ++ pay: _*)
+    lazy val maxSize = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (maxBucket == Int.MaxValue || maxSize <= maxBucket) allPairs(bandRows)
     else {
+      val sizes = bandRows.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__c"))
+      val marked = bandRows.join(sizes, Seq("band", "bucket"))
+      val small = allPairs(marked.filter(col("__c") <= maxBucket).drop("__c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
-      val ranked = bandRows.withColumn("__r", row_number().over(w))
-      val hba = ranked.filter(col("__r") <= maxBucket).drop("__r").as("ba")
-      val hbb = ranked.filter(col("__r") <= maxBucket).drop("__r").as("bb")
-      val head = hba.join(hbb, cond)
-        .select(Seq(col("ba.doc_id").as("da"), col("bb.doc_id").as("db")) ++ pay: _*)
+      val ranked = marked.filter(col("__c") > maxBucket).drop("__c")
+        .withColumn("__r", row_number().over(w))
+      val head = allPairs(ranked.filter(col("__r") <= maxBucket).drop("__r"))
       val rootCols = Seq(col("band"), col("bucket"), col("doc_id").as("__root")) ++
         newFlag.map(f => col(f).as("__rootflag")) ++
         payload.map(c => col(c).as(s"__root_$c"))
@@ -257,7 +275,7 @@ object DedupQueries {
         .join(roots, Seq("band", "bucket"))
         .filter(starKeep)
         .select(Seq(col("__root").as("da"), col("doc_id").as("db")) ++ starPay: _*)
-      head.unionByName(star)
+      small.unionByName(head).unionByName(star)
     }
   }
 
