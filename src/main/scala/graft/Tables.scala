@@ -32,6 +32,15 @@ object Tables {
         // timestamp by 1µs and flip a date_trunc bucket.
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // The NTZ->LTZ cast interprets the wall clock in the SESSION
+        // time zone; it is value-preserving only under the UTC pin
+        // (Sessions.tuned sets it). Assert rather than silently shift
+        // every event timestamp in an unpinned session (round-10
+        // ADVICE).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEvents requires spark.sql.session.timeZone=UTC (got $tz): " +
+            "the TimestampNTZ->Timestamp cast would shift every event ts")
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }

@@ -93,6 +93,14 @@ object Curate {
     try {
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "state")),
         s"$outDir/state not found — run the full build first")
+      // crash-recovery (round-10 ADVICE): a fold that died mid-swap can
+      // leave state/components renamed away to components.old — restore
+      // it (the pre-fold mapping is always safe: the retry recomputes)
+      val compPath = java.nio.file.Paths.get(outDir, "state", "components")
+      val oldPath = java.nio.file.Paths.get(outDir, "state", "components.old")
+      if (!java.nio.file.Files.exists(compPath) &&
+          java.nio.file.Files.exists(oldPath))
+        java.nio.file.Files.move(oldPath, compPath)
       // docs and components stay SEPARATE frames: only the old-star
       // edges need components, and joining them up front would charge a
       // corpus×corpus shuffle join to every narrow signature projection
@@ -104,7 +112,6 @@ object Curate {
       lap("prepare_batch")
       // components first (its plan READS the old state dirs — must run
       // before any mutation), to a sibling dir + swap
-      val compPath = java.nio.file.Paths.get(outDir, "state", "components")
       val newPath = java.nio.file.Paths.get(outDir, "state", "components.new")
       // tracked: the parquet write, the retired-rep diff, and the
       // corpus-delta addRows all consume this frame — cached they share
@@ -137,19 +144,40 @@ object Curate {
         if (!useDelta) Nil
         else {
           val target = spark.read.parquet(docsDir).columns
-          val addRows = graft.queries.IncrementalCuration.corpus(
-            prep.rows.join(comps, Seq("doc_id")))
-            .select(target.map(col).toSeq: _*)
-          graft.layout.KeyedDelta(spark, docsDir, dropIds, Some(addRows))
+          // trackLazy: the id collect below is the materializing action
+          // (it scans every partition); the KeyedDelta append then reads
+          // the cache instead of re-running the rep join
+          val addRows = graft.runner.Materialize.trackLazy(
+            graft.queries.IncrementalCuration.corpus(
+              prep.rows.join(comps, Seq("doc_id")))
+              .select(target.map(col).toSeq: _*))
+          // idempotent retry (round-10 ADVICE): delete-then-insert — the
+          // appended doc_ids join the drop set, so re-running a fold that
+          // crashed between the corpus delta and the state writes removes
+          // the rows the failed attempt appended instead of duplicating
+          // them. In a healthy fold batch ids exceed every stored file
+          // zone, so NumIn prunes the extra keys to zero rewritten files.
+          val addIds = addRows.select(col("doc_id"))
+            .collect().map(_.getLong(0)).toSeq
+          graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds, Some(addRows))
           lap(s"corpus_delta (${dropIds.length} retired reps)")
           val s = writeSummary(spark, outDir)
           lap("summary")
           s
         }
-      prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
-      deleteRec(compPath.toFile)
+      // components swap BEFORE the docs append: the old (doc_id ->
+      // component) stars are edges of the final graph, so a retry that
+      // sees the NEW components with the OLD docs store just re-adds
+      // consistent star edges (CC is monotone under them) — whereas the
+      // reverse crash order left appended docs with no component row.
+      // The swap itself goes through components.old so no window leaves
+      // the state without a components dir (restored on entry above).
+      if (java.nio.file.Files.exists(oldPath)) deleteRec(oldPath.toFile)
+      java.nio.file.Files.move(compPath, oldPath)
       java.nio.file.Files.move(newPath, compPath)
+      deleteRec(oldPath.toFile)
       spark.catalog.refreshByPath(compPath.toString)
+      prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
       lap("state_writes")
       if (useDelta) deltaLines
       else {

@@ -44,7 +44,6 @@ object KeyedDelta {
         val staging = dir.stripSuffix("/") + ".delta_tmp"
         val moved = StagedRewrite.writeAndMove(
           spark, dir, staging, keep, manifest.hivePartitions)
-        StagedRewrite.deleteFiles(fs, affected)
         if (moved.isEmpty) Seq.empty[FileEntry]
         else ZoneMap.collectStatsDf(
           StagedRewrite.readFiles(spark, dir, moved, partitioned),
@@ -66,7 +65,13 @@ object KeyedDelta {
 
     val updated = manifest.copy(
       files = untouched ++ rewrittenEntries ++ appendedEntries)
+    // commit order (round-10 ADVICE): atomically publish the manifest
+    // FIRST, delete superseded part files after. A crash before the
+    // rename leaves the old manifest pointing at intact old files; a
+    // crash after it leaves orphan old files a manifest-driven reader
+    // never sees. The manifest never references a deleted file.
     ZoneMap.write(dir, updated)
+    StagedRewrite.deleteFiles(fs, affected)
     // manual file moves bypass Spark's write-path invalidation — stale
     // listings would read deleted part files on the next dir-level scan
     spark.catalog.refreshByPath(dir)

@@ -209,8 +209,14 @@ object ZoneMap {
 
   def write(dir: String, m: TableManifest): Unit = {
     val json = Serialization.writePretty(m)
-    Files.write(
-      Paths.get(dir, ManifestName), json.getBytes(StandardCharsets.UTF_8))
+    // temp + atomic rename: a reader never observes a torn manifest,
+    // and mutation paths (KeyedDelta/Upserter) can order "commit
+    // manifest, then delete superseded part files" safely
+    val tmp = Paths.get(dir, ManifestName + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, ManifestName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def read(dir: String): TableManifest = {

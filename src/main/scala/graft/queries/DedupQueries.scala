@@ -222,14 +222,20 @@ object DedupQueries {
     * from rebuilds (measured at sf10, round 10). A bucket at or under
     * the cap is pure head, i.e. exact all-pairs.
     *
-    * Cost shape: capping is PAY-WHEN-DEGENERATE. One eager scalar
-    * aggregate reads the max bucket size off the (cached-input) band
-    * rows; when every bucket fits the cap — every gate/sweep corpus —
-    * the emitted plan is the exact pre-cap all-pairs join, zero new
-    * operators (both capped formulations that stayed in the lazy plan,
-    * a full-input window rank and a sizes-join split, measured 2-3x on
-    * q69/q72/q93 at sweep scale where the cap never fires). Only a
-    * corpus that actually HAS a degenerate bucket pays the split:
+    * Cost shape: capping is PAY-WHEN-DEGENERATE. One eager aggregate
+    * reads the max bucket size off the band rows — and every capped
+    * caller persists its signature frame LAZILY (Materialize.trackLazy),
+    * so this census IS the cache-materializing action the frame needed
+    * anyway: same job count as the uncapped r9 plans, and the band join
+    * reads the cached signatures instead of recomputing them (round-10
+    * VERDICT "What's wrong #2" measured the earlier census-as-extra-job
+    * formulation at 1.4-1.7x on the capped family). When every bucket
+    * fits the cap — every gate/sweep corpus — the emitted plan is the
+    * exact pre-cap all-pairs join, zero new operators (both capped
+    * formulations that stayed in the lazy plan, a full-input window rank
+    * and a sizes-join split, measured 2-3x on q69/q72/q93 at sweep scale
+    * where the cap never fires). Only a corpus that actually HAS a
+    * degenerate bucket pays the split:
     * sizes join on the band key, window rank over oversized-bucket
     * rows only, head self-join bounded at cap² per bucket, tail
     * linear. The data-dependent branch is planner-style adaptivity at
@@ -317,10 +323,20 @@ object DedupQueries {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     // one materialized pass holds the shingle hashes: signatures AND the
     // verification join both read it, and the verification shuffles
-    // 8-byte longs instead of shingle strings (~4x less shuffle payload)
-    val hashed = graft.runner.Materialize.track(shingleHashesFrom(toks))
-    verifiedByJaccard(
-      minhashCandidates(minhashSigsOf(hashed), None, maxBucket), hashed)
+    // 8-byte longs instead of shingle strings (~4x less shuffle payload).
+    // Capped path: the bandedPairs census (an eager aggregate that scans
+    // every partition through sigs and hashed) doubles as the
+    // materializing action — trackLazy skips two count jobs AND the
+    // cached sigs frame saves the band join re-running the signature
+    // aggregation (round-10 VERDICT "What's wrong #2").
+    val capped = maxBucket != Int.MaxValue
+    val hashed =
+      if (capped) graft.runner.Materialize.trackLazy(shingleHashesFrom(toks))
+      else graft.runner.Materialize.track(shingleHashesFrom(toks))
+    val sigs =
+      if (capped) graft.runner.Materialize.trackLazy(minhashSigsOf(hashed))
+      else minhashSigsOf(hashed)
+    verifiedByJaccard(minhashCandidates(sigs, None, maxBucket), hashed)
   }
 
   /** (da, db, ham) pairs at hamming <= 3 via the exact 4-band SimHash
@@ -357,8 +373,14 @@ object DedupQueries {
       .filter(col("ham") <= 3)
   }
 
-  private def simhashPairsFrom(toks: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
-    simhashPairsOf(graft.runner.Materialize.track(simhashOf(toks)), None, maxBucket)
+  private def simhashPairsFrom(toks: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    // capped: the bandedPairs census materializes the lazily-persisted
+    // simhash frame — no separate count job (see minhashVerifiedPairsFrom)
+    val sh =
+      if (maxBucket == Int.MaxValue) graft.runner.Materialize.track(simhashOf(toks))
+      else graft.runner.Materialize.trackLazy(simhashOf(toks))
+    simhashPairsOf(sh, None, maxBucket)
+  }
 
   /** The union near-dup edge set both cluster-level consumers (q69,
     * the curation pipeline) run CC over: SimHash hamming<=3 plus
@@ -370,7 +392,10 @@ object DedupQueries {
     * and the runner releases it after the query like every shared frame.
     */
   private[queries] def nearDupEdges(dd: DataFrame): DataFrame = {
-    val toks = graft.runner.Materialize.track(tokens(dd))
+    // trackLazy: the simhash branch's census (constructed first, eager)
+    // scans every token partition — the token cache is materialized as
+    // its by-product, not by a separate count job
+    val toks = graft.runner.Materialize.trackLazy(tokens(dd))
     // cluster consumers cap degenerate buckets (DegenerateBucketCap /
     // SimhashBandCap): the component graph needs connectivity, not
     // every pairwise edge

@@ -44,11 +44,17 @@ object IncrementalCuration {
     val base = dd.filter(col("n_chars") >= minChars)
     val hashedDocs = base.withColumn("__h", md5(col("text")))
     val keepIds = hashedDocs.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-    val kept = Materialize.track(hashedDocs.join(keepIds, Seq("__h", "doc_id")))
-    val toks = Materialize.track(DedupQueries.tokens(kept))
-    val hashed = Materialize.track(DedupQueries.shingleHashesFrom(toks))
-    val sh = Materialize.track(DedupQueries.simhashOf(toks))
-    val sigs = Materialize.track(DedupQueries.minhashSigsOf(hashed))
+    // all five shared frames persist LAZILY: the two capped band-join
+    // censuses below (simhash first, then minhash — eager aggregates at
+    // construction time that scan every partition through their whole
+    // input chain) materialize sh<-toks<-kept and sigs<-hashed as
+    // by-products. Two jobs where five counts + two censuses ran before
+    // (round-10 VERDICT "Next #2" / "Next #4").
+    val kept = Materialize.trackLazy(hashedDocs.join(keepIds, Seq("__h", "doc_id")))
+    val toks = Materialize.trackLazy(DedupQueries.tokens(kept))
+    val hashed = Materialize.trackLazy(DedupQueries.shingleHashesFrom(toks))
+    val sh = Materialize.trackLazy(DedupQueries.simhashOf(toks))
+    val sigs = Materialize.trackLazy(DedupQueries.minhashSigsOf(hashed))
     // same caps as nearDupEdges — incremental folds compose to exactly
     // this capped edge set: the head/tail split and the bucket root are
     // append-stable (bandedPairs doc), so a doc's candidate pairs are
@@ -124,14 +130,19 @@ object IncrementalCuration {
     * edges, so the result equals full-graph CC.
     */
   def components(state: DataFrame, comps: DataFrame, prep: BatchPrep): DataFrame = {
-    val shAll = state.select(col("doc_id"), col("sh"))
+    // trackLazy (round-10 ADVICE): each capped band join's census is an
+    // eager aggregate over these frames — lazily persisted, the census
+    // doubles as the materializing action and the band join reads the
+    // CACHE instead of re-scanning the state parquet per side
+    val shAll = Materialize.trackLazy(state.select(col("doc_id"), col("sh"))
       .withColumn("__new", lit(false))
       .unionByName(prep.rows.select(col("doc_id"), col("sh"))
-        .withColumn("__new", lit(true)))
-    val sigAll = state.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
+        .withColumn("__new", lit(true))))
+    val sigAll = Materialize.trackLazy(
+      state.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
       .withColumn("__new", lit(false))
       .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
-        .withColumn("__new", lit(true)))
+        .withColumn("__new", lit(true))))
     val simEdges = DedupQueries
       .simhashPairsOf(shAll, Some("__new"), DedupQueries.SimhashBandCap)
       .select(col("da"), col("db"))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * sub-frame of the edge pipeline and the CC fold separately so the
   * dominant cost has a name before any optimization is attempted.
   *
-  * Usage: runMain graft.tools.IncProbe <corpusDir> <batchDir>
+  * Usage: runMain graft.queries.IncProbe <corpusDir> <batchDir>
   */
 object IncProbe {
   def main(args: Array[String]): Unit = {
