@@ -81,14 +81,20 @@ object Curate {
     */
   def runAdd(spark: SparkSession, batchDir: String, outDir: String,
       minChars: Long): Seq[String] = {
-    // per-phase wall clock to stderr: the incremental path's value claim
-    // is "O(batch), not O(corpus)" — the phase split is what shows which
-    // side of that a slow add actually sits on
+    // per-phase wall clock + job count to stderr: the incremental path's
+    // value claim is "O(batch), not O(corpus)" — the phase split shows
+    // which side of that a slow add actually sits on, and the job count
+    // names the fixed per-job latency share (round-10 VERDICT "Next #4")
+    val diag = new graft.runner.DiagListener
+    spark.sparkContext.addSparkListener(diag)
     var t0 = System.nanoTime()
+    var j0 = 0L
     def lap(phase: String): Unit = {
       val t = System.nanoTime()
-      System.err.println(f"[curate.add] $phase ${(t - t0) / 1e9}%.2fs")
-      t0 = t
+      org.apache.spark.graftbridge.SparkBridge.drainListenerBus(spark.sparkContext)
+      val j = diag.snapshot().jobs
+      System.err.println(f"[curate.add] $phase ${(t - t0) / 1e9}%.2fs jobs=${j - j0}")
+      t0 = System.nanoTime(); j0 = j
     }
     try {
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "state")),
@@ -101,6 +107,10 @@ object Curate {
       if (!java.nio.file.Files.exists(compPath) &&
           java.nio.file.Files.exists(oldPath))
         java.nio.file.Files.move(oldPath, compPath)
+      // pending-marker: present iff a previous fold crashed after its
+      // corpus delta but before its state writes (see the delta block)
+      val marker = java.nio.file.Paths.get(outDir, "state", "pending_delta")
+      val retrying = java.nio.file.Files.exists(marker)
       // docs and components stay SEPARATE frames: only the old-star
       // edges need components, and joining them up front would charge a
       // corpus×corpus shuffle join to every narrow signature projection
@@ -116,8 +126,10 @@ object Curate {
       // tracked: the parquet write, the retired-rep diff, and the
       // corpus-delta addRows all consume this frame — cached they share
       // one execution of the edge pipeline + CC instead of re-reading
-      // (or re-running) it per consumer
-      val comps = graft.runner.Materialize.track(
+      // (or re-running) it per consumer. trackLazy: the write below is
+      // the materializing action (it scans every partition) — no
+      // separate count job (round-10 VERDICT "Next #4")
+      val comps = graft.runner.Materialize.trackLazy(
         graft.queries.IncrementalCuration.components(stateDocs, stateComps, prep))
       comps.write.mode("overwrite").parquet(newPath.toString)
       lap("components")
@@ -144,21 +156,21 @@ object Curate {
         if (!useDelta) Nil
         else {
           val target = spark.read.parquet(docsDir).columns
-          // trackLazy: the id collect below is the materializing action
-          // (it scans every partition); the KeyedDelta append then reads
-          // the cache instead of re-running the rep join
-          val addRows = graft.runner.Materialize.trackLazy(
-            graft.queries.IncrementalCuration.corpus(
-              prep.rows.join(comps, Seq("doc_id")))
-              .select(target.map(col).toSeq: _*))
-          // idempotent retry (round-10 ADVICE): delete-then-insert — the
-          // appended doc_ids join the drop set, so re-running a fold that
-          // crashed between the corpus delta and the state writes removes
-          // the rows the failed attempt appended instead of duplicating
-          // them. In a healthy fold batch ids exceed every stored file
-          // zone, so NumIn prunes the extra keys to zero rewritten files.
-          val addIds = addRows.select(col("doc_id"))
-            .collect().map(_.getLong(0)).toSeq
+          val addRows = graft.queries.IncrementalCuration.corpus(
+            prep.rows.join(comps, Seq("doc_id")))
+            .select(target.map(col).toSeq: _*)
+          // idempotent retry (round-10 ADVICE): a pending-marker written
+          // before the corpus delta and cleared after the state writes
+          // flags a fold that died in between. Only a RETRY (marker
+          // present on entry) pays the delete-then-insert — the appended
+          // doc_ids join the drop set (prep/comps recompute identically,
+          // the crashed attempt never reached the state writes), so the
+          // rows it appended are removed instead of duplicated. Healthy
+          // folds pay one marker touch: no collect, no extra drop keys.
+          val addIds: Seq[Long] =
+            if (!retrying) Nil
+            else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          java.nio.file.Files.write(marker, Array.empty[Byte])
           graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds, Some(addRows))
           lap(s"corpus_delta (${dropIds.length} retired reps)")
           val s = writeSummary(spark, outDir)
@@ -178,6 +190,7 @@ object Curate {
       deleteRec(oldPath.toFile)
       spark.catalog.refreshByPath(compPath.toString)
       prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
+      java.nio.file.Files.deleteIfExists(marker)
       lap("state_writes")
       if (useDelta) deltaLines
       else {
@@ -185,7 +198,10 @@ object Curate {
         // merge-storm batch: fall back to the full corpus rewrite
         writeCorpusAndSummary(spark, outDir, storedBudget(outDir))
       }
-    } finally graft.runner.Materialize.releaseAll()
+    } finally {
+      spark.sparkContext.removeSparkListener(diag)
+      graft.runner.Materialize.releaseAll()
+    }
   }
 
   private def readState(spark: SparkSession, outDir: String) =

@@ -35,36 +35,37 @@ object KeyedDelta {
       if (dropKeys.isEmpty) (Seq.empty[FileEntry], manifest.files)
       else manifest.files.partition(
         NumIn(key, dropKeys.map(_.toDouble)).mayMatch)
-    val rewrittenEntries =
-      if (affected.isEmpty) Seq.empty[FileEntry]
+    val movedRewrite =
+      if (affected.isEmpty) Seq.empty[String]
       else {
         val keep = StagedRewrite
           .readFiles(spark, dir, affected.map(_.path), partitioned)
           .filter(!col(key).isin(dropKeys: _*))
         val staging = dir.stripSuffix("/") + ".delta_tmp"
-        val moved = StagedRewrite.writeAndMove(
+        StagedRewrite.writeAndMove(
           spark, dir, staging, keep, manifest.hivePartitions)
-        if (moved.isEmpty) Seq.empty[FileEntry]
-        else ZoneMap.collectStatsDf(
-          StagedRewrite.readFiles(spark, dir, moved, partitioned),
-          manifest.statsCols)
       }
 
-    // ---- append: new files only, stats scanned from just those files
-    val appendedEntries = addRows match {
+    // ---- append: new files only
+    val movedAppend = addRows match {
       case Some(rows) =>
         val staging = dir.stripSuffix("/") + ".append_tmp"
-        val moved = StagedRewrite.writeAndMove(
+        StagedRewrite.writeAndMove(
           spark, dir, staging, rows, manifest.hivePartitions)
-        if (moved.isEmpty) Seq.empty[FileEntry]
-        else ZoneMap.collectStatsDf(
-          StagedRewrite.readFiles(spark, dir, moved, partitioned),
-          manifest.statsCols)
-      case None => Seq.empty[FileEntry]
+      case None => Seq.empty[String]
     }
 
-    val updated = manifest.copy(
-      files = untouched ++ rewrittenEntries ++ appendedEntries)
+    // ---- stats: ONE scan over all new files (rewritten + appended) —
+    // stats are per-file aggregates, so fusing the two reads halves the
+    // job count of a routine fold delta without changing any entry
+    val moved = movedRewrite ++ movedAppend
+    val newEntries =
+      if (moved.isEmpty) Seq.empty[FileEntry]
+      else ZoneMap.collectStatsDf(
+        StagedRewrite.readFiles(spark, dir, moved, partitioned),
+        manifest.statsCols)
+
+    val updated = manifest.copy(files = untouched ++ newEntries)
     // commit order (round-10 ADVICE): atomically publish the manifest
     // FIRST, delete superseded part files after. A crash before the
     // rename leaves the old manifest pointing at intact old files; a

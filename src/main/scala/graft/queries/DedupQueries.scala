@@ -186,7 +186,19 @@ object DedupQueries {
     */
   private[queries] def minhashCandidates(
       sigs: DataFrame, newFlag: Option[String] = None,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None): DataFrame =
+    bandedPairs(minhashBandRowsOf(sigs, newFlag), newFlag, maxBucket,
+        Seq.empty, knownMax)
+      .select(col("da"), col("db"))
+      .distinct()
+
+  /** (doc_id[, flag], band, bucket) LSH band rows of a MinHash
+    * signature frame — the one derivation both the pair join and the
+    * census read, so the branch decision and the joined rows can never
+    * drift.
+    */
+  private[queries] def minhashBandRowsOf(
+      sigs: DataFrame, newFlag: Option[String]): DataFrame = {
     val bands = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         md5(concat_ws("|", col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))).as("bucket"))
@@ -196,13 +208,32 @@ object DedupQueries {
     // LEFT sig join) must not band: concat_ws SKIPS nulls, so they would
     // all share the md5("") bucket — a pair blowup of always-unverifiable
     // candidates
-    val bandRows = sigs
+    sigs
       .filter(col(SigCols.head).isNotNull)
       .select(keep :+ explode(array(bands: _*)).as("b"): _*)
       .select(keep ++ Seq(col("b.band").as("band"), col("b.bucket").as("bucket")): _*)
-    bandedPairs(bandRows, newFlag, maxBucket, Seq.empty)
-      .select(col("da"), col("db"))
-      .distinct()
+  }
+
+  /** Both band-census maxima — max SimHash band-bucket size and max
+    * MinHash band-bucket size — in ONE eager job. The union of the two
+    * bucket-count frames scans every partition of `sh` and `sigs` (and
+    * their whole upstream chains), so for lazily-persisted signature
+    * frames this doubles as the cache-materializing action: callers that
+    * need both capped band joins (nearDupEdges, initState, incremental
+    * components) pay one census job instead of one per join, then pass
+    * the maxima down via `knownMax`.
+    */
+  private[queries] def bandCensus(sh: DataFrame, sigs: DataFrame): (Long, Long) = {
+    def sizes(rows: DataFrame, k: Int) = rows
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__c"))
+      .select(lit(k).as("__k"), col("__c"))
+    val maxes = sizes(simhashBandRowsOf(sh, None), 0)
+      .unionAll(sizes(minhashBandRowsOf(sigs, None), 1))
+      .groupBy(col("__k")).agg(max(col("__c")).as("__m"))
+      .collect()
+    def m(k: Int): Long =
+      maxes.find(_.getInt(0) == k).map(_.getLong(1)).getOrElse(0L)
+    (m(0), m(1))
   }
 
   /** Shared band-join core: within each (band, bucket), all-pairs among
@@ -244,7 +275,8 @@ object DedupQueries {
     * equality).
     */
   private def bandedPairs(bandRows: DataFrame, newFlag: Option[String],
-      maxBucket: Int, payload: Seq[String]): DataFrame = {
+      maxBucket: Int, payload: Seq[String],
+      knownMax: Option[Long] = None): DataFrame = {
     val pay = payload.flatMap(c =>
       Seq(col(s"ba.$c").as(s"a_$c"), col(s"bb.$c").as(s"b_$c")))
     val base = col("ba.band") === col("bb.band") &&
@@ -253,11 +285,17 @@ object DedupQueries {
     def allPairs(rows: DataFrame): DataFrame =
       rows.as("ba").join(rows.as("bb"), cond)
         .select(Seq(col("ba.doc_id").as("da"), col("bb.doc_id").as("db")) ++ pay: _*)
-    lazy val maxSize = bandRows.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    // knownMax: a caller that already ran [[bandCensus]] (one fused job
+    // for both band families) passes the max here — no eager action at
+    // all in this builder. A stale/over-estimated value can only flip
+    // the branch, never the result: both branches emit identical
+    // candidate sets whenever every bucket fits the cap.
+    lazy val maxSize = knownMax.getOrElse(
+      bandRows.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        })
     if (maxBucket == Int.MaxValue || maxSize <= maxBucket) allPairs(bandRows)
     else {
       val sizes = bandRows.groupBy(col("band"), col("bucket"))
@@ -295,20 +333,32 @@ object DedupQueries {
     * overcount `common` on the Spark side only — negligible (~2^-60 per
     * shingle pair), not impossible.
     */
-  private[queries] def verifiedByJaccard(cand: DataFrame, hashed: DataFrame): DataFrame = {
-    // One sorted hash ARRAY per doc, joined to each candidate side; the
-    // common count is a codegen'd two-pointer merge. The obvious
-    // formulation — explode both sides, equi-join on h1, count per pair
-    // — shuffles |candidates| x |shingles-per-doc| skinny rows (~30M at
-    // the 10x near-dup-heavy corpus, the measured q69 hot job); this
-    // shape shuffles |docs| arrays + |candidates| rows and computes the
-    // same counts (duplicate runs multiply in the kernel exactly like
-    // join rows, so results are bit-identical).
+  private[queries] def verifiedByJaccard(cand: DataFrame, hashed: DataFrame): DataFrame =
+    verifiedBySets(cand, shingleSetsOf(hashed))
+
+  /** One sorted shingle-hash ARRAY per doc — the exact verification
+    * payload [[verifiedBySets]] consumes. Exposed so the incremental
+    * state can STORE it (column `hs`): a fold then verifies candidates
+    * straight from the stored arrays instead of re-tokenizing and
+    * re-shingling every state doc that appears in a pair (measured the
+    * single largest data-dependent cost of an incremental add).
+    */
+  private[queries] def shingleSetsOf(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h1"))).as("hs"))
+
+  private[queries] def verifiedBySets(cand: DataFrame, sets: DataFrame): DataFrame = {
+    // The sorted array per doc joins to each candidate side; the common
+    // count is a codegen'd two-pointer merge. The obvious formulation —
+    // explode both sides, equi-join on h1, count per pair — shuffles
+    // |candidates| x |shingles-per-doc| skinny rows (~30M at the 10x
+    // near-dup-heavy corpus, the measured q69 hot job); this shape
+    // shuffles |docs| arrays + |candidates| rows and computes the same
+    // counts (duplicate runs multiply in the kernel exactly like join
+    // rows, so results are bit-identical).
     // No broadcast hint on cand: AQE broadcasts it while it is small;
     // at scale the candidate set itself can exceed executor memory and
     // must be allowed to shuffle.
-    val sets = hashed.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h1"))).as("hs"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
@@ -360,17 +410,25 @@ object DedupQueries {
     */
   private[queries] def simhashPairsOf(
       h: DataFrame, newFlag: Option[String] = None,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val keep = Seq(col("doc_id"), col("sh")) ++ newFlag.map(col)
-    val bandRows = h.select(keep :+ explode(array((0 until 4).map(j =>
-      struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"): _*)
-      .select((Seq(col("doc_id"), col("sh")) ++ newFlag.map(col) ++
-        Seq(col("b.band").as("band"), col("b.bv").as("bucket"))): _*)
-    bandedPairs(bandRows, newFlag, maxBucket, Seq("sh"))
+      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None): DataFrame =
+    bandedPairs(simhashBandRowsOf(h, newFlag), newFlag, maxBucket,
+        Seq("sh"), knownMax)
       .select(col("da"), col("db"),
         hamming(col("a_sh"), col("b_sh")).as("ham"))
       .distinct()
       .filter(col("ham") <= 3)
+
+  /** (doc_id, sh[, flag], band, bucket) 4-band rows of a simhash frame
+    * — shared by the pair join and [[bandCensus]] (see
+    * [[minhashBandRowsOf]]).
+    */
+  private[queries] def simhashBandRowsOf(
+      h: DataFrame, newFlag: Option[String]): DataFrame = {
+    val keep = Seq(col("doc_id"), col("sh")) ++ newFlag.map(col)
+    h.select(keep :+ explode(array((0 until 4).map(j =>
+      struct(lit(j).as("band"), simhashBand(col("sh"), j).as("bv"))): _*)).as("b"): _*)
+      .select((Seq(col("doc_id"), col("sh")) ++ newFlag.map(col) ++
+        Seq(col("b.band").as("band"), col("b.bv").as("bucket"))): _*)
   }
 
   private def simhashPairsFrom(toks: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -392,15 +450,24 @@ object DedupQueries {
     * and the runner releases it after the query like every shared frame.
     */
   private[queries] def nearDupEdges(dd: DataFrame): DataFrame = {
-    // trackLazy: the simhash branch's census (constructed first, eager)
-    // scans every token partition — the token cache is materialized as
-    // its by-product, not by a separate count job
+    // all four shared frames persist LAZILY; the ONE fused bandCensus
+    // job below scans every partition of sh and sigs through their
+    // whole upstream chains, materializing toks/sh/hashed/sigs as
+    // by-products — one eager job where five counts + two censuses ran
+    // in round 10 (VERDICT "What's wrong #2")
     val toks = graft.runner.Materialize.trackLazy(tokens(dd))
+    val sh = graft.runner.Materialize.trackLazy(simhashOf(toks))
+    val hashed = graft.runner.Materialize.trackLazy(shingleHashesFrom(toks))
+    val sigs = graft.runner.Materialize.trackLazy(minhashSigsOf(hashed))
+    val (simMax, mhMax) = bandCensus(sh, sigs)
     // cluster consumers cap degenerate buckets (DegenerateBucketCap /
     // SimhashBandCap): the component graph needs connectivity, not
     // every pairwise edge
-    simhashPairsFrom(toks, SimhashBandCap).select(col("da"), col("db"))
-      .unionAll(minhashVerifiedPairsFrom(toks, DegenerateBucketCap))
+    simhashPairsOf(sh, None, SimhashBandCap, Some(simMax))
+      .select(col("da"), col("db"))
+      .unionAll(verifiedByJaccard(
+        minhashCandidates(sigs, None, DegenerateBucketCap, Some(mhMax)),
+        hashed))
   }
 
   /** Dev-probe access to the pair pipelines (tools.CcProbe). */

@@ -27,15 +27,16 @@ import graft.runner.Materialize
   * order; min-id representatives can then never migrate into a batch).
   *
   * Scale shape: the per-batch full-text kernels (tokenize, shingle,
-  * simhash) run over the BATCH only; stored docs are re-tokenized only
-  * when they appear in a candidate pair (a semi-join against the
-  * candidate ids, |candidates|-sized). The signature band joins shuffle
+  * simhash) run over the BATCH only; stored docs are NEVER re-tokenized
+  * — candidate verification reads the sorted shingle-hash sets (`hs`)
+  * persisted in the state, pruned to the (doc_id, hs) columns of docs
+  * that appear in a pair. The signature band joins shuffle
   * (|state| + |batch|) fixed-width rows — 9 longs a doc, no text.
   */
 object IncrementalCuration {
 
   private val MetaCols: Seq[String] =
-    Seq("__h", "sh", "component") ++ DedupQueries.SigCols
+    Seq("__h", "sh", "hs", "component") ++ DedupQueries.SigCols
 
   /** Full build: quality gate -> exact dedup -> signatures -> near-dup
     * graph -> components. Returns the state frame (see object doc).
@@ -44,35 +45,40 @@ object IncrementalCuration {
     val base = dd.filter(col("n_chars") >= minChars)
     val hashedDocs = base.withColumn("__h", md5(col("text")))
     val keepIds = hashedDocs.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-    // all five shared frames persist LAZILY: the two capped band-join
-    // censuses below (simhash first, then minhash — eager aggregates at
-    // construction time that scan every partition through their whole
-    // input chain) materialize sh<-toks<-kept and sigs<-hashed as
-    // by-products. Two jobs where five counts + two censuses ran before
-    // (round-10 VERDICT "Next #2" / "Next #4").
+    // all five shared frames persist LAZILY: the ONE fused bandCensus
+    // job below scans every partition of sh and sigs through their
+    // whole input chains, materializing kept/toks/hashed/sh/sigs as
+    // by-products. One eager job where five counts + two censuses ran
+    // in round 10 (VERDICT "Next #2" / "Next #4").
     val kept = Materialize.trackLazy(hashedDocs.join(keepIds, Seq("__h", "doc_id")))
     val toks = Materialize.trackLazy(DedupQueries.tokens(kept))
     val hashed = Materialize.trackLazy(DedupQueries.shingleHashesFrom(toks))
     val sh = Materialize.trackLazy(DedupQueries.simhashOf(toks))
     val sigs = Materialize.trackLazy(DedupQueries.minhashSigsOf(hashed))
+    val (simMax, mhMax) = DedupQueries.bandCensus(sh, sigs)
     // same caps as nearDupEdges — incremental folds compose to exactly
     // this capped edge set: the head/tail split and the bucket root are
     // append-stable (bandedPairs doc), so a doc's candidate pairs are
     // fixed at its arrival fold and never revised. IncBench asserts
     // outputs_identical per run as the empirical backstop.
     val edges = DedupQueries
-      .simhashPairsOf(sh, None, DedupQueries.SimhashBandCap)
+      .simhashPairsOf(sh, None, DedupQueries.SimhashBandCap, Some(simMax))
       .select(col("da"), col("db"))
       .unionAll(DedupQueries.verifiedByJaccard(
-        DedupQueries.minhashCandidates(sigs, None, DedupQueries.DegenerateBucketCap),
+        DedupQueries.minhashCandidates(sigs, None,
+          DedupQueries.DegenerateBucketCap, Some(mhMax)),
         hashed))
     val labels = graft.operators.ConnectedComponents.run(edges)
       .withColumnRenamed("id", "doc_id")
     // sigs LEFT: a quality-passing doc with < 3 tokens has no shingles,
     // hence no MinHash group — an inner join would silently drop it from
     // the state (and the corpus) where the from-scratch pipeline keeps
-    // it; null signatures are excluded from banding in minhashCandidates
+    // it; null signatures are excluded from banding in minhashCandidates.
+    // hs (the sorted shingle-hash set, LEFT for the same reason) is
+    // STORED so future folds verify candidates from the state without
+    // re-tokenizing state docs.
     kept.join(sh, Seq("doc_id")).join(sigs, Seq("doc_id"), "left")
+      .join(DedupQueries.shingleSetsOf(hashed), Seq("doc_id"), "left")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
   }
@@ -101,23 +107,33 @@ object IncrementalCuration {
     // tracked: the exact-dedup anti-join scans the stored state's __h
     // column — each UNTRACKED consumer would repeat that corpus-wide
     // (narrow) scan; everything below it is batch-sized
-    val bKept = Materialize.track(
+    // no distinct on the state side: state docs are exact-deduped by
+    // construction, so __h is already unique — the anti join semantics
+    // are identical and the fold skips a corpus-wide aggregate exchange
+    val bKept = Materialize.trackLazy(
       bh.join(keepIds, Seq("__h", "doc_id"))
-        .join(state.select(col("__h")).distinct(), Seq("__h"), "left_anti"))
+        .join(state.select(col("__h")), Seq("__h"), "left_anti"))
     // batch-sized kernels are NOT individually tracked (round-10): at a
     // realistic add cadence the dominant cost of the fold is fixed
     // per-job latency, and each eager track is one more job — letting
     // the tokenize/simhash subtrees compute twice inside the two tracked
     // results below is milliseconds of repeated batch-local work
     val toks = DedupQueries.tokens(bKept)
-    val hashedB = Materialize.track(DedupQueries.shingleHashesFrom(toks))
+    val hashedB = Materialize.trackLazy(DedupQueries.shingleHashesFrom(toks))
     val shB = DedupQueries.simhashOf(toks)
     val sigB = DedupQueries.minhashSigsOf(hashedB)
     BatchPrep(
-      // sigB LEFT for the same reason as initState: shingle-less docs
-      // stay in the state with null signatures
+      // sigB/hs LEFT for the same reason as initState: shingle-less docs
+      // stay in the state with null signatures.
+      // ONE eager count materializes all three caches (round-10 VERDICT
+      // "Next #4"): rows' plan reads bKept directly, and the sigB
+      // aggregation inside it scans every hashedB partition, which in
+      // turn scans every bKept partition — so the lazily-persisted
+      // upstream frames materialize as by-products of this single job
+      // instead of one count each.
       Materialize.track(
-        bKept.join(shB, Seq("doc_id")).join(sigB, Seq("doc_id"), "left")),
+        bKept.join(shB, Seq("doc_id")).join(sigB, Seq("doc_id"), "left")
+          .join(DedupQueries.shingleSetsOf(hashedB), Seq("doc_id"), "left")),
       hashedB)
   }
 
@@ -143,19 +159,24 @@ object IncrementalCuration {
       .withColumn("__new", lit(false))
       .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
         .withColumn("__new", lit(true))))
+    // one fused census job materializes both unions AND reads both
+    // band maxima (round-10 VERDICT "Next #4" / ADVICE: the per-join
+    // census no longer re-scans the state parquet)
+    val (simMax, mhMax) = DedupQueries.bandCensus(shAll, sigAll)
     val simEdges = DedupQueries
-      .simhashPairsOf(shAll, Some("__new"), DedupQueries.SimhashBandCap)
+      .simhashPairsOf(shAll, Some("__new"), DedupQueries.SimhashBandCap,
+        Some(simMax))
       .select(col("da"), col("db"))
     val cand = Materialize.track(
       DedupQueries.minhashCandidates(sigAll, Some("__new"),
-        DedupQueries.DegenerateBucketCap))
-    val candIds = cand.select(col("da").as("doc_id"))
-      .unionAll(cand.select(col("db").as("doc_id"))).distinct()
-    val hashedStateCand = DedupQueries.shingleHashesFrom(DedupQueries.tokens(
-      state.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"))))
-    val mhEdges = DedupQueries.verifiedByJaccard(
-      cand, prep.shingleHashes.unionByName(hashedStateCand))
+        DedupQueries.DegenerateBucketCap, Some(mhMax)))
+    // verification reads the STORED sorted shingle sets (hs) — no state
+    // doc is ever re-tokenized or re-shingled by a fold; the candidate
+    // join touches only (doc_id, hs) of docs that appear in a pair, and
+    // the parquet scan prunes to those two columns
+    val mhEdges = DedupQueries.verifiedBySets(
+      cand, state.select(col("doc_id"), col("hs"))
+        .unionByName(prep.rows.select(col("doc_id"), col("hs"))))
     val oldStars = comps.filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("da"), col("component").as("db"))
     val labels = graft.operators.ConnectedComponents
