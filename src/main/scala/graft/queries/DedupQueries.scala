@@ -277,6 +277,13 @@ object DedupQueries {
   private def bandedPairs(bandRows: DataFrame, newFlag: Option[String],
       maxBucket: Int, payload: Seq[String],
       knownMax: Option[Long] = None): DataFrame = {
+    // A touched-bucket pre-filter (drop buckets with no flagged member
+    // before the pair join) was tried for the newFlag path and REMOVED:
+    // on a dup-dense corpus the batch touches nearly every family
+    // bucket, so the semi-join + required cache cost 1.6x the whole
+    // fold (sf10, round 11) while the >=1-new join condition already
+    // skips old x old pair OUTPUT. Revisit only with a persisted
+    // bucket-postings state that makes "touched" a file-prune.
     val pay = payload.flatMap(c =>
       Seq(col(s"ba.$c").as(s"a_$c"), col(s"bb.$c").as(s"b_$c")))
     val base = col("ba.band") === col("bb.band") &&

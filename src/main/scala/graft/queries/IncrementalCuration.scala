@@ -171,9 +171,15 @@ object IncrementalCuration {
       DedupQueries.minhashCandidates(sigAll, Some("__new"),
         DedupQueries.DegenerateBucketCap, Some(mhMax)))
     // verification reads the STORED sorted shingle sets (hs) — no state
-    // doc is ever re-tokenized or re-shingled by a fold; the candidate
-    // join touches only (doc_id, hs) of docs that appear in a pair, and
-    // the parquet scan prunes to those two columns
+    // doc is ever re-tokenized or re-shingled by a fold, and the parquet
+    // scan prunes to (doc_id, hs). Deliberately NO candidate-id
+    // semi-join before the pair join: both a lazy semi (re-executed per
+    // pair side + inside the CC job, each re-sorting the array column)
+    // and an eagerly cached one measured 1.5-2x the whole fold at sf1
+    // (round 11) against this plain shape, where the pair join's own
+    // hash exchange moves each array once per side. At cluster scale a
+    // doc_id-bucketed state layout is the right way to make the
+    // candidate restriction free (bucket-pruned scan), not a join.
     val mhEdges = DedupQueries.verifiedBySets(
       cand, state.select(col("doc_id"), col("hs"))
         .unionByName(prep.rows.select(col("doc_id"), col("hs"))))

@@ -36,27 +36,36 @@ object IncProbe {
       lap("prepare_batch", prep.rows.count())
       lap("prep_count_action", 0)
 
-      val shAll = state.select(col("doc_id"), col("sh"))
-        .withColumn("__new", lit(false))
-        .unionByName(prep.rows.select(col("doc_id"), col("sh"))
-          .withColumn("__new", lit(true)))
-      val sigAll = state.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
-        .withColumn("__new", lit(false))
-        .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
-          .withColumn("__new", lit(true)))
-      val simEdges = DedupQueries.simhashPairsOf(shAll, Some("__new"))
+      // mirrors IncrementalCuration.components (capped joins, fused
+      // census, stored-hs verification) with a lap per sub-frame
+      val shAll = graft.runner.Materialize.trackLazy(
+        state.select(col("doc_id"), col("sh"))
+          .withColumn("__new", lit(false))
+          .unionByName(prep.rows.select(col("doc_id"), col("sh"))
+            .withColumn("__new", lit(true))))
+      val sigAll = graft.runner.Materialize.trackLazy(
+        state.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
+          .withColumn("__new", lit(false))
+          .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
+            .withColumn("__new", lit(true))))
+      val (simMax, mhMax) = DedupQueries.bandCensus(shAll, sigAll)
+      lap(s"band_census (sim=$simMax mh=$mhMax)", 0)
+      val simEdges = DedupQueries.simhashPairsOf(shAll, Some("__new"),
+          DedupQueries.SimhashBandCap, Some(simMax))
         .select(col("da"), col("db"))
       lap("sim_edges", simEdges.count())
       val cand = graft.runner.Materialize.track(
-        DedupQueries.minhashCandidates(sigAll, Some("__new")))
+        DedupQueries.minhashCandidates(sigAll, Some("__new"),
+          DedupQueries.DegenerateBucketCap, Some(mhMax)))
       lap("minhash_candidates", cand.count())
       val candIds = cand.select(col("da").as("doc_id"))
         .unionAll(cand.select(col("db").as("doc_id"))).distinct()
-      val hashedStateCand = DedupQueries.shingleHashesFrom(DedupQueries.tokens(
-        state.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("text"))))
-      val mhEdges = DedupQueries.verifiedByJaccard(
-        cand, prep.shingleHashes.unionByName(hashedStateCand))
+      val sets = graft.runner.Materialize.track(
+        state.select(col("doc_id"), col("hs"))
+          .unionByName(prep.rows.select(col("doc_id"), col("hs")))
+          .join(candIds, Seq("doc_id"), "left_semi"))
+      lap("sets_cache", 0)
+      val mhEdges = DedupQueries.verifiedBySets(cand, sets)
       lap("mh_edges_verified", mhEdges.count())
       val oldStars = comps.filter(col("component") =!= col("doc_id"))
         .select(col("doc_id").as("da"), col("component").as("db"))
