@@ -79,8 +79,12 @@ object Curate {
     * files. A packed corpus (seq_id) still rewrites fully: removing a
     * doc shifts every later sequence id in its split by construction.
     */
+  /** `failAfterCorpusDelta` is a TEST hook: throw right after the corpus
+    * delta (marker written, state not yet mutated) — the crash window
+    * the pending-marker retry protocol exists for (CurateCliSuite).
+    */
   def runAdd(spark: SparkSession, batchDir: String, outDir: String,
-      minChars: Long): Seq[String] = {
+      minChars: Long, failAfterCorpusDelta: Boolean = false): Seq[String] = {
     // per-phase wall clock + job count to stderr: the incremental path's
     // value claim is "O(batch), not O(corpus)" — the phase split shows
     // which side of that a slow add actually sits on, and the job count
@@ -177,6 +181,9 @@ object Curate {
           lap("summary")
           s
         }
+      if (failAfterCorpusDelta)
+        throw new IllegalStateException(
+          "test hook: simulated crash after corpus delta, before state writes")
       // components swap BEFORE the docs append: the old (doc_id ->
       // component) stars are edges of the final graph, so a retry that
       // sees the NEW components with the OLD docs store just re-adds

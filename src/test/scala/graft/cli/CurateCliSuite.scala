@@ -100,4 +100,45 @@ class CurateCliSuite extends SparkTestBase {
       .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
     assert(corpus(outInc) == corpus(outFull))
   }
+
+  test("a fold that crashes after the corpus delta retries without duplicating") {
+    // round-10 ADVICE (medium): a crash between the corpus delta and the
+    // state writes used to leave the corpus ahead of the state, and a
+    // retry re-appended the same representative rows. The pending-marker
+    // protocol makes the retry delete-then-insert; this pins it through
+    // the real crash window (the failAfterCorpusDelta hook throws with
+    // the marker written, corpus mutated, state untouched).
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val m = docs.agg(expr("percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val b1 = tmpDir("curate_rb1"); val b2 = tmpDir("curate_rb2")
+    docs.filter(col("doc_id") <= m).write.parquet(s"$b1/documents.parquet")
+    docs.filter(col("doc_id") > m).write.parquet(s"$b2/documents.parquet")
+
+    val outFull = tmpDir("curate_rfull")
+    Curate.run(spark, sf, outFull, 100L)
+    val outInc = tmpDir("curate_rinc")
+    Curate.run(spark, b1, outInc, 100L)
+
+    intercept[IllegalStateException] {
+      Curate.runAdd(spark, b2, outInc, 100L, failAfterCorpusDelta = true)
+    }
+    graft.runner.Materialize.releaseAll()
+    // the crash window is real: corpus mutated, marker present, state not
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outInc, "state", "pending_delta")))
+
+    // retry heals: corpus equals the full build, no duplicate doc_ids,
+    // marker cleared
+    Curate.runAdd(spark, b2, outInc, 100L)
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    val inc = corpus(outInc)
+    assert(inc.map(_.head).distinct.length == inc.length,
+      "retried fold must not duplicate doc_ids")
+    assert(inc == corpus(outFull))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outInc, "state", "pending_delta")))
+  }
 }
