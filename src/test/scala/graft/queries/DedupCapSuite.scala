@@ -71,4 +71,44 @@ class DedupCapSuite extends SparkTestBase {
     assert(pairs == (46L to 50L).map(x => (1L, x)).toSet)
     graft.runner.Materialize.releaseAll()
   }
+
+  test("fused bandCensus equals the per-join census; knownMax plans emit identical pairs") {
+    // round 11: capped callers run ONE bandCensus job and pass the
+    // maxima into both band joins via knownMax. This pins the two
+    // invariants that make that safe: (1) the fused census reads the
+    // SAME band derivation as the joins (values equal the per-join
+    // aggregates), (2) a knownMax-driven plan emits exactly the pairs
+    // the self-censusing plan emits, on both sides of the cap.
+    val dd = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = graft.runner.Materialize.track(DedupQueries.tokens(dd))
+    val hashed = graft.runner.Materialize.track(DedupQueries.shingleHashesFrom(toks))
+    val sh = graft.runner.Materialize.track(DedupQueries.simhashOf(toks))
+    val sigs = graft.runner.Materialize.track(DedupQueries.minhashSigsOf(hashed))
+    val (simMax, mhMax) = DedupQueries.bandCensus(sh, sigs)
+    def maxOf(rows: org.apache.spark.sql.DataFrame): Long =
+      rows.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    assert(simMax == maxOf(DedupQueries.simhashBandRowsOf(sh, None)))
+    assert(mhMax == maxOf(DedupQueries.minhashBandRowsOf(sigs, None)))
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("da"), col("db")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // below-cap knownMax (all-pairs branch) and a tiny cap that FIRES
+    // (split branch): both must match the self-censusing plan exactly
+    for (cap <- Seq(DedupQueries.DegenerateBucketCap, 2)) {
+      assert(
+        pairSet(DedupQueries.minhashCandidates(sigs, None, cap, Some(mhMax))) ==
+          pairSet(DedupQueries.minhashCandidates(sigs, None, cap)),
+        s"minhash pairs diverged at cap=$cap")
+      assert(
+        pairSet(DedupQueries.simhashPairsOf(sh, None, cap, Some(simMax))) ==
+          pairSet(DedupQueries.simhashPairsOf(sh, None, cap)),
+        s"simhash pairs diverged at cap=$cap")
+    }
+    graft.runner.Materialize.releaseAll()
+  }
 }
