@@ -186,9 +186,10 @@ object DedupQueries {
     */
   private[queries] def minhashCandidates(
       sigs: DataFrame, newFlag: Option[String] = None,
-      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None): DataFrame =
+      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None,
+      knownHot: Option[Seq[Long]] = None): DataFrame =
     bandedPairs(minhashBandRowsOf(sigs, newFlag), newFlag, maxBucket,
-        Seq.empty, knownMax)
+        Seq.empty, knownMax, knownHot)
       .select(col("da"), col("db"))
       .distinct()
 
@@ -214,26 +215,64 @@ object DedupQueries {
       .select(keep ++ Seq(col("b.band").as("band"), col("b.bucket").as("bucket")): _*)
   }
 
-  /** Both band-census maxima — max SimHash band-bucket size and max
-    * MinHash band-bucket size — in ONE eager job. The union of the two
-    * bucket-count frames scans every partition of `sh` and `sigs` (and
-    * their whole upstream chains), so for lazily-persisted signature
-    * frames this doubles as the cache-materializing action: callers that
-    * need both capped band joins (nearDupEdges, initState, incremental
-    * components) pay one census job instead of one per join, then pass
-    * the maxima down via `knownMax`.
+  /** Result of the fused band census: per family, the max bucket size
+    * and — when their count fits the driver bound — the xxhash64(band,
+    * bucket) keys of every OVERSIZED bucket. `None` hot keys = too many
+    * to collect; the capped join falls back to its distributed
+    * sizes-join partition.
     */
-  private[queries] def bandCensus(sh: DataFrame, sigs: DataFrame): (Long, Long) = {
+  private[queries] case class BandCensus(
+      simMax: Long, mhMax: Long,
+      simHot: Option[Seq[Long]], mhHot: Option[Seq[Long]])
+
+  /** Census bound: above this many oversized buckets the keys stay
+    * distributed (the sizes-join path) instead of a driver collect —
+    * 100k longs is a ~1 MB broadcast, far under closure limits.
+    */
+  private val HotKeyLimit = 100000
+
+  /** Both band-census maxima — max SimHash band-bucket size and max
+    * MinHash band-bucket size — plus the oversized-bucket key sets, in
+    * ONE materializing pass + one cheap re-aggregate. The first job's
+    * union of the two bucket-count frames scans every partition of `sh`
+    * and `sigs` (and their whole upstream chains), so for
+    * lazily-persisted signature frames it doubles as the
+    * cache-materializing action; the hot-key collect re-aggregates from
+    * the (now cached) inputs. Callers that need both capped band joins
+    * (nearDupEdges, initState, incremental components) pay these two
+    * small jobs once, then pass the results down via
+    * `knownMax`/`knownHot` — no per-join census, and the split branch
+    * partitions its buckets with a codegen isInCollection filter
+    * instead of a corpus-wide sizes join.
+    */
+  private[queries] def bandCensus(sh: DataFrame, sigs: DataFrame,
+      simCap: Int = SimhashBandCap,
+      mhCap: Int = DegenerateBucketCap): BandCensus = {
     def sizes(rows: DataFrame, k: Int) = rows
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__c"))
-      .select(lit(k).as("__k"), col("__c"))
-    val maxes = sizes(simhashBandRowsOf(sh, None), 0)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .select(lit(k).as("__k"), col("__c"),
+        xxhash64(col("band"), col("bucket")).as("__hk"))
+    val unioned = sizes(simhashBandRowsOf(sh, None), 0)
       .unionAll(sizes(minhashBandRowsOf(sigs, None), 1))
-      .groupBy(col("__k")).agg(max(col("__c")).as("__m"))
+    val maxes = unioned.groupBy(col("__k")).agg(max(col("__c")).as("__m"))
       .collect()
     def m(k: Int): Long =
       maxes.find(_.getInt(0) == k).map(_.getLong(1)).getOrElse(0L)
-    (m(0), m(1))
+    val (simMax, mhMax) = (m(0), m(1))
+    // hot keys only when a cap actually fires (the common small-corpus
+    // case pays exactly one job), bounded by HotKeyLimit per family
+    def hot(k: Int, cap: Int, maxSz: Long): Option[Seq[Long]] =
+      if (maxSz <= cap) Some(Nil)
+      else {
+        val keys = unioned
+          .filter(col("__k") === k && col("__c") > cap)
+          .select(col("__hk")).limit(HotKeyLimit + 1)
+          .collect().map(_.getLong(0)).toSeq
+        if (keys.length > HotKeyLimit) None else Some(keys)
+      }
+    BandCensus(simMax, mhMax,
+      hot(0, simCap, simMax), hot(1, mhCap, mhMax))
   }
 
   /** Shared band-join core: within each (band, bucket), all-pairs among
@@ -276,7 +315,8 @@ object DedupQueries {
     */
   private def bandedPairs(bandRows: DataFrame, newFlag: Option[String],
       maxBucket: Int, payload: Seq[String],
-      knownMax: Option[Long] = None): DataFrame = {
+      knownMax: Option[Long] = None,
+      knownHot: Option[Seq[Long]] = None): DataFrame = {
     // A touched-bucket pre-filter (drop buckets with no flagged member
     // before the pair join) was tried for the newFlag path and REMOVED:
     // on a dup-dense corpus the batch touches nearly every family
@@ -288,10 +328,36 @@ object DedupQueries {
       Seq(col(s"ba.$c").as(s"a_$c"), col(s"bb.$c").as(s"b_$c")))
     val base = col("ba.band") === col("bb.band") &&
       col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id")
-    val cond = newFlag.map(f => base && (col(s"ba.$f") || col(s"bb.$f"))).getOrElse(base)
-    def allPairs(rows: DataFrame): DataFrame =
-      rows.as("ba").join(rows.as("bb"), cond)
-        .select(Seq(col("ba.doc_id").as("da"), col("bb.doc_id").as("db")) ++ pay: _*)
+    def allPairs(rows: DataFrame): DataFrame = newFlag match {
+      case None =>
+        rows.as("ba").join(rows.as("bb"), base)
+          .select(Seq(col("ba.doc_id").as("da"), col("bb.doc_id").as("db")) ++ pay: _*)
+      case Some(f) =>
+        // Flagged (incremental-fold) mode: every surviving pair has a
+        // flagged side, so drive the join FROM the flagged rows and
+        // BROADCAST them — the corpus-side band rows never shuffle for
+        // pair generation (round 11: this was the fold's largest
+        // remaining corpus-sized exchange; the self-join shape shuffled
+        // both full sides). The flagged side is batch x bands rows —
+        // the incremental protocol's batches broadcast comfortably; a
+        // bulk load that wouldn't fit should run the full build instead.
+        // The disambiguated condition emits each unordered pair exactly
+        // once: flagged-vs-flagged only from the smaller id, flagged-vs-
+        // old from the flagged row regardless of id order.
+        val cond = col("ba.band") === col("bb.band") &&
+          col("ba.bucket") === col("bb.bucket") &&
+          (col("ba.doc_id") < col("bb.doc_id") ||
+            (!col(s"bb.$f") && col("bb.doc_id") < col("ba.doc_id")))
+        val payN = payload.flatMap(c => Seq(
+          when(col("ba.doc_id") < col("bb.doc_id"), col(s"ba.$c"))
+            .otherwise(col(s"bb.$c")).as(s"a_$c"),
+          when(col("ba.doc_id") < col("bb.doc_id"), col(s"bb.$c"))
+            .otherwise(col(s"ba.$c")).as(s"b_$c")))
+        broadcast(rows.filter(col(f))).as("ba").join(rows.as("bb"), cond)
+          .select(Seq(
+            least(col("ba.doc_id"), col("bb.doc_id")).as("da"),
+            greatest(col("ba.doc_id"), col("bb.doc_id")).as("db")) ++ payN: _*)
+    }
     // knownMax: a caller that already ran [[bandCensus]] (one fused job
     // for both band families) passes the max here — no eager action at
     // all in this builder. A stale/over-estimated value can only flip
@@ -305,14 +371,30 @@ object DedupQueries {
         })
     if (maxBucket == Int.MaxValue || maxSize <= maxBucket) allPairs(bandRows)
     else {
-      val sizes = bandRows.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("__c"))
-      val marked = bandRows.join(sizes, Seq("band", "bucket"))
-      val small = allPairs(marked.filter(col("__c") <= maxBucket).drop("__c"))
+      // bucket partition: with the census-collected hot keys a codegen
+      // isInCollection filter splits small from oversized buckets — no
+      // sizes aggregate, no corpus-wide (band,bucket) join. A hash
+      // COLLISION routing a small bucket into the oversized path is
+      // harmless: a bucket at or under the cap sits entirely inside the
+      // head, i.e. exact all-pairs either way. The sizes-join path
+      // remains for callers without a census (and as the fallback when
+      // the hot set exceeded the driver bound).
+      val (smallRows, overRows) = knownHot match {
+        case Some(keys) =>
+          val hk = xxhash64(col("band"), col("bucket"))
+          (bandRows.filter(!hk.isInCollection(keys)),
+            bandRows.filter(hk.isInCollection(keys)))
+        case None =>
+          val sizes = bandRows.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__c"))
+          val marked = bandRows.join(sizes, Seq("band", "bucket"))
+          (marked.filter(col("__c") <= maxBucket).drop("__c"),
+            marked.filter(col("__c") > maxBucket).drop("__c"))
+      }
+      val small = allPairs(smallRows)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
-      val ranked = marked.filter(col("__c") > maxBucket).drop("__c")
-        .withColumn("__r", row_number().over(w))
+      val ranked = overRows.withColumn("__r", row_number().over(w))
       val head = allPairs(ranked.filter(col("__r") <= maxBucket).drop("__r"))
       val rootCols = Seq(col("band"), col("bucket"), col("doc_id").as("__root")) ++
         newFlag.map(f => col(f).as("__rootflag")) ++
@@ -417,9 +499,10 @@ object DedupQueries {
     */
   private[queries] def simhashPairsOf(
       h: DataFrame, newFlag: Option[String] = None,
-      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None): DataFrame =
+      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None,
+      knownHot: Option[Seq[Long]] = None): DataFrame =
     bandedPairs(simhashBandRowsOf(h, newFlag), newFlag, maxBucket,
-        Seq("sh"), knownMax)
+        Seq("sh"), knownMax, knownHot)
       .select(col("da"), col("db"),
         hamming(col("a_sh"), col("b_sh")).as("ham"))
       .distinct()
@@ -466,14 +549,14 @@ object DedupQueries {
     val sh = graft.runner.Materialize.trackLazy(simhashOf(toks))
     val hashed = graft.runner.Materialize.trackLazy(shingleHashesFrom(toks))
     val sigs = graft.runner.Materialize.trackLazy(minhashSigsOf(hashed))
-    val (simMax, mhMax) = bandCensus(sh, sigs)
+    val c = bandCensus(sh, sigs)
     // cluster consumers cap degenerate buckets (DegenerateBucketCap /
     // SimhashBandCap): the component graph needs connectivity, not
     // every pairwise edge
-    simhashPairsOf(sh, None, SimhashBandCap, Some(simMax))
+    simhashPairsOf(sh, None, SimhashBandCap, Some(c.simMax), c.simHot)
       .select(col("da"), col("db"))
       .unionAll(verifiedByJaccard(
-        minhashCandidates(sigs, None, DegenerateBucketCap, Some(mhMax)),
+        minhashCandidates(sigs, None, DegenerateBucketCap, Some(c.mhMax), c.mhHot),
         hashed))
   }
 

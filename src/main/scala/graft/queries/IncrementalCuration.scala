@@ -55,18 +55,19 @@ object IncrementalCuration {
     val hashed = Materialize.trackLazy(DedupQueries.shingleHashesFrom(toks))
     val sh = Materialize.trackLazy(DedupQueries.simhashOf(toks))
     val sigs = Materialize.trackLazy(DedupQueries.minhashSigsOf(hashed))
-    val (simMax, mhMax) = DedupQueries.bandCensus(sh, sigs)
+    val c = DedupQueries.bandCensus(sh, sigs)
     // same caps as nearDupEdges — incremental folds compose to exactly
     // this capped edge set: the head/tail split and the bucket root are
     // append-stable (bandedPairs doc), so a doc's candidate pairs are
     // fixed at its arrival fold and never revised. IncBench asserts
     // outputs_identical per run as the empirical backstop.
     val edges = DedupQueries
-      .simhashPairsOf(sh, None, DedupQueries.SimhashBandCap, Some(simMax))
+      .simhashPairsOf(sh, None, DedupQueries.SimhashBandCap,
+        Some(c.simMax), c.simHot)
       .select(col("da"), col("db"))
       .unionAll(DedupQueries.verifiedByJaccard(
         DedupQueries.minhashCandidates(sigs, None,
-          DedupQueries.DegenerateBucketCap, Some(mhMax)),
+          DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot),
         hashed))
     val labels = graft.operators.ConnectedComponents.run(edges)
       .withColumnRenamed("id", "doc_id")
@@ -162,14 +163,14 @@ object IncrementalCuration {
     // one fused census job materializes both unions AND reads both
     // band maxima (round-10 VERDICT "Next #4" / ADVICE: the per-join
     // census no longer re-scans the state parquet)
-    val (simMax, mhMax) = DedupQueries.bandCensus(shAll, sigAll)
+    val c = DedupQueries.bandCensus(shAll, sigAll)
     val simEdges = DedupQueries
       .simhashPairsOf(shAll, Some("__new"), DedupQueries.SimhashBandCap,
-        Some(simMax))
+        Some(c.simMax), c.simHot)
       .select(col("da"), col("db"))
     val cand = Materialize.track(
       DedupQueries.minhashCandidates(sigAll, Some("__new"),
-        DedupQueries.DegenerateBucketCap, Some(mhMax)))
+        DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot))
     // verification reads the STORED sorted shingle sets (hs) — no state
     // doc is ever re-tokenized or re-shingled by a fold, and the parquet
     // scan prunes to (doc_id, hs). Deliberately NO candidate-id

@@ -48,24 +48,19 @@ object IncProbe {
           .withColumn("__new", lit(false))
           .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
             .withColumn("__new", lit(true))))
-      val (simMax, mhMax) = DedupQueries.bandCensus(shAll, sigAll)
-      lap(s"band_census (sim=$simMax mh=$mhMax)", 0)
+      val c = DedupQueries.bandCensus(shAll, sigAll)
+      lap(s"band_census (sim=${c.simMax} mh=${c.mhMax})", 0)
       val simEdges = DedupQueries.simhashPairsOf(shAll, Some("__new"),
-          DedupQueries.SimhashBandCap, Some(simMax))
+          DedupQueries.SimhashBandCap, Some(c.simMax), c.simHot)
         .select(col("da"), col("db"))
       lap("sim_edges", simEdges.count())
       val cand = graft.runner.Materialize.track(
         DedupQueries.minhashCandidates(sigAll, Some("__new"),
-          DedupQueries.DegenerateBucketCap, Some(mhMax)))
+          DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot))
       lap("minhash_candidates", cand.count())
-      val candIds = cand.select(col("da").as("doc_id"))
-        .unionAll(cand.select(col("db").as("doc_id"))).distinct()
-      val sets = graft.runner.Materialize.track(
-        state.select(col("doc_id"), col("hs"))
-          .unionByName(prep.rows.select(col("doc_id"), col("hs")))
-          .join(candIds, Seq("doc_id"), "left_semi"))
-      lap("sets_cache", 0)
-      val mhEdges = DedupQueries.verifiedBySets(cand, sets)
+      val mhEdges = DedupQueries.verifiedBySets(
+        cand, state.select(col("doc_id"), col("hs"))
+          .unionByName(prep.rows.select(col("doc_id"), col("hs"))))
       lap("mh_edges_verified", mhEdges.count())
       val oldStars = comps.filter(col("component") =!= col("doc_id"))
         .select(col("doc_id").as("da"), col("component").as("db"))

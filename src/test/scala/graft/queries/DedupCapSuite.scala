@@ -84,7 +84,8 @@ class DedupCapSuite extends SparkTestBase {
     val hashed = graft.runner.Materialize.track(DedupQueries.shingleHashesFrom(toks))
     val sh = graft.runner.Materialize.track(DedupQueries.simhashOf(toks))
     val sigs = graft.runner.Materialize.track(DedupQueries.minhashSigsOf(hashed))
-    val (simMax, mhMax) = DedupQueries.bandCensus(sh, sigs)
+    val census = DedupQueries.bandCensus(sh, sigs)
+    val (simMax, mhMax) = (census.simMax, census.mhMax)
     def maxOf(rows: org.apache.spark.sql.DataFrame): Long =
       rows.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head() match {
@@ -109,6 +110,19 @@ class DedupCapSuite extends SparkTestBase {
           pairSet(DedupQueries.simhashPairsOf(sh, None, cap)),
         s"simhash pairs diverged at cap=$cap")
     }
+    // knownHot (the census-collected oversized keys, cap=2 so they are
+    // non-empty at gate scale): the isInCollection bucket split must
+    // emit exactly the sizes-join split's pairs
+    val c2 = DedupQueries.bandCensus(sh, sigs, simCap = 2, mhCap = 2)
+    assert(c2.mhHot.exists(_.nonEmpty) || c2.mhMax <= 2)
+    assert(
+      pairSet(DedupQueries.minhashCandidates(sigs, None, 2, Some(c2.mhMax), c2.mhHot)) ==
+        pairSet(DedupQueries.minhashCandidates(sigs, None, 2)),
+      "minhash pairs diverged between hot-key and sizes-join splits")
+    assert(
+      pairSet(DedupQueries.simhashPairsOf(sh, None, 2, Some(c2.simMax), c2.simHot)) ==
+        pairSet(DedupQueries.simhashPairsOf(sh, None, 2)),
+      "simhash pairs diverged between hot-key and sizes-join splits")
     graft.runner.Materialize.releaseAll()
   }
 }
