@@ -112,13 +112,32 @@ object Curate {
           java.nio.file.Files.exists(oldPath))
         java.nio.file.Files.move(oldPath, compPath)
       // pending-marker: present iff a previous fold crashed after its
-      // corpus delta but before its state writes (see the delta block)
+      // corpus delta but before its state writes (see the delta block).
+      // The marker RECORDS THE BATCH (round-11 ADVICE, medium): a crashed
+      // fold of batch B must be retried with B before any other batch —
+      // a different batch's run would clear the marker without healing
+      // B's orphaned corpus rows, and a later B re-run would append them
+      // a second time. Identity = the batch dir's canonical path.
       val marker = java.nio.file.Paths.get(outDir, "state", "pending_delta")
+      val batchId = java.nio.file.Paths.get(batchDir)
+        .toAbsolutePath.normalize.toString
       val retrying = java.nio.file.Files.exists(marker)
+      if (retrying) {
+        val pending = java.nio.file.Files.readString(marker).trim
+        require(pending.isEmpty || pending == batchId,
+          s"a previous fold of batch $pending crashed mid-write — " +
+            s"retry that batch first (got $batchId)")
+      }
       // docs and components stay SEPARATE frames: only the old-star
       // edges need components, and joining them up front would charge a
       // corpus×corpus shuffle join to every narrow signature projection
       val stateDocs = spark.read.parquet(s"$outDir/state/docs")
+      // state-format gate (round-11 ADVICE): components() reads the
+      // stored sorted-shingle column `hs`; a pre-hs state would otherwise
+      // die deep in plan analysis with a raw unresolved-column error
+      require(stateDocs.columns.contains("hs"),
+        s"$outDir/state was written by an older build (no `hs` column) — " +
+          "state format changed; re-run the full build to migrate")
       val stateComps = spark.read.parquet(s"$outDir/state/components")
       val batch = graft.Tables.parallelized(
         graft.Tables.load(spark, batchDir, "documents"))
@@ -174,7 +193,7 @@ object Curate {
           val addIds: Seq[Long] =
             if (!retrying) Nil
             else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-          java.nio.file.Files.write(marker, Array.empty[Byte])
+          java.nio.file.Files.writeString(marker, batchId)
           graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds, Some(addRows))
           lap(s"corpus_delta (${dropIds.length} retired reps)")
           val s = writeSummary(spark, outDir)

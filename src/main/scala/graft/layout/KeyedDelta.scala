@@ -25,6 +25,10 @@ object KeyedDelta {
   def apply(spark: SparkSession, dir: String,
       dropKeys: Seq[Long], addRows: Option[DataFrame]): TableManifest = {
     val manifest = ZoneMap.read(dir)
+    // entry reconcile (round-11 ADVICE): a crash between writeAndMove and
+    // the manifest commit leaves manifest-unreferenced part files; purge
+    // them so dir-level readers never see duplicate rows
+    StagedRewrite.reconcile(spark, dir, manifest)
     val key = manifest.recordKey.getOrElse(
       throw new IllegalArgumentException(s"$dir has no recordKey — cannot delta"))
     val partitioned = manifest.hivePartitions.nonEmpty

@@ -63,4 +63,31 @@ object StagedRewrite {
   /** Delete `files` (by manifest URI) from the table. */
   def deleteFiles(fs: FileSystem, files: Seq[FileEntry]): Unit =
     files.foreach(f => fs.delete(new Path(new java.net.URI(f.path)), false))
+
+  /** Reconcile the table dir against its manifest: delete part files the
+    * manifest does not reference (round-11 ADVICE). The manifest-first
+    * commit order means a crash can only leave ORPHANS — new part files
+    * moved in before the manifest rename, or superseded files whose
+    * post-commit delete never ran. Manifest-driven readers are already
+    * consistent; this makes dir-level readers (plain
+    * spark.read.parquet(dir)) consistent too. Runs at mutation entry —
+    * a healthy table pays one directory listing.
+    */
+  def reconcile(spark: SparkSession, dir: String, manifest: TableManifest): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // URIs differ in form across producers (file:/ vs file:///) — compare
+    // by filesystem path component
+    val referenced = manifest.files
+      .map(f => new java.net.URI(f.path).getPath).toSet
+    var deleted = 0
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.startsWith("part-") &&
+          !referenced.contains(s.getPath.toUri.getPath)) {
+        fs.delete(s.getPath, false); deleted += 1
+      }
+    }
+    walk(new Path(dir))
+    if (deleted > 0) spark.catalog.refreshByPath(dir)
+  }
 }

@@ -1,5 +1,3 @@
-// dev probe lives in the queries package to reach DedupQueries'
-// private[queries] building blocks; file kept under tools/ with its peers
 package graft.queries
 
 import org.apache.spark.sql.SparkSession

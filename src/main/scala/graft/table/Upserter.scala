@@ -36,6 +36,9 @@ object Upserter {
     */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame): TableManifest = {
     val manifest = ZoneMap.read(dir)
+    // entry reconcile (round-11 ADVICE): purge manifest-unreferenced part
+    // files a crashed prior mutation may have left behind
+    StagedRewrite.reconcile(spark, dir, manifest)
     val partitioned = manifest.hivePartitions.nonEmpty
     val key = manifest.recordKey.getOrElse(
       throw new IllegalArgumentException(s"$dir has no recordKey — cannot upsert"))
@@ -77,7 +80,6 @@ object Upserter {
     val staging = dir.stripSuffix("/") + ".upsert_tmp"
     val moved = StagedRewrite.writeAndMove(
       spark, dir, staging, deduped, manifest.hivePartitions)
-    StagedRewrite.deleteFiles(fs, affected)
 
     // Manifest: stats for the new files only (distributed scan of just
     // those files), untouched entries carried over.
@@ -86,7 +88,13 @@ object Upserter {
       else ZoneMap.collectStatsDf(
         StagedRewrite.readFiles(spark, dir, moved, partitioned), manifest.statsCols)
     val updated = manifest.copy(files = untouched ++ newEntries)
+    // commit order matches KeyedDelta (round-11 ADVICE): atomically
+    // publish the manifest FIRST, delete superseded files after — a
+    // crash in between leaves orphan old files a manifest-driven reader
+    // never sees, never a manifest referencing deleted files.
     ZoneMap.write(dir, updated)
+    StagedRewrite.deleteFiles(fs, affected)
+    spark.catalog.refreshByPath(dir)
     updated
   }
 }

@@ -128,6 +128,21 @@ class CurateCliSuite extends SparkTestBase {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(outInc, "state", "pending_delta")))
 
+    // the marker names the crashed batch (round-11 ADVICE, medium):
+    // folding a DIFFERENT batch while b2's delta is pending must fail
+    // fast — clearing the marker via another batch would orphan b2's
+    // appended rows and let a later b2 re-run duplicate them
+    val b3 = tmpDir("curate_rb3")
+    docs.filter(col("doc_id") <= m / 2).write.parquet(s"$b3/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Curate.runAdd(spark, b3, outInc, 100L)
+    }
+    graft.runner.Materialize.releaseAll()
+    assert(e.getMessage.contains("retry that batch first"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outInc, "state", "pending_delta")),
+      "a rejected foreign batch must not clear the marker")
+
     // retry heals: corpus equals the full build, no duplicate doc_ids,
     // marker cleared
     Curate.runAdd(spark, b2, outInc, 100L)

@@ -101,6 +101,56 @@ class TableMaintenanceSuite extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("payload")))
   }
 
+  test("mutation entry purges manifest-unreferenced orphan part files") {
+    // round-11 ADVICE: a crash between writeAndMove and the manifest
+    // commit leaves part files the manifest never lists; dir-level
+    // readers then see duplicate rows. Entry reconcile must delete them.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_reconcile")
+    LayoutWriter.write(base, dir,
+      LayoutSpec("linear", Seq("k"), numFiles = Some(4),
+        recordKey = Some("k"), precombineCol = Some("version")))
+
+    // simulate the crash: copy a real part file to an orphan part- name
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(dir, "part-orphan-crashed.snappy.parquet")
+    java.nio.file.Files.copy(part.toPath, orphan.toPath)
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir).count() > 10000,
+      "dir-level read must see the duplicates before reconcile")
+
+    val batch = Seq((1L, "x", 0.0, 2L)).toDF("k", "payload", "price", "version")
+    Upserter.upsert(spark, dir, batch)
+    assert(!orphan.exists, "reconcile must delete the orphan")
+    assert(spark.read.parquet(dir).count() == 10000)
+    // manifest and directory agree exactly
+    val listed = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    val manifested = ZoneMap.read(dir).files
+      .map(f => new java.io.File(new java.net.URI(f.path).getPath).getName).toSet
+    assert(listed == manifested)
+  }
+
+  test("keyed delta entry also reconciles orphans, including partitioned dirs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_reconcile_kd")
+    val parted = base.withColumn("region", concat(lit("r"), ($"k" % 2).cast("string")))
+    LayoutWriter.write(parted, dir,
+      LayoutSpec("linear", Seq("k"), numFiles = Some(4),
+        recordKey = Some("k"), partitionBy = Seq("region")))
+    val pdir = new java.io.File(dir, "region=r0")
+    val part = pdir.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(pdir, "part-orphan-crashed.snappy.parquet")
+    java.nio.file.Files.copy(part.toPath, orphan.toPath)
+
+    graft.layout.KeyedDelta(spark, dir, Seq(1L), None)
+    assert(!orphan.exists, "reconcile must walk partition subdirs")
+    assert(spark.read.parquet(dir).count() == 9999)
+  }
+
   test("batch builder: ntile split is balanced, hash split deterministic") {
     val nt = BatchBuilder.splitNtile(base, 5, seed = 42)
     val sizes = nt.groupBy("batch_id").count().collect()
