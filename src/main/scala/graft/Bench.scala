@@ -36,9 +36,11 @@ object Bench {
     // (run_queries.py:46-62): AQE (+skew join), 256m split size,
     // vectorized parquet reader, 50 MB broadcast threshold.
     val spark = graft.runner.Sessions
-      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[bench] shuffle.partitions=" +
+      spark.conf.get("spark.sql.shuffle.partitions"))
     val diag = new graft.runner.DiagListener
     spark.sparkContext.addSparkListener(diag)
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -138,12 +140,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // only a FULL sweep records the committed two-run detail — a filtered
-    // dev run must not clobber the sweep artifact beside the repo
-    if (arg.isEmpty) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_RUNS.json"),
-        s"""{"sf":"$sfDir","cache_budget_mb":${graft.runner.Materialize.budgetBytes / 1048576L},"excluded_baselines":${baselineQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs":$runs}""" + "\n")
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // dev run writes a sibling dev file instead of clobbering the sweep
+    // artifact beside the repo
+    val runsFile = if (arg.isEmpty) "BENCH_RUNS.json" else "BENCH_RUNS_DEV.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(runsFile),
+      s"""{"sf":"$sfDir","cache_budget_mb":${graft.runner.Materialize.budgetBytes / 1048576L},"excluded_baselines":${baselineQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs":$runs}""" + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","leaked_caches":$leakedCaches,"queries":$qs}""")
     spark.stop()
   }

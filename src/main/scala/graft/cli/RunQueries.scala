@@ -172,7 +172,7 @@ object RunQueries {
     val spark = graft.runner.Sessions
       .tuned(SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-        .appName("graft-run-queries"), "32")
+        .appName("graft-run-queries"), "32", cfg.table)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // J3 broadcast switch: the shared profile defaults to 50 MB; the

@@ -168,7 +168,7 @@ object Scenario {
     val outDir = args.lift(1).getOrElse("/tmp/graft_rq1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.runner.Sessions
-      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cells = runMatrix(spark, sfDir,
