@@ -28,10 +28,16 @@ import graft.wlg.WorkloadGen.{RangeParam, TemplateSpec}
   */
 object Scenario {
 
-  /** One matrix cell: a query instance against one layout. */
+  /** One matrix cell: a query instance against one layout.
+    * `bytesScanned` = task-level parquet column-chunk reads;
+    * `fileBytesKept` = summed on-disk size of kept files — the
+    * reference's bytes_scanned semantics (a pruned-out file saves its
+    * WHOLE size; lakehouse_op/run_queries.py:165-248 counts file bytes).
+    */
   case class Cell(band: String, query: String, layout: String,
       rows: Long, wallSec: Double, filesKept: Long, filesTotal: Long,
-      bytesScanned: Long)
+      bytesScanned: Long, fileBytesKept: Long = 0L, fileBytesTotal: Long = 0L,
+      recordsRead: Long = 0L)
 
   case class BandLayout(band: String, layout: String,
       gmWallSpeedup: Double, gmFilesRatio: Double,
@@ -75,12 +81,17 @@ object Scenario {
       val where = cols.zipWithIndex
         .map { case (c, i) => s"$c BETWEEN :p${i}_lo AND :p${i}_hi" }
         .mkString("\n  AND ")
+      // the reference's RQ1 queries PROJECT a non-predicate column
+      // (SELECT l_orderkey ..., generate_tpch_rq1_specs.py:122) — the
+      // scan pays the projected chunks of every kept file, not just the
+      // predicate columns; sum() keeps the result one row without
+      // letting Catalyst prune the projection away
       val cells = for {
         (band, selOverall) <- bands
         selDim = math.pow(selOverall, 1.0 / cols.length)
         spec = TemplateSpec(
           name = s"rq_$band",
-          sql = s"SELECT count(*) AS cnt FROM {{tbl}}\nWHERE $where",
+          sql = s"SELECT count(*) AS cnt, sum(l_orderkey) AS sum_ok FROM {{tbl}}\nWHERE $where",
           params = cols.zipWithIndex.map { case (c, i) =>
             RangeParam(s"p$i", c, selDim)
           },
@@ -96,10 +107,17 @@ object Scenario {
         val scan = PrunedScan.read(spark, dir, preds)
         scan.df.createOrReplaceTempView("pruned_tbl")
         val sql = inst.sql.replace("{{tbl}}", "pruned_tbl")
-        val m = QueryRunner.run(spark, spark.sql(sql), s"$band-q$qi-$layout",
+        // min-of-2 measured runs (after QueryRunner's warmup): the box
+        // carries 2-4x load transients and the pruned cells are
+        // sub-100ms — a single sample inverts orderings at random
+        val m1 = QueryRunner.run(spark, spark.sql(sql), s"$band-q$qi-$layout",
           listener = Some(listener), warmup = true)
+        val m2 = QueryRunner.run(spark, spark.sql(sql), s"$band-q$qi-$layout",
+          listener = Some(listener), warmup = false)
+        val m = if (m2.wallSec < m1.wallSec) m2 else m1
         Cell(band, s"q$qi", layout, m.rows, m.wallSec,
-          scan.filesKept, scan.filesTotal, m.bytesScanned)
+          scan.filesKept, scan.filesTotal, m.bytesScanned,
+          scan.bytesKept, scan.bytesTotal, m.recordsRead)
       }
       layoutDirs.foreach { case (_, d) => deleteRec(new java.io.File(d)) }
       cells
@@ -149,9 +167,9 @@ object Scenario {
     def f3(v: Double): String =
       if (v.isNaN) "" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     w("rq1_queries.csv",
-      "band,query,layout,rows,wall_sec,files_kept,files_total,bytes_scanned" +:
+      "band,query,layout,rows,wall_sec,files_kept,files_total,bytes_scanned,file_bytes_kept,file_bytes_total,records_read" +:
         cells.map(c => s"${c.band},${c.query},${c.layout},${c.rows},${f3(c.wallSec)}," +
-          s"${c.filesKept},${c.filesTotal},${c.bytesScanned}"))
+          s"${c.filesKept},${c.filesTotal},${c.bytesScanned},${c.fileBytesKept},${c.fileBytesTotal},${c.recordsRead}"))
     w("geomean_speedup.csv",
       "band,layout,geomean_speedup,geomean_files_ratio,files_kept,files_total" +:
         geo.map(g => s"${g.band},${g.layout},${f3(g.gmWallSpeedup)}," +

@@ -17,7 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PrunedScan {
 
-  case class ScanResult(df: DataFrame, filesKept: Int, filesTotal: Int, rowsKeptBound: Long)
+  /** `bytesKept`/`bytesTotal` sum manifest file sizes (lakehouse
+    * bytes_scanned semantics: a kept file counts whole) — 0 for
+    * manifests written before sizes were recorded.
+    */
+  case class ScanResult(df: DataFrame, filesKept: Int, filesTotal: Int,
+      rowsKeptBound: Long, bytesKept: Long = 0L, bytesTotal: Long = 0L)
 
   /** Read `dir` keeping only files whose zones may match `preds`.
     * An empty survivor set yields an empty DataFrame with the right schema.
@@ -31,6 +36,7 @@ object PrunedScan {
       if (kept.isEmpty)
         spark.read.parquet(dir).limit(0)
       else spark.read.option("basePath", dir).parquet(kept.map(_.path): _*)
-    ScanResult(df, kept.length, manifest.files.length, kept.map(_.rows).sum)
+    ScanResult(df, kept.length, manifest.files.length, kept.map(_.rows).sum,
+      kept.flatMap(_.bytes).sum, manifest.files.flatMap(_.bytes).sum)
   }
 }

@@ -31,7 +31,13 @@ case class ColRange(
     maxStr: Option[String],
     allNull: Boolean)
 
-case class FileEntry(path: String, rows: Long, ranges: Map[String, ColRange])
+/** `bytes` is the on-disk file size — what a lakehouse's bytes_scanned
+  * counts when a file survives pruning (reference CSVs sum whole-file
+  * bytes, not parquet column-chunk reads). Optional so manifests written
+  * by earlier builds keep deserializing.
+  */
+case class FileEntry(path: String, rows: Long, ranges: Map[String, ColRange],
+    bytes: Option[Long] = None)
 
 case class TableManifest(
     layout: String,
@@ -186,7 +192,7 @@ object ZoneMap {
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
-    rows.toSeq.map { r =>
+    val entries = rows.toSeq.map { r =>
       val ranges = statsCols.map { c =>
         val nonNull = r.getAs[Long](s"__cnt_$c")
         val isStr = r.schema.fieldNames.contains(s"__mins_$c")
@@ -204,6 +210,24 @@ object ZoneMap {
         c -> cr
       }.toMap
       FileEntry(r.getAs[String]("__file"), r.getAs[Long]("__rows"), ranges)
+    }
+    withSizes(df.sparkSession, entries)
+  }
+
+  /** Enrich entries with on-disk sizes (one driver-side stat per file —
+    * O(#files), no Spark job; at 100 TB / 128 MB files ~800k stats,
+    * amortized into the manifest so readers never re-list).
+    */
+  def withSizes(spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    entries.map { e =>
+      val sz =
+        try {
+          val p = new org.apache.hadoop.fs.Path(new java.net.URI(e.path))
+          Some(p.getFileSystem(conf).getFileStatus(p).getLen)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      e.copy(bytes = sz)
     }
   }
 
