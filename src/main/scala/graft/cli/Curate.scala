@@ -45,6 +45,21 @@ object Curate {
         .parquet(s"$outDir/state/docs")
       state.select(col("doc_id"), col("component")).write.mode("overwrite")
         .parquet(s"$outDir/state/components")
+      // persisted bucket postings (round-11 VERDICT "Next #5"): the
+      // state's band rows (both families, one store), bh-sorted with a
+      // zone-map manifest, so folds read touched buckets as a
+      // file-prune + row-InSet instead of re-deriving corpus band rows
+      // from the doc store every add. recordKey=doc_id lets the
+      // crash-retry delete a half-appended batch's rows by key (the
+      // appended files' doc_id zones are exactly the batch range, so
+      // the delete rewrites only them).
+      val nState = state.count()
+      val postFiles = math.max(1, math.ceil(nState * 8.0 / 262144).toInt)
+      graft.layout.LayoutWriter.write(
+        graft.queries.IncrementalCuration.postingsAll(state),
+        s"$outDir/state/postings",
+        graft.layout.LayoutWriter.LayoutSpec("linear", Seq("bh"),
+          numFiles = Some(postFiles), recordKey = Some("doc_id")))
       // the pack budget is part of the corpus DEFINITION — persist it so
       // incremental adds keep packing (a rewrite without seq_id would
       // silently break downstream loaders)
@@ -84,7 +99,8 @@ object Curate {
     * the pending-marker retry protocol exists for (CurateCliSuite).
     */
   def runAdd(spark: SparkSession, batchDir: String, outDir: String,
-      minChars: Long, failAfterCorpusDelta: Boolean = false): Seq[String] = {
+      minChars: Long, failAfterCorpusDelta: Boolean = false,
+      failAfterPostingsAppend: Boolean = false): Seq[String] = {
     // per-phase wall clock + job count to stderr: the incremental path's
     // value claim is "O(batch), not O(corpus)" — the phase split shows
     // which side of that a slow add actually sits on, and the job count
@@ -152,8 +168,14 @@ object Curate {
       // (or re-running) it per consumer. trackLazy: the write below is
       // the materializing action (it scans every partition) — no
       // separate count job (round-10 VERDICT "Next #4")
+      val postingsDir = s"$outDir/state/postings"
+      val usePostings = graft.layout.ZoneMap.exists(postingsDir)
       val comps = graft.runner.Materialize.trackLazy(
-        graft.queries.IncrementalCuration.components(stateDocs, stateComps, prep))
+        if (usePostings)
+          graft.queries.IncrementalCuration.componentsFromPostings(
+            spark, stateDocs, stateComps, prep, postingsDir)
+        else
+          graft.queries.IncrementalCuration.components(stateDocs, stateComps, prep))
       comps.write.mode("overwrite").parquet(newPath.toString)
       lap("components")
       val docsDir = s"$outDir/docs"
@@ -215,6 +237,22 @@ object Curate {
       java.nio.file.Files.move(newPath, compPath)
       deleteRec(oldPath.toFile)
       spark.catalog.refreshByPath(compPath.toString)
+      // postings append BEFORE the docs append: a crash in between
+      // retries with prep recomputed from the still-postings-free docs
+      // store... (docs unchanged → prep identical), and the retry's
+      // dropPost delete-by-key removes any half-appended batch rows
+      // before re-appending — batch doc_ids exceed every corpus id, so
+      // on a clean retry the delete prunes to zero files and is free
+      if (usePostings) {
+        val dropPost: Seq[Long] =
+          if (!retrying) Nil
+          else prep.rows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        graft.layout.KeyedDelta(spark, postingsDir, dropPost,
+          Some(graft.queries.IncrementalCuration.postingsAll(prep.rows)))
+      }
+      if (failAfterPostingsAppend)
+        throw new IllegalStateException(
+          "test hook: simulated crash after postings append, before docs append")
       prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
       java.nio.file.Files.deleteIfExists(marker)
       lap("state_writes")

@@ -27,15 +27,21 @@ object PrunedScan {
   /** Read `dir` keeping only files whose zones may match `preds`.
     * An empty survivor set yields an empty DataFrame with the right schema.
     */
-  def read(spark: SparkSession, dir: String, preds: Seq[ZonePredicate]): ScanResult = {
+  /** `schema`, when the caller knows it statically, skips the footer-
+    * inference job a schemaless parquet read pays (one fixed-latency
+    * job per read — round-11 VERDICT "Next #4").
+    */
+  def read(spark: SparkSession, dir: String, preds: Seq[ZonePredicate],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): ScanResult = {
     val manifest = ZoneMap.read(dir)
     val kept = manifest.prune(preds)
     // basePath restores hive-partition columns when reading an explicit
     // file list out of a partitioned table dir.
+    val reader = schema.foldLeft(spark.read)((r, s) => r.schema(s))
     val df =
       if (kept.isEmpty)
-        spark.read.parquet(dir).limit(0)
-      else spark.read.option("basePath", dir).parquet(kept.map(_.path): _*)
+        reader.parquet(dir).limit(0)
+      else reader.option("basePath", dir).parquet(kept.map(_.path): _*)
     ScanResult(df, kept.length, manifest.files.length, kept.map(_.rows).sum,
       kept.flatMap(_.bytes).sum, manifest.files.flatMap(_.bytes).sum)
   }

@@ -142,6 +142,20 @@ object DedupQueries {
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** (doc_id, mh0..mh7, hs) — [[minhashSigsOf]] and [[shingleSetsOf]]
+    * FUSED into one aggregation: the curation paths always need both,
+    * and computing them separately costs a second groupBy pipeline plus
+    * a doc_id join to glue the results back together (round-11 VERDICT
+    * "Next #4": the fold's fixed per-job latency floor — every saved
+    * exchange is a saved AQE stage-job).
+    */
+  private[queries] def sigAndSetsOf(hashed: DataFrame): DataFrame = {
+    val mins = (0 until K).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh$i"))
+    val aggs = mins :+ sort_array(collect_list(col("h1"))).as("hs")
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Cap above which an LSH bucket is "degenerate" for CLUSTER-graph
     * consumers: within one (band, bucket) an all-pairs candidate join is
     * O(n²), and the heavy tail of a web corpus (boilerplate families,
@@ -188,7 +202,17 @@ object DedupQueries {
       sigs: DataFrame, newFlag: Option[String] = None,
       maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None,
       knownHot: Option[Seq[Long]] = None): DataFrame =
-    bandedPairs(minhashBandRowsOf(sigs, newFlag), newFlag, maxBucket,
+    minhashCandidatesRows(minhashBandRowsOf(sigs, newFlag), newFlag,
+      maxBucket, knownMax, knownHot)
+
+  /** [[minhashCandidates]] over a pre-built band-row frame (the
+    * persisted-postings fold path).
+    */
+  private[queries] def minhashCandidatesRows(
+      bandRows: DataFrame, newFlag: Option[String],
+      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None,
+      knownHot: Option[Seq[Long]] = None): DataFrame =
+    bandedPairs(bandRows, newFlag, maxBucket,
         Seq.empty, knownMax, knownHot)
       .select(col("da"), col("db"))
       .distinct()
@@ -247,14 +271,26 @@ object DedupQueries {
     */
   private[queries] def bandCensus(sh: DataFrame, sigs: DataFrame,
       simCap: Int = SimhashBandCap,
+      mhCap: Int = DegenerateBucketCap): BandCensus =
+    bandCensusRows(simhashBandRowsOf(sh, None), minhashBandRowsOf(sigs, None),
+      simCap, mhCap)
+
+  /** [[bandCensus]] over PRE-BUILT band-row frames — the persisted-
+    * postings fold path reads its band rows from the state's postings
+    * store (already restricted to touched buckets) instead of deriving
+    * them from signature frames, so the census only aggregates what the
+    * pair joins will actually see.
+    */
+  private[queries] def bandCensusRows(simRows: DataFrame, mhRows: DataFrame,
+      simCap: Int = SimhashBandCap,
       mhCap: Int = DegenerateBucketCap): BandCensus = {
     def sizes(rows: DataFrame, k: Int) = rows
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__c"))
       .select(lit(k).as("__k"), col("__c"),
         xxhash64(col("band"), col("bucket")).as("__hk"))
-    val unioned = sizes(simhashBandRowsOf(sh, None), 0)
-      .unionAll(sizes(minhashBandRowsOf(sigs, None), 1))
+    val unioned = sizes(simRows.select(col("band"), col("bucket")), 0)
+      .unionAll(sizes(mhRows.select(col("band"), col("bucket")), 1))
     val maxes = unioned.groupBy(col("__k")).agg(max(col("__c")).as("__m"))
       .collect()
     def m(k: Int): Long =
@@ -501,7 +537,17 @@ object DedupQueries {
       h: DataFrame, newFlag: Option[String] = None,
       maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None,
       knownHot: Option[Seq[Long]] = None): DataFrame =
-    bandedPairs(simhashBandRowsOf(h, newFlag), newFlag, maxBucket,
+    simhashPairsOfRows(simhashBandRowsOf(h, newFlag), newFlag,
+      maxBucket, knownMax, knownHot)
+
+  /** [[simhashPairsOf]] over a pre-built band-row frame (must carry the
+    * `sh` payload column — the postings store persists it).
+    */
+  private[queries] def simhashPairsOfRows(
+      bandRows: DataFrame, newFlag: Option[String],
+      maxBucket: Int = Int.MaxValue, knownMax: Option[Long] = None,
+      knownHot: Option[Seq[Long]] = None): DataFrame =
+    bandedPairs(bandRows, newFlag, maxBucket,
         Seq("sh"), knownMax, knownHot)
       .select(col("da"), col("db"),
         hamming(col("a_sh"), col("b_sh")).as("ham"))

@@ -34,31 +34,54 @@ object IncProbe {
       lap("prepare_batch", prep.rows.count())
       lap("prep_count_action", 0)
 
-      // mirrors IncrementalCuration.components (capped joins, fused
-      // census, stored-hs verification) with a lap per sub-frame
-      val shAll = graft.runner.Materialize.trackLazy(
-        state.select(col("doc_id"), col("sh"))
-          .withColumn("__new", lit(false))
-          .unionByName(prep.rows.select(col("doc_id"), col("sh"))
-            .withColumn("__new", lit(true))))
-      val sigAll = graft.runner.Materialize.trackLazy(
-        state.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
-          .withColumn("__new", lit(false))
-          .unionByName(prep.rows.select((col("doc_id") +: DedupQueries.SigCols.map(col)): _*)
-            .withColumn("__new", lit(true))))
-      val c = DedupQueries.bandCensus(shAll, sigAll)
+      // mirrors IncrementalCuration.componentsFromPostings (postings
+      // read, capped joins, fused census, stored-hs verification) with
+      // a lap per sub-frame; falls back to the derive-from-state union
+      // shape when the state has no postings store
+      val postDir = s"$outDir/state/postings"
+      val usePost = graft.layout.ZoneMap.exists(postDir)
+      val batchRows = IncrementalCuration.postingsAll(prep.rows)
+        .withColumn("__new", lit(true))
+      val (simAll, mhAll) =
+        if (usePost) {
+          val touched = batchRows.select(col("bh")).distinct()
+            .limit(IncrementalCuration.TouchedKeyLimit + 1)
+            .collect().map(_.getLong(0)).toSeq
+          lap(s"touched_keys (${touched.length})", touched.length)
+          val scan = graft.layout.PrunedScan.read(spark, postDir,
+            Seq(graft.layout.NumIn("bh", touched.map(_.toDouble))),
+            schema = Some(IncrementalCuration.PostingsSchema))
+          lap(s"postings_prune (${scan.filesKept}/${scan.filesTotal} files)", 0)
+          val allRows = graft.runner.Materialize.trackLazy(
+            scan.df.filter(col("bh").isInCollection(touched))
+              .withColumn("__new", lit(false)).unionByName(batchRows))
+          (allRows.filter(col("fam") === 0), allRows.filter(col("fam") === 1))
+        } else {
+          val allRows = graft.runner.Materialize.trackLazy(
+            IncrementalCuration.postingsAll(state)
+              .withColumn("__new", lit(false)).unionByName(batchRows))
+          (allRows.filter(col("fam") === 0), allRows.filter(col("fam") === 1))
+        }
+      val c = DedupQueries.bandCensusRows(simAll, mhAll)
       lap(s"band_census (sim=${c.simMax} mh=${c.mhMax})", 0)
-      val simEdges = DedupQueries.simhashPairsOf(shAll, Some("__new"),
+      val simEdges = DedupQueries.simhashPairsOfRows(simAll, Some("__new"),
           DedupQueries.SimhashBandCap, Some(c.simMax), c.simHot)
         .select(col("da"), col("db"))
       lap("sim_edges", simEdges.count())
       val cand = graft.runner.Materialize.track(
-        DedupQueries.minhashCandidates(sigAll, Some("__new"),
+        DedupQueries.minhashCandidatesRows(mhAll, Some("__new"),
           DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot))
       lap("minhash_candidates", cand.count())
-      val mhEdges = DedupQueries.verifiedBySets(
-        cand, state.select(col("doc_id"), col("hs"))
-          .unionByName(prep.rows.select(col("doc_id"), col("hs"))))
+      val candIds = cand.select(explode(array(col("da"), col("db"))).as("doc_id"))
+        .distinct().limit(IncrementalCuration.CandIdLimit + 1).collect()
+      lap(s"cand_ids (${candIds.length})", candIds.length)
+      val sets0 = state.select(col("doc_id"), col("hs"))
+        .unionByName(prep.rows.select(col("doc_id"), col("hs")))
+      val sets = graft.runner.Materialize.trackLazy(
+        if (candIds.length > IncrementalCuration.CandIdLimit) sets0
+        else sets0.filter(col("doc_id")
+          .isInCollection(candIds.map(_.getLong(0)).toSeq)))
+      val mhEdges = DedupQueries.verifiedBySets(cand, sets)
       lap("mh_edges_verified", mhEdges.count())
       val oldStars = comps.filter(col("component") =!= col("doc_id"))
         .select(col("doc_id").as("da"), col("component").as("db"))
