@@ -32,8 +32,18 @@ object Curate {
   /** Full-build run; separated from main() so tests drive it with a
     * shared session.
     */
+  /** Below this corpus size the full build skips the postings store:
+    * the store cannot prune (it is 1-2 files) while every fold still
+    * pays its append's ~2 jobs of fixed latency — the sf0.1 decay
+    * protocol's micro-folds regressed ~20% with a store that could
+    * never pay for itself. A postings-less state folds through the
+    * derive-per-fold path forever; rebuild to re-evaluate.
+    */
+  val PostingsMinDocs: Long = 100000L
+
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      minChars: Long, packBudget: Option[Long] = None): Seq[String] = {
+      minChars: Long, packBudget: Option[Long] = None,
+      forcePostings: Boolean = false): Seq[String] = {
     try {
       val docs = graft.Tables.parallelized(
         graft.Tables.load(spark, sfDir, "documents"))
@@ -54,12 +64,14 @@ object Curate {
       // appended files' doc_id zones are exactly the batch range, so
       // the delete rewrites only them).
       val nState = state.count()
-      val postFiles = math.max(1, math.ceil(nState * 8.0 / 262144).toInt)
-      graft.layout.LayoutWriter.write(
-        graft.queries.IncrementalCuration.postingsAll(state),
-        s"$outDir/state/postings",
-        graft.layout.LayoutWriter.LayoutSpec("linear", Seq("bh"),
-          numFiles = Some(postFiles), recordKey = Some("doc_id")))
+      if (forcePostings || nState >= PostingsMinDocs) {
+        val postFiles = math.max(1, math.ceil(nState * 8.0 / 262144).toInt)
+        graft.layout.LayoutWriter.write(
+          graft.queries.IncrementalCuration.postingsAll(state),
+          s"$outDir/state/postings",
+          graft.layout.LayoutWriter.LayoutSpec("linear", Seq("bh"),
+            numFiles = Some(postFiles), recordKey = Some("doc_id")))
+      }
       // the pack budget is part of the corpus DEFINITION — persist it so
       // incremental adds keep packing (a rewrite without seq_id would
       // silently break downstream loaders)

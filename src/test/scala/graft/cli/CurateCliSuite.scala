@@ -117,7 +117,7 @@ class CurateCliSuite extends SparkTestBase {
     val outFull = tmpDir("curate_pfullx")
     Curate.run(spark, sf, outFull, 100L)
     val outInc = tmpDir("curate_pincx")
-    Curate.run(spark, b1, outInc, 100L)
+    Curate.run(spark, b1, outInc, 100L, forcePostings = true)
 
     val postDir = s"$outInc/state/postings"
     assert(graft.layout.ZoneMap.exists(postDir), "full build must write postings")
@@ -162,7 +162,7 @@ class CurateCliSuite extends SparkTestBase {
     val outFull = tmpDir("curate_crfull")
     Curate.run(spark, sf, outFull, 100L)
     val outInc = tmpDir("curate_crinc")
-    Curate.run(spark, b1, outInc, 100L)
+    Curate.run(spark, b1, outInc, 100L, forcePostings = true)
 
     intercept[IllegalStateException] {
       Curate.runAdd(spark, b2, outInc, 100L, failAfterPostingsAppend = true)

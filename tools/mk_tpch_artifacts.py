@@ -35,7 +35,7 @@ def main():
     note_env = sys.argv[1] if len(sys.argv) > 1 else ""
     out = {}
     for sf in ("sf1", "sf10", "sf16"):
-        files = sorted(glob.glob(f"/tmp/tpch_{sf}*.json"))
+        files = sorted(glob.glob(f"/tmp/tpch_{sf}_*.json"))
         if not files:
             continue
         q, parts = load(files)
