@@ -50,6 +50,11 @@ def main():
              "us_per_row": round(sec * 1e6 / rows, 4)}
         if base_sec:
             e["vs_ratio"] = round(sec / base_sec, 2)
+            e["base_us_per_row"] = round(base_sec * 1e6 / base_rows, 4)
+            # the latency-floor test as data: per-row cost NOT growing
+            # across the decade means the wall ratio is floor-dominated
+            e["per_row_growth"] = round(
+                (sec / rows) / (base_sec / base_rows), 2)
         return e
 
     if sf10:
