@@ -98,14 +98,18 @@ object Compactor {
     val staging = dir.stripSuffix("/") + ".compactw_tmp"
     val moved = StagedRewrite.writeAndMove(
       spark, dir, staging, arranged, manifest.hivePartitions)
-    StagedRewrite.deleteFiles(fs, affected)
 
     val newEntries =
       if (moved.isEmpty) Seq.empty[FileEntry]
       else ZoneMap.collectStatsDf(
         StagedRewrite.readFiles(spark, dir, moved, partitioned), manifest.statsCols)
     val updated = manifest.copy(files = untouched ++ newEntries)
+    // commit order matches KeyedDelta/Upserter (round-11 ADVICE):
+    // manifest first, superseded files after — never a manifest that
+    // references deleted files
     ZoneMap.write(dir, updated)
+    StagedRewrite.deleteFiles(fs, affected)
+    spark.catalog.refreshByPath(dir)
     updated
   }
 }

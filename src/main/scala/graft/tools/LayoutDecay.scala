@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.layout._
+import graft.layout.LayoutWriter.LayoutSpec
+
+/** Reference RQ7 analog on our manifest tables: LAYOUT DECAY under
+  * keyed copy-on-write updates, and its repair by re-clustering
+  * compaction (reference: scripts/run_RQ_7_matrix.sh — SF16 base,
+  * SF4-scale update stream upserted in 10 batches, query bytes/files
+  * scanned recorded after each; notebooks/figures/
+  * rq7_tpch_summary_bytes_scanned_ev.csv).
+  *
+  * Protocol here: zorder the lineitem table on (l_quantity,
+  * l_extendedprice) with a synthetic unique record key; 10 update
+  * batches of ~2.5% of rows each (uniformly scattered keys — the
+  * worst case for COW: every batch's key range intersects every
+  * file's key zone, as a Hudi bloom-index upsert of a scattered batch
+  * rewrites every touched file group). After each upsert a fixed
+  * S1-band probe records files/bytes kept by zone pruning; a final
+  * [[Compactor.compact]] re-runs the recorded layout sort and the
+  * probe shows pruning restored.
+  *
+  * Usage: runMain graft.tools.LayoutDecay [sfDir] [workDir] [batches]
+  * Writes workDir/layout_decay.csv (copy to results/rq7_layout/).
+  */
+object LayoutDecay {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf16")
+    val work = args.lift(1).getOrElse("/tmp/graft_rq7layout")
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
+    }
+    rec(new java.io.File(work))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+    val table = s"$work/table"
+
+    // l_linenumber is 1..7, so *8 folds the composite key into one
+    // column; the driver's synthetic lineitem carries DUPLICATE
+    // (orderkey, linenumber) pairs (sf0.1: 600k rows, 457k distinct),
+    // so the keyed base table dedups once up front — an upsert
+    // experiment needs a well-defined record key, exactly as Hudi's
+    // first commit on such data would collapse them
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .withColumn("lkey", col("l_orderkey") * 8 + col("l_linenumber"))
+      .dropDuplicates("lkey")
+    LayoutWriter.write(li, table, LayoutSpec(
+      "zorder", Seq("l_quantity", "l_extendedprice"),
+      numFiles = Some(52), recordKey = Some("lkey")))
+
+    // fixed S1-band probe (~2.2% per dimension, the rq1 protocol's
+    // finest band): zone pruning quality is (files, bytes) kept
+    val probePreds = Seq(
+      NumBetween("l_quantity", 24.0, 25.0),
+      NumBetween("l_extendedprice", 30000.0, 32000.0))
+    val csv = new scala.collection.mutable.ArrayBuffer[String]
+    csv += "phase,batch,files_kept,files_total,bytes_kept_mb,bytes_total_mb,probe_rows,probe_sec,mutate_sec"
+    def probe(phase: String, batch: Int, mutateSec: Double): Unit = {
+      val t0 = System.nanoTime()
+      val scan = PrunedScan.read(spark, table, probePreds)
+      val rows = scan.df
+        .filter(col("l_quantity").between(24.0, 25.0) &&
+          col("l_extendedprice").between(30000.0, 32000.0))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      csv += f"$phase,$batch,${scan.filesKept},${scan.filesTotal}," +
+        f"${scan.bytesKept / 1e6}%.1f,${scan.bytesTotal / 1e6}%.1f,$rows,$sec%.3f,$mutateSec%.2f"
+      println(csv.last)
+    }
+    probe("base", 0, 0.0)
+
+    // ~25% of keys form the update stream, hash-split into batches —
+    // the reference's SF4-source-into-SF16-base ratio; the price bump
+    // keeps values inside the probe's domain (updates, not drift)
+    for (i <- 0 until nBatches) {
+      val batch = li
+        .filter(col("lkey") % 4 === 0 &&
+          pmod(xxhash64(col("lkey")), lit(nBatches)) === i)
+        .withColumn("l_extendedprice", col("l_extendedprice") * 1.001)
+      val t0 = System.nanoTime()
+      graft.table.Upserter.upsert(spark, table, batch)
+      probe("upsert", i + 1, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // repair: compaction re-runs the recorded layout sort (L5's
+    // "never degrades clustering" contract) and pruning returns
+    val t0 = System.nanoTime()
+    Compactor.compact(spark, table, targetFileBytes = 48L * 1024 * 1024)
+    probe("compacted", nBatches + 1, (System.nanoTime() - t0) / 1e9)
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "layout_decay.csv"),
+      csv.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[layoutdecay] -> $work/layout_decay.csv")
+    spark.stop()
+  }
+}
