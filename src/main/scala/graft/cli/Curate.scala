@@ -119,6 +119,18 @@ object Curate {
     // names the fixed per-job latency share (round-10 VERDICT "Next #4")
     val diag = new graft.runner.DiagListener
     spark.sparkContext.addSparkListener(diag)
+    // AQE OFF for the fold (round-11 VERDICT "What's wrong #2"): with
+    // AQE every materialized exchange is its own stage-job, and a fold
+    // is ~59 of them at 50-150 ms fixed latency each — the measured
+    // floor that keeps micro-folds above the rebuild. Without AQE each
+    // ACTION schedules its whole DAG as one job. The fold loses nothing
+    // AQE provides: its big joins are explicitly broadcast (flagged
+    // band rows) or driven by runner-CACHED frames whose
+    // InMemoryRelation stats give the static planner exact sizes, and
+    // batch-scale shuffles cannot skew. Overridable for A/B.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if (!sys.env.contains("SPARK_GRAFT_FOLD_AQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     var t0 = System.nanoTime()
     var j0 = 0L
     def lap(phase: String): Unit = {
@@ -275,6 +287,7 @@ object Curate {
         writeCorpusAndSummary(spark, outDir, storedBudget(outDir))
       }
     } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       spark.sparkContext.removeSparkListener(diag)
       graft.runner.Materialize.releaseAll()
     }
