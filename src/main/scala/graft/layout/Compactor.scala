@@ -22,6 +22,10 @@ object Compactor {
       dir: String,
       targetFileBytes: Long = DefaultTargetFileBytes): TableManifest = {
     val manifest = ZoneMap.read(dir)
+    // compact reads the whole dir, so orphans from a crashed prior
+    // mutation would be folded into the rewrite as duplicate rows —
+    // reconcile first (round-12 ADVICE), mirroring Upserter/KeyedDelta.
+    StagedRewrite.reconcile(spark, dir, manifest)
     val df = spark.read.parquet(dir)
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,6 +80,11 @@ object Compactor {
       preds: Seq[ZonePredicate],
       targetFileBytes: Long = DefaultTargetFileBytes): TableManifest = {
     val manifest = ZoneMap.read(dir)
+    // Crash inside a previous mutation (incl. this one, after writeAndMove
+    // but before the manifest commit) leaves orphan part files that
+    // dir-level readers would double-count — clean them at entry, same as
+    // Upserter/KeyedDelta (round-12 ADVICE).
+    StagedRewrite.reconcile(spark, dir, manifest)
     val partitioned = manifest.hivePartitions.nonEmpty
     val (affected, untouched) = manifest.files.partition(f =>
       preds.forall(_.mayMatch(f)))

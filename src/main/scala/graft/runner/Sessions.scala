@@ -17,13 +17,18 @@ object Sessions {
 
   /** Shuffle width derived from input volume (round-11 VERDICT "What's
     * wrong #1"): `max(cpus, dirBytes / 32 MB)`, capped at 4096. A fixed
-    * partitions=cpus pin stops fitting once one shuffle outgrows memory
-    * — at SF16 q63's 96M-row sort-merge partitions (~3M rows each at
-    * 32) spill, and 64 partitions halves the wall with the identical
-    * plan (BENCH_SF16_TPCH note). 32 MB of on-disk parquet per
-    * partition ≈ 100-200 MB shuffled (decompressed, row-format), the
-    * fits-in-memory band; AQE coalescing shrinks small stages back
-    * down, so the rule only sets the CEILING a big shuffle may use.
+    * partitions=cpus pin stops fitting once one shuffle outgrows the
+    * per-partition memory band. Note the original round-11 spill theory
+    * was REFUTED by round-12 task metrics (results/r12_notes.md):
+    * spill_mb = 0 at every width on SF16 q63/q41; those queries are
+    * GC-throughput-bound in a single JVM (ParallelGC cut q63
+    * 14.9 -> 8.8 s at unchanged width), and width moved them little and
+    * non-monotonically. The RULE survives the refutation on its own
+    * merits: 32 MB of on-disk parquet per partition ≈ 100-200 MB
+    * shuffled (decompressed, row-format) keeps per-task shuffle state
+    * bounded on a real multi-executor cluster, where each executor heap
+    * holds only its own partitions. AQE coalescing shrinks small stages
+    * back down, so the rule only sets the CEILING a big shuffle may use.
     * Small corpora stay at cpus — a blanket high initialPartitionNum
     * was measured 2.7x WORSE on multi-stage queries at sf0.1
     * (q89 1.64 s -> 4.47 s) from per-stage scheduling overhead.
@@ -43,6 +48,15 @@ object Sessions {
             finally s.close()
           }
         } catch { case scala.util.control.NonFatal(_) => 0L }
+      // A non-local dataDir (hdfs://, s3a://) or an IO error sizes to 0
+      // and silently reverts to the fixed cpus pin — the exact behavior
+      // this rule exists to replace. Make that visible so a misconfigured
+      // deployment sets SPARK_GRAFT_SHUFFLE_PARTITIONS instead.
+      if (bytes == 0L)
+        System.err.println(
+          s"[graft] shufflePartitionsFor: could not size '$dataDir' " +
+            s"(remote path or IO error); falling back to width=$cpus. " +
+            "Set SPARK_GRAFT_SHUFFLE_PARTITIONS explicitly for remote data.")
       math.min(4096L, math.max(cpus.toLong, bytes / (32L * 1024 * 1024))).toInt
     }
 

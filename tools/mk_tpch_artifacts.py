@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Build BENCH_SF10_TPCH.json / BENCH_SF16_TPCH.json from `graft.Bench tpch`
-outputs at /tmp (tpch_sf1.json, tpch_sf10.json, tpch_sf16.json — each the
-grep'd one-line JSON, possibly preceded by a shuffle.partitions stderr line).
+outputs at /tmp, named tpch_<sf>_<runtag>.json (e.g. tpch_sf10_r13a.json) —
+each the grep'd one-line JSON, possibly preceded by a shuffle.partitions
+stderr line. The glob is /tmp/tpch_{sf}_*.json; bare /tmp/tpch_sf10.json is
+NOT picked up.
 
 Adds the round-11 VERDICT "Next #3" column: us_per_row = wall_sec * 1e6 /
 lineitem_rows — the latency-floor defense of decade ratios as data, not
@@ -20,6 +22,10 @@ def load(paths):
             line = line.strip()
             m = re.search(r"shuffle.partitions=(\d+)", line)
             if m:
+                if parts is not None and parts != int(m.group(1)):
+                    print(f"WARNING: merged runs used differing "
+                          f"shuffle.partitions ({parts} vs {m.group(1)}) "
+                          f"in {p}", file=sys.stderr)
                 parts = int(m.group(1))
             if not line.startswith("{"):
                 continue
