@@ -53,8 +53,18 @@ object Curate {
         graft.queries.IncrementalCuration.initState(docs, minChars))
       state.drop("component").write.mode("overwrite")
         .parquet(s"$outDir/state/docs")
-      state.select(col("doc_id"), col("component")).write.mode("overwrite")
-        .parquet(s"$outDir/state/components")
+      // zone-mapped keyed store (round-12 VERDICT "Next #1"): folds
+      // mutate the mapping with a file-scoped KeyedDelta instead of a
+      // corpus-sized rewrite — tight doc_id zones (linear layout) make
+      // the delete-by-key touch only the files holding changed labels.
+      // ~2M rows per file ≈ 32 MB: a 10B-doc store stays at ~5k files.
+      val nState = state.count()
+      graft.layout.LayoutWriter.write(
+        state.select(col("doc_id"), col("component")),
+        s"$outDir/state/components",
+        graft.layout.LayoutWriter.LayoutSpec("linear", Seq("doc_id"),
+          numFiles = Some(math.max(1, math.ceil(nState / 2e6).toInt)),
+          recordKey = Some("doc_id")))
       // persisted bucket postings (round-11 VERDICT "Next #5"): the
       // state's band rows (both families, one store), bh-sorted with a
       // zone-map manifest, so folds read touched buckets as a
@@ -63,7 +73,6 @@ object Curate {
       // crash-retry delete a half-appended batch's rows by key (the
       // appended files' doc_id zones are exactly the batch range, so
       // the delete rewrites only them).
-      val nState = state.count()
       if (forcePostings || nState >= PostingsMinDocs) {
         val postFiles = math.max(1, math.ceil(nState * 8.0 / 262144).toInt)
         graft.layout.LayoutWriter.write(
@@ -80,8 +89,35 @@ object Curate {
         case Some(b) => java.nio.file.Files.writeString(budgetFile, b.toString)
         case None => java.nio.file.Files.deleteIfExists(budgetFile)
       }
-      writeCorpusAndSummary(spark, outDir, packBudget)
+      val lines = writeCorpusAndSummary(spark, outDir, packBudget)
+      // pin the table schemas for folds (round-12 VERDICT "Next #1"):
+      // every schemaless parquet read is a footer-inference job of pure
+      // fixed latency; one build-time capture removes them all
+      writeSchema(outDir, "docs_schema.json", state.drop("component").schema)
+      writeSchema(outDir, "corpus_schema.json",
+        spark.read.parquet(s"$outDir/docs").schema)
+      lines
     } finally graft.runner.Materialize.releaseAll()
+  }
+
+  private def writeSchema(outDir: String, name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "state", name), schema.json)
+
+  private def readSchema(outDir: String,
+      name: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = java.nio.file.Paths.get(outDir, "state", name)
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(java.nio.file.Files.readString(p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** The components store's static schema — never inferred. */
+  private val CompsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType), StructField("component", LongType)))
   }
 
   /** The stored pack budget of a corpus dir, if its full build set one. */
@@ -131,11 +167,23 @@ object Curate {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     if (!sys.env.contains("SPARK_GRAFT_FOLD_AQE"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // bounded LIMIT collects in ONE job (round-12 VERDICT "Next #1"):
+    // the default incremental limit execution (1 partition, then 4x
+    // scale-up) turns each of the fold's guarded driver collects into
+    // 2-3 fixed-latency jobs; starting at every partition makes each
+    // exactly one. The fold's limit plans all read runner-cached
+    // batch-bounded frames, so the full first pass adds no data work.
+    val limBefore = spark.conf.getOption("spark.sql.limit.initialNumPartitions")
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "1000000")
+    val tEnter = System.nanoTime()
     var t0 = System.nanoTime()
     var j0 = 0L
+    // NO listener-bus drain here: waitUntilEmpty between phases was
+    // measured at several SECONDS of pure diagnostic stall per fold
+    // (round 13) — job counts may lag a phase boundary by an event or
+    // two, which is fine for a phase profile
     def lap(phase: String): Unit = {
       val t = System.nanoTime()
-      org.apache.spark.graftbridge.SparkBridge.drainListenerBus(spark.sparkContext)
       val j = diag.snapshot().jobs
       System.err.println(f"[curate.add] $phase ${(t - t0) / 1e9}%.2fs jobs=${j - j0}")
       t0 = System.nanoTime(); j0 = j
@@ -143,14 +191,25 @@ object Curate {
     try {
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "state")),
         s"$outDir/state not found — run the full build first")
-      // crash-recovery (round-10 ADVICE): a fold that died mid-swap can
-      // leave state/components renamed away to components.old — restore
-      // it (the pre-fold mapping is always safe: the retry recomputes)
+      // crash-recovery: a FullRelabel fold that died mid-swap can leave
+      // state/components renamed away to components.old — restore it
+      // (the pre-fold mapping is always safe: the retry recomputes)
       val compPath = java.nio.file.Paths.get(outDir, "state", "components")
       val oldPath = java.nio.file.Paths.get(outDir, "state", "components.old")
       if (!java.nio.file.Files.exists(compPath) &&
           java.nio.file.Files.exists(oldPath))
         java.nio.file.Files.move(oldPath, compPath)
+      val compDir = compPath.toString
+      // state-format gate: folds mutate the mapping via KeyedDelta, which
+      // needs the zone manifest the round-13 full build writes
+      require(graft.layout.ZoneMap.exists(compDir),
+        s"$outDir/state/components has no zone manifest — state format " +
+          "changed; re-run the full build to migrate")
+      // reconcile BEFORE the dir-level read below: a crashed components
+      // KeyedDelta leaves orphan part files a dir-level reader would
+      // double-count (manifest-driven readers were never at risk)
+      graft.layout.StagedRewrite.reconcile(
+        spark, compDir, graft.layout.ZoneMap.read(compDir))
       // pending-marker: present iff a previous fold crashed after its
       // corpus delta but before its state writes (see the delta block).
       // The marker RECORDS THE BATCH (round-11 ADVICE, medium): a crashed
@@ -170,109 +229,165 @@ object Curate {
       }
       // docs and components stay SEPARATE frames: only the old-star
       // edges need components, and joining them up front would charge a
-      // corpus×corpus shuffle join to every narrow signature projection
-      val stateDocs = spark.read.parquet(s"$outDir/state/docs")
-      // state-format gate (round-11 ADVICE): components() reads the
-      // stored sorted-shingle column `hs`; a pre-hs state would otherwise
+      // corpus×corpus shuffle join to every narrow signature projection.
+      // Schemas are pinned from the build-time capture (round-12 VERDICT
+      // "Next #1"): no footer-inference jobs on the fold's hot path.
+      val stateDocs = readSchema(outDir, "docs_schema.json")
+        .foldLeft(spark.read)((r, s) => r.schema(s))
+        .parquet(s"$outDir/state/docs")
+      // state-format gate (round-11 ADVICE): the fold reads the stored
+      // sorted-shingle column `hs`; a pre-hs state would otherwise
       // die deep in plan analysis with a raw unresolved-column error
       require(stateDocs.columns.contains("hs"),
         s"$outDir/state was written by an older build (no `hs` column) — " +
           "state format changed; re-run the full build to migrate")
-      val stateComps = spark.read.parquet(s"$outDir/state/components")
+      val stateComps = spark.read.schema(CompsSchema).parquet(compDir)
       val batch = graft.Tables.parallelized(
         graft.Tables.load(spark, batchDir, "documents"))
       val prep = graft.queries.IncrementalCuration.prepareBatch(stateDocs, batch, minChars)
       lap("prepare_batch")
-      // components first (its plan READS the old state dirs — must run
-      // before any mutation), to a sibling dir + swap
-      val newPath = java.nio.file.Paths.get(outDir, "state", "components.new")
-      // tracked: the parquet write, the retired-rep diff, and the
-      // corpus-delta addRows all consume this frame — cached they share
-      // one execution of the edge pipeline + CC instead of re-reading
-      // (or re-running) it per consumer. trackLazy: the write below is
-      // the materializing action (it scans every partition) — no
-      // separate count job (round-10 VERDICT "Next #4")
       val postingsDir = s"$outDir/state/postings"
       val usePostings = graft.layout.ZoneMap.exists(postingsDir)
-      val comps = graft.runner.Materialize.trackLazy(
-        if (usePostings)
-          graft.queries.IncrementalCuration.componentsFromPostings(
-            spark, stateDocs, stateComps, prep, postingsDir)
-        else
-          graft.queries.IncrementalCuration.components(stateDocs, stateComps, prep))
-      comps.write.mode("overwrite").parquet(newPath.toString)
-      lap("components")
       val docsDir = s"$outDir/docs"
       val deltaEligible = storedBudget(outDir).isEmpty &&
         graft.layout.ZoneMap.exists(docsDir)
-      // retired representatives, BEFORE any state mutation (the state
-      // plan reads the dirs about to change); driver-bounded — these
-      // are cluster-merge events, batch-bounded by construction
-      val dropIds: Seq[Long] =
-        if (!deltaEligible) Nil
-        else comps
-          .filter(col("component") =!= col("doc_id"))
-          .join(stateComps.filter(col("component") === col("doc_id"))
-            .select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .select(col("doc_id")).limit(100001)
-          .collect().map(_.getLong(0)).toSeq
-      val useDelta = deltaEligible && dropIds.length <= 100000
-      // corpus delta BEFORE any state mutation: the docs dir and the
-      // state dirs are disjoint, and addRows' lineage reads the
-      // (pre-append) state plus components.new — running it first means
-      // no plan ever re-lists a dir that has since been mutated
-      val deltaLines =
-        if (!useDelta) Nil
-        else {
-          val target = spark.read.parquet(docsDir).columns
-          val addRows = graft.queries.IncrementalCuration.corpus(
-            prep.rows.join(comps, Seq("doc_id")))
-            .select(target.map(col).toSeq: _*)
-          // idempotent retry (round-10 ADVICE): a pending-marker written
-          // before the corpus delta and cleared after the state writes
-          // flags a fold that died in between. Only a RETRY (marker
-          // present on entry) pays the delete-then-insert — the appended
-          // doc_ids join the drop set (prep/comps recompute identically,
-          // the crashed attempt never reached the state writes), so the
-          // rows it appended are removed instead of duplicated. Healthy
-          // folds pay one marker touch: no collect, no extra drop keys.
-          val addIds: Seq[Long] =
-            if (!retrying) Nil
-            else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-          java.nio.file.Files.writeString(marker, batchId)
-          graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds, Some(addRows))
-          lap(s"corpus_delta (${dropIds.length} retired reps)")
-          val s = writeSummary(spark, outDir)
-          lap("summary")
-          s
-        }
-      if (failAfterCorpusDelta)
-        throw new IllegalStateException(
-          "test hook: simulated crash after corpus delta, before state writes")
-      // components swap BEFORE the docs append: the old (doc_id ->
-      // component) stars are edges of the final graph, so a retry that
-      // sees the NEW components with the OLD docs store just re-adds
-      // consistent star edges (CC is monotone under them) — whereas the
-      // reverse crash order left appended docs with no component row.
-      // The swap itself goes through components.old so no window leaves
-      // the state without a components dir (restored on entry above).
-      if (java.nio.file.Files.exists(oldPath)) deleteRec(oldPath.toFile)
-      java.nio.file.Files.move(compPath, oldPath)
-      java.nio.file.Files.move(newPath, compPath)
-      deleteRec(oldPath.toFile)
-      spark.catalog.refreshByPath(compPath.toString)
+      val corpusSchema = readSchema(outDir, "corpus_schema.json")
+      // batch-involved near-dup edges, then labels as a DELTA against the
+      // stored mapping (round-12 VERDICT "Next #1"): CC runs over the
+      // batch-bounded subgraph, and only changed labels are written
+      val edges =
+        if (usePostings)
+          graft.queries.IncrementalCuration.edgesFromPostings(
+            spark, stateDocs, prep, postingsDir)
+        else
+          graft.queries.IncrementalCuration.edgesDerived(stateDocs, prep)
+      val deltaRes = graft.queries.IncrementalCuration
+        .componentsDelta(stateComps, prep, edges)
+      lap("components")
+      // retry-only (round-10 ADVICE): batch rows a crashed fold already
+      // appended to the components/postings stores must be dropped
+      // before re-append — one bounded collect shared by both stores
+      lazy val retryIds: Seq[Long] =
+        if (!retrying) Nil
+        else prep.rows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val targetCols: Seq[String] = corpusSchema.map(_.fieldNames.toSeq)
+        .getOrElse(spark.read.parquet(docsDir).columns.toSeq)
+
+      import graft.queries.IncrementalCuration.{CompDelta, FullRelabel}
+      val deltaLines: Seq[String] = deltaRes match {
+        case CompDelta(batchLabels, changed) =>
+          // retired representatives = changed docs that were their own
+          // component (cluster-merge events, changedLimit-bounded)
+          val retired = changed.filter(c => c.oldComponent == c.docId).map(_.docId)
+          val lines =
+            if (!deltaEligible) Nil
+            else {
+              val addRows = graft.queries.IncrementalCuration.corpus(
+                prep.rows.join(batchLabels, Seq("doc_id")))
+                .select(targetCols.map(col): _*)
+              // idempotent retry (round-10 ADVICE): marker written before
+              // the corpus delta, cleared after the state writes; a retry
+              // adds the previously-appended doc_ids to the drop set so
+              // they are replaced, never duplicated
+              val addIds: Seq[Long] =
+                if (!retrying) Nil
+                else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+              java.nio.file.Files.writeString(marker, batchId)
+              // O(batch) summary maintenance: the (split, lang) rollup is
+              // adjusted by exactly the rows the delta removes and appends
+              // — the removal side MUST be read before the mutation below
+              val adjusted = summaryDelta(
+                spark, outDir, retired ++ addIds, addRows, corpusSchema)
+              graft.layout.KeyedDelta(spark, docsDir, retired ++ addIds,
+                Some(addRows), corpusSchema)
+              lap(s"corpus_delta (${retired.length} retired reps)")
+              adjusted.map(writeCsvLines(outDir, _))
+                .getOrElse(writeSummary(spark, outDir))
+            }
+          if (failAfterCorpusDelta)
+            throw new IllegalStateException(
+              "test hook: simulated crash after corpus delta, before state writes")
+          // components delta BEFORE the docs append: the stored mapping's
+          // stars are edges of the final graph, so a retry that sees NEW
+          // labels with the OLD docs store just re-folds consistent star
+          // edges (CC is monotone under them) — whereas the reverse crash
+          // order would leave appended docs with no component row
+          val changedDf = spark.createDataFrame(
+              changed.map(c => (c.docId, c.component)))
+            .toDF("doc_id", "component")
+          graft.layout.KeyedDelta(spark, compDir,
+            changed.map(_.docId) ++ retryIds,
+            Some(batchLabels.select(col("doc_id"), col("component"))
+              .unionByName(changedDf)),
+            Some(CompsSchema))
+          lines
+        case FullRelabel(labels) =>
+          // degenerate merge storm beyond the delta caps: whole-mapping
+          // rewrite through the components.old/.new swap (rare by
+          // construction; the common fold never takes this branch)
+          val comps = graft.runner.Materialize.trackLazy(labels)
+          val newPath = java.nio.file.Paths.get(outDir, "state", "components.new")
+          if (java.nio.file.Files.exists(newPath)) deleteRec(newPath.toFile)
+          val tmpManifest = graft.layout.LayoutWriter.write(
+            comps.select(col("doc_id"), col("component")), newPath.toString,
+            graft.layout.LayoutWriter.LayoutSpec("linear", Seq("doc_id"),
+              recordKey = Some("doc_id")))
+          val dropIds: Seq[Long] =
+            if (!deltaEligible) Nil
+            else comps
+              .filter(col("component") =!= col("doc_id"))
+              .join(stateComps.filter(col("component") === col("doc_id"))
+                .select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .select(col("doc_id")).limit(100001)
+              .collect().map(_.getLong(0)).toSeq
+          val useDelta = deltaEligible && dropIds.length <= 100000
+          val lines =
+            if (!useDelta) Nil
+            else {
+              val addRows = graft.queries.IncrementalCuration.corpus(
+                prep.rows.join(comps, Seq("doc_id")))
+                .select(targetCols.map(col): _*)
+              val addIds: Seq[Long] =
+                if (!retrying) Nil
+                else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+              java.nio.file.Files.writeString(marker, batchId)
+              graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds,
+                Some(addRows), corpusSchema)
+              lap(s"corpus_delta (${dropIds.length} retired reps, full relabel)")
+              writeSummary(spark, outDir)
+            }
+          if (failAfterCorpusDelta)
+            throw new IllegalStateException(
+              "test hook: simulated crash after corpus delta, before state writes")
+          // swap in the rewritten mapping through components.old so no
+          // window leaves the state without a components dir (restored
+          // on entry above); manifest paths rebased after the move
+          if (java.nio.file.Files.exists(oldPath)) deleteRec(oldPath.toFile)
+          java.nio.file.Files.move(compPath, oldPath)
+          java.nio.file.Files.move(newPath, compPath)
+          deleteRec(oldPath.toFile)
+          val newUri = new org.apache.hadoop.fs.Path(newPath.toString).toUri.toString
+          val dstUri = new org.apache.hadoop.fs.Path(compDir).toUri.toString
+          graft.layout.ZoneMap.write(compDir, tmpManifest.copy(
+            files = tmpManifest.files.map { f =>
+              val u = new org.apache.hadoop.fs.Path(f.path).toUri.toString
+              f.copy(path =
+                if (u.startsWith(newUri)) dstUri + u.stripPrefix(newUri) else u)
+            }))
+          spark.catalog.refreshByPath(compDir)
+          lines
+      }
+      val useDelta = deltaLines.nonEmpty
       // postings append BEFORE the docs append: a crash in between
       // retries with prep recomputed from the still-postings-free docs
-      // store... (docs unchanged → prep identical), and the retry's
-      // dropPost delete-by-key removes any half-appended batch rows
-      // before re-appending — batch doc_ids exceed every corpus id, so
-      // on a clean retry the delete prunes to zero files and is free
+      // store (docs unchanged → prep identical), and the retry's
+      // delete-by-key removes any half-appended batch rows before
+      // re-appending — batch doc_ids exceed every corpus id, so on a
+      // clean retry the delete prunes to zero files and is free
       if (usePostings) {
-        val dropPost: Seq[Long] =
-          if (!retrying) Nil
-          else prep.rows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-        graft.layout.KeyedDelta(spark, postingsDir, dropPost,
-          Some(graft.queries.IncrementalCuration.postingsAll(prep.rows)))
+        graft.layout.KeyedDelta(spark, postingsDir, retryIds,
+          Some(graft.queries.IncrementalCuration.postingsAll(prep.rows)),
+          Some(graft.queries.IncrementalCuration.PostingsSchema))
       }
       if (failAfterPostingsAppend)
         throw new IllegalStateException(
@@ -280,6 +395,7 @@ object Curate {
       prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
       java.nio.file.Files.deleteIfExists(marker)
       lap("state_writes")
+      System.err.println(f"[curate.add] pre_finally ${(System.nanoTime() - tEnter) / 1e9}%.2fs")
       if (useDelta) deltaLines
       else {
         // packed corpus, pre-manifest corpus dir, or a degenerate
@@ -288,8 +404,16 @@ object Curate {
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      limBefore match {
+        case Some(v) => spark.conf.set("spark.sql.limit.initialNumPartitions", v)
+        case None => spark.conf.unset("spark.sql.limit.initialNumPartitions")
+      }
       spark.sparkContext.removeSparkListener(diag)
+      val tr0 = System.nanoTime()
       graft.runner.Materialize.releaseAll()
+      System.err.println(
+        f"[curate.add] releaseAll ${(System.nanoTime() - tr0) / 1e9}%.2fs " +
+        f"total ${(System.nanoTime() - tEnter) / 1e9}%.2fs")
     }
   }
 
@@ -333,6 +457,61 @@ object Curate {
             recordKey = Some("doc_id"), partitionBy = Seq("split")))
     }
     writeSummary(spark, outDir)
+  }
+
+  /** O(batch) summary maintenance (round-12 VERDICT "Next #1"): adjust
+    * the stored (split, lang) rollup by exactly the rows the corpus
+    * delta removes (read zone-pruned BEFORE the mutation) and appends —
+    * one small job instead of a corpus-wide re-scan per fold. Returns
+    * None when there is no prior CSV to adjust (caller falls back to
+    * the full rollup). Exact arithmetic (all longs), so folds cannot
+    * drift from the on-disk truth; a full rebuild re-derives the same
+    * numbers from scratch.
+    */
+  private def summaryDelta(spark: SparkSession, outDir: String,
+      droppedKeys: Seq[Long], addRows: org.apache.spark.sql.DataFrame,
+      corpusSchema: Option[org.apache.spark.sql.types.StructType])
+      : Option[Seq[String]] = {
+    val csvPath = java.nio.file.Paths.get(outDir, "summary.csv")
+    if (!java.nio.file.Files.exists(csvPath)) return None
+    val docsDir = s"$outDir/docs"
+    val adds = addRows.select(col("split"), col("lang"),
+      lit(1L).as("sgn"), col("n_tok").cast("long").as("t"))
+    val removes =
+      if (droppedKeys.isEmpty) adds.limit(0)
+      else graft.layout.PrunedScan.read(spark, docsDir,
+          Seq(graft.layout.NumIn("doc_id", droppedKeys.map(_.toDouble))),
+          corpusSchema).df
+        .filter(org.apache.spark.sql.graftbridge.Bridge.inSetLong(
+          col("doc_id"), droppedKeys))
+        .select(col("split"), col("lang"),
+          lit(-1L).as("sgn"), col("n_tok").cast("long").as("t"))
+    val deltas = removes.unionByName(adds)
+      .groupBy(col("split"), col("lang"))
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("t")).as("dt"))
+      .collect()
+    // merge into the parsed CSV (the old writer prints a null lang as
+    // the string "null"; mirror that for key matching)
+    val cur = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    val existing = java.nio.file.Files.readAllLines(csvPath)
+    existing.stream().skip(1).forEach { line =>
+      val p = line.split(",", 4)
+      if (p.length == 4) cur((p(0), p(1))) = (p(2).toLong, p(3).toLong)
+    }
+    deltas.foreach { r =>
+      val key = (String.valueOf(r.get(0)), String.valueOf(r.get(1)))
+      val (n, t) = cur.getOrElse(key, (0L, 0L))
+      cur(key) = (n + r.getLong(2), t + r.getLong(3))
+    }
+    val rows = cur.toSeq.filter(_._2._1 > 0).sortBy(_._1)
+    Some("split,lang,n_docs,total_tokens" +:
+      rows.map { case ((s, l), (n, t)) => s"$s,$l,$n,$t" })
+  }
+
+  private def writeCsvLines(outDir: String, lines: Seq[String]): Seq[String] = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "summary.csv"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    lines
   }
 
   /** (split, lang) doc/token rollup of the corpus dir → summary.csv.

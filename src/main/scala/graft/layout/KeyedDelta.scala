@@ -20,10 +20,14 @@ import org.apache.hadoop.fs.Path
 object KeyedDelta {
 
   /** Delete `dropKeys` (record-key values) and append `addRows`, updating
-    * the manifest in place. Returns the refreshed manifest.
+    * the manifest in place. Returns the refreshed manifest. `schema`,
+    * when the caller knows the table's schema statically, skips the
+    * footer-inference job each internal parquet read would otherwise
+    * pay (round-12 VERDICT "Next #1": per-fold fixed job latency).
     */
   def apply(spark: SparkSession, dir: String,
-      dropKeys: Seq[Long], addRows: Option[DataFrame]): TableManifest = {
+      dropKeys: Seq[Long], addRows: Option[DataFrame],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): TableManifest = {
     val manifest = ZoneMap.read(dir)
     // entry reconcile (round-11 ADVICE): a crash between writeAndMove and
     // the manifest commit leaves manifest-unreferenced part files; purge
@@ -39,34 +43,35 @@ object KeyedDelta {
       if (dropKeys.isEmpty) (Seq.empty[FileEntry], manifest.files)
       else manifest.files.partition(
         NumIn(key, dropKeys.map(_.toDouble)).mayMatch)
-    val movedRewrite =
-      if (affected.isEmpty) Seq.empty[String]
-      else {
-        val keep = StagedRewrite
-          .readFiles(spark, dir, affected.map(_.path), partitioned)
-          .filter(!col(key).isin(dropKeys: _*))
-        val staging = dir.stripSuffix("/") + ".delta_tmp"
-        StagedRewrite.writeAndMove(
-          spark, dir, staging, keep, manifest.hivePartitions)
-      }
+    val keep =
+      if (affected.isEmpty) None
+      else Some(StagedRewrite
+        .readFiles(spark, dir, affected.map(_.path), partitioned, schema)
+        .filter(!org.apache.spark.sql.graftbridge.Bridge.inSetLong(
+          col(key), dropKeys)))
 
-    // ---- append: new files only
-    val movedAppend = addRows match {
+    // ---- one staged write for surviving + appended rows (round-12
+    // VERDICT "Next #1": two writeAndMove actions fused into one —
+    // column order aligned by name, the survivors' order wins)
+    val toWrite = (keep, addRows) match {
+      case (Some(k), Some(a)) => Some(k.unionByName(a.select(k.columns.map(col).toSeq: _*)))
+      case (Some(k), None) => Some(k)
+      case (None, Some(a)) => Some(a)
+      case _ => None
+    }
+    val moved = toWrite match {
       case Some(rows) =>
-        val staging = dir.stripSuffix("/") + ".append_tmp"
+        val staging = dir.stripSuffix("/") + ".delta_tmp"
         StagedRewrite.writeAndMove(
           spark, dir, staging, rows, manifest.hivePartitions)
       case None => Seq.empty[String]
     }
 
-    // ---- stats: ONE scan over all new files (rewritten + appended) —
-    // stats are per-file aggregates, so fusing the two reads halves the
-    // job count of a routine fold delta without changing any entry
-    val moved = movedRewrite ++ movedAppend
+    // ---- stats: ONE scan over all new files
     val newEntries =
       if (moved.isEmpty) Seq.empty[FileEntry]
       else ZoneMap.collectStatsDf(
-        StagedRewrite.readFiles(spark, dir, moved, partitioned),
+        StagedRewrite.readFiles(spark, dir, moved, partitioned, schema),
         manifest.statsCols)
 
     val updated = manifest.copy(files = untouched ++ newEntries)

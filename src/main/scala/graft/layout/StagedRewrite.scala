@@ -13,14 +13,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object StagedRewrite {
 
   /** Read an explicit file list; with `partitioned`, `basePath` keeps the
-    * hive partition columns in the schema.
+    * hive partition columns in the schema. A statically-known `schema`
+    * (which must include the partition columns for partitioned tables)
+    * skips the footer-inference job.
     */
   def readFiles(
       spark: SparkSession,
       dir: String,
       paths: Seq[String],
-      partitioned: Boolean): DataFrame = {
-    val r = spark.read
+      partitioned: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = schema.foldLeft(spark.read)((r, s) => r.schema(s))
     (if (partitioned) r.option("basePath", dir) else r).parquet(paths: _*)
   }
 

@@ -102,19 +102,47 @@ object IncrementalCuration {
     * every narrow projection pay a corpus×corpus shuffle join (round-10
     * phase profile: the join appeared 4× in one add).
     */
+  /** Above this many distinct batch text hashes the exact dedup falls
+    * back to the distributed anti-join (a bulk load, not a fold).
+    */
+  val BatchHashLimit: Int = 200000
+
   def prepareBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): BatchPrep = {
     val base = batch.filter(col("n_chars") >= minChars)
     val bh = base.withColumn("__h", md5(col("text")))
-    val keepIds = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
-    // tracked: the exact-dedup anti-join scans the stored state's __h
-    // column — each UNTRACKED consumer would repeat that corpus-wide
-    // (narrow) scan; everything below it is batch-sized
-    // no distinct on the state side: state docs are exact-deduped by
-    // construction, so __h is already unique — the anti join semantics
-    // are identical and the fold skips a corpus-wide aggregate exchange
-    val bKept = Materialize.trackLazy(
-      bh.join(keepIds, Seq("__h", "doc_id"))
-        .join(state.select(col("__h")), Seq("__h"), "left_anti"))
+    // exact dedup as two bounded driver collects (round-12 VERDICT
+    // "Next #1"): the old formulation anti-joined against the state's
+    // __h column, which the static planner BROADCAST — a corpus-wide
+    // build job re-executed by every consumer that re-ran the batch
+    // subtree, and a join operator buried in every downstream batch
+    // plan. Driver-side, the batch's kept ids become one InSet filter
+    // on the batch scan (pushdown-friendly, trivially re-executable)
+    // and the state side is one narrow InSet-pushed scan per fold.
+    val hashRows = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .limit(BatchHashLimit + 1).collect()
+    val bKept = if (hashRows.length > BatchHashLimit) {
+      val keepIds = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      // no distinct on the state side: state docs are exact-deduped by
+      // construction, so __h is already unique — the anti join semantics
+      // are identical and the fold skips a corpus-wide aggregate exchange
+      Materialize.trackLazy(
+        bh.join(keepIds, Seq("__h", "doc_id"))
+          .join(state.select(col("__h")), Seq("__h"), "left_anti"))
+    } else {
+      val matched =
+        if (hashRows.isEmpty) Set.empty[String]
+        else state.select(col("__h"))
+          .filter(org.apache.spark.sql.graftbridge.Bridge.inSetString(
+            col("__h"), hashRows.map(_.getString(0))))
+          .collect().map(_.getString(0)).toSet
+      val keepIds = hashRows.collect {
+        case r if !matched(r.getString(0)) => r.getLong(1)
+      }.toSeq
+      Materialize.trackLazy(
+        if (keepIds.isEmpty) bh.limit(0)
+        else bh.filter(org.apache.spark.sql.graftbridge.Bridge.inSetLong(
+          col("doc_id"), keepIds)))
+    }
     // batch-sized kernels are NOT individually tracked (round-10): at a
     // realistic add cadence the dominant cost of the fold is fixed
     // per-job latency, and each eager track is one more job — letting
@@ -146,7 +174,14 @@ object IncrementalCuration {
     * connectivity rides along as the stored (doc_id -> component) star
     * edges, so the result equals full-graph CC.
     */
-  def components(state: DataFrame, comps: DataFrame, prep: BatchPrep): DataFrame = {
+  def components(state: DataFrame, comps: DataFrame, prep: BatchPrep): DataFrame =
+    labelsFromEdges(state, comps, prep, edgesDerived(state, prep))
+
+  /** Batch-involved near-dup edges, signatures re-derived from the doc
+    * store (the pre-postings path; still the path of states below
+    * [[graft.cli.Curate.PostingsMinDocs]]).
+    */
+  def edgesDerived(state: DataFrame, prep: BatchPrep): DataFrame = {
     // trackLazy (round-10 ADVICE): each capped band join's census is an
     // eager aggregate over these frames — lazily persisted, the census
     // doubles as the materializing action and the band join reads the
@@ -163,21 +198,26 @@ object IncrementalCuration {
     // one fused census job materializes both unions AND reads both
     // band maxima (round-10 VERDICT "Next #4" / ADVICE: the per-join
     // census no longer re-scans the state parquet)
+    val tc0 = System.nanoTime()
     val c = DedupQueries.bandCensus(shAll, sigAll)
+    System.err.println(f"[curate.add]   edges/census ${(System.nanoTime() - tc0) / 1e9}%.2fs")
     val simEdges = DedupQueries
       .simhashPairsOf(shAll, Some("__new"), DedupQueries.SimhashBandCap,
         Some(c.simMax), c.simHot)
       .select(col("da"), col("db"))
-    // eager track, deliberately NOT lazy: verifySets' candidate-id
-    // collect is a LIMIT plan — against a lazily-persisted frame it can
-    // early-exit with the cache only PARTIALLY materialized, and every
-    // later consumer then re-runs the band join for the missing
-    // partitions (measured 2x the whole components phase at sf10)
-    val cand = Materialize.track(
+    // trackLazy is SOUND here despite the r12 partial-materialization
+    // gotcha: the materializing action is verifySets' candidate-id
+    // collect, whose plan has a DISTINCT between the scan and the
+    // LIMIT — with AQE off the whole thing is one job whose shuffle
+    // MAP stage must process every cache partition before any limit
+    // can fire, so the cache is always complete. (The r12 failure
+    // mode needs the limit adjacent to the scan.) One count job saved
+    // per fold.
+    val cand = Materialize.trackLazy(
       DedupQueries.minhashCandidates(sigAll, Some("__new"),
         DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot))
-    val mhEdges = DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand))
-    labelsFromEdges(state, comps, prep, simEdges, mhEdges)
+    simEdges.unionAll(
+      DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand)))
   }
 
   /** The (doc_id, hs) frame [[DedupQueries.verifiedBySets]] joins each
@@ -196,15 +236,17 @@ object IncrementalCuration {
     */
   private def verifySets(state: DataFrame, prep: BatchPrep,
       cand: DataFrame): DataFrame = {
+    val tv0 = System.nanoTime()
     val idRows = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id"))
       .distinct().limit(CandIdLimit + 1).collect()
+    System.err.println(f"[curate.add]   edges/cand_ids ${(System.nanoTime() - tv0) / 1e9}%.2fs")
     val sets0 = state.select(col("doc_id"), col("hs"))
       .unionByName(prep.rows.select(col("doc_id"), col("hs")))
     val sets =
       if (idRows.length > CandIdLimit) sets0
-      else sets0.filter(col("doc_id")
-        .isInCollection(idRows.map(_.getLong(0)).toSeq))
+      else sets0.filter(org.apache.spark.sql.graftbridge.Bridge.inSetLong(
+        col("doc_id"), idRows.map(_.getLong(0))))
     System.err.println(s"[curate.add] verify_sets candidate_ids=" +
       (if (idRows.length > CandIdLimit) "over_limit(full scan)"
        else idRows.length.toString))
@@ -220,13 +262,189 @@ object IncrementalCuration {
     * every (state ∪ batch) doc labeled (selfless docs label themselves).
     */
   private def labelsFromEdges(state: DataFrame, comps: DataFrame,
-      prep: BatchPrep, simEdges: DataFrame, mhEdges: DataFrame): DataFrame = {
+      prep: BatchPrep, edges: DataFrame): DataFrame = {
     val oldStars = comps.filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("da"), col("component").as("db"))
     val labels = graft.operators.ConnectedComponents
-      .run(simEdges.unionAll(mhEdges).unionAll(oldStars))
+      .run(edges.unionAll(oldStars))
       .withColumnRenamed("id", "doc_id")
     state.select(col("doc_id")).unionAll(prep.rows.select(col("doc_id")))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+  }
+
+  // ---- batch-bounded component DELTA (round-12 VERDICT "Next #1")
+
+  /** A changed state-doc label: the doc must be rewritten in the
+    * components store (and, when it was its own component, retired from
+    * the curated corpus — a cluster-merge event).
+    */
+  case class ChangedLabel(docId: Long, component: Long, oldComponent: Long)
+
+  sealed trait DeltaResult
+
+  /** The O(touched) outcome: labels for every batch doc, plus the
+    * driver-collected state docs whose label changed. Everything else
+    * in the components store is untouched — the fold never reads or
+    * writes the unaffected corpus mapping.
+    */
+  case class CompDelta(batchLabels: DataFrame, changed: Seq[ChangedLabel])
+    extends DeltaResult
+
+  /** Degenerate outcome (a merge storm beyond the caps): the full
+    * (state ∪ batch) mapping, for a whole-store rewrite.
+    */
+  case class FullRelabel(labels: DataFrame) extends DeltaResult
+
+  /** Caps on the driver-collected touched-component / changed-label
+    * sets; above either, the fold falls back to [[FullRelabel]].
+    * Overridable via system property for suites that must exercise the
+    * fallback on toy corpora.
+    */
+  def touchedCompLimit: Int =
+    sys.props.get("graft.curate.touchedCompLimit").map(_.toInt).getOrElse(200000)
+  def changedLimit: Int =
+    sys.props.get("graft.curate.changedLimit").map(_.toInt).getOrElse(200000)
+
+  /** Component labels as a DELTA against the stored mapping, computing
+    * CC over the batch-bounded SUBGRAPH only (round-12 VERDICT
+    * "Next #1" — the old path fed every stored star edge into CC and
+    * rewrote the corpus-sized mapping each fold).
+    *
+    * Soundness: merges happen only through batch edges, and every state
+    * endpoint of a batch edge names its old component; so the set of
+    * old components that can change is exactly the old components of
+    * those endpoints (C_S). CC over (batch edges ∪ star edges of C_S
+    * members) therefore equals full-graph CC restricted to the docs
+    * that can change, and labels agree because each old component's
+    * label IS its min id, present in the subgraph via its star edges
+    * (or as a batch-edge endpoint for singleton components). A state
+    * doc can never BECOME a representative (labels only shrink), so
+    * changed labels are the complete corpus-retirement signal.
+    *
+    * Scale shape: two narrow scans of the (doc_id, component) store —
+    * one join against the broadcast endpoint set, one InSet filter by
+    * touched component — and everything else is batch-bounded. During
+    * a crash-retry the store may already hold some of this fold's
+    * labels; the recomputation is idempotent (stored new labels are
+    * final, so re-folding the batch edges reproduces them and `changed`
+    * shrinks to the not-yet-applied remainder).
+    */
+  def componentsDelta(stateComps: DataFrame, prep: BatchPrep,
+      edges: DataFrame): DeltaResult = {
+    val spark = stateComps.sparkSession
+    var tl = System.nanoTime()
+    def lap(s: String): Unit = {
+      val t = System.nanoTime()
+      System.err.println(f"[curate.add]   delta/$s ${(t - tl) / 1e9}%.2fs")
+      tl = t
+    }
+    // The edge pipeline is shared by the endpoint collect and the CC
+    // checkpoint — persist lazily, coalesced (its union-of-joins parents
+    // add up to hundreds of near-empty partitions whose per-task
+    // scheduling every downstream job would pay). The materializing
+    // action is the endpoint collect below: its plan has a DISTINCT
+    // shuffle between the cache scan and the LIMIT, so with AQE off the
+    // single job's map stage scans every partition — the r12 trackLazy
+    // + LIMIT gotcha cannot bite (that needs the limit adjacent to the
+    // scan).
+    val e = Materialize.trackLazy(edges.coalesce(math.max(8,
+      stateComps.sparkSession.sparkContext.defaultParallelism)))
+    // Everything below the two store scans is DRIVER-SIDE over capped,
+    // batch-bounded sets (round-12 VERDICT "Next #1"): each frame-level
+    // join here used to cost a broadcast-build job per consumer at
+    // 50-150 ms fixed latency; as local rows the old/new label algebra
+    // is free, and the one frame the executors still need (the batch's
+    // labels) re-enters the plan as a LocalRelation whose broadcast
+    // build launches no job at all.
+    val endpointRows = e
+      .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
+      .limit(touchedCompLimit + 1).collect()
+    lap("edges_endpoints")
+    if (endpointRows.length > touchedCompLimit)
+      return FullRelabel(labelsOver(stateComps, prep,
+        e.unionAll(stateComps.filter(col("component") =!= col("doc_id"))
+          .select(col("doc_id").as("da"), col("component").as("db")))))
+    // no edges at all (nothing in the batch near-dups anything): no
+    // label can change, no store scan and no CC needed
+    if (endpointRows.isEmpty) {
+      lap("no_edges")
+      return CompDelta(
+        prep.rows.select(col("doc_id"))
+          .withColumn("component", col("doc_id")),
+        Nil)
+    }
+    val endpointIds = endpointRows.map(_.getLong(0)).toSeq
+    // old components of the edge endpoints that exist in the store, via
+    // an InSet-pushed narrow scan (batch endpoints aren't in the store,
+    // except mid-retry where their stored label is already final —
+    // harmlessly idempotent)
+    val endpointsOld = stateComps
+      .filter(org.apache.spark.sql.graftbridge.Bridge.inSetLong(
+        col("doc_id"), endpointIds))
+      .select(col("doc_id"), col("component"))
+      .limit(touchedCompLimit + 1).collect()
+    lap("endpoints_old")
+    val cs = endpointsOld.map(_.getLong(1)).distinct.toSeq
+    // every stored row of a touched component — members contribute their
+    // star edges to CC; reps (self rows) contribute their old label to
+    // the changed detection (a rep has no star edge of its own but its
+    // label can still drop in a merge)
+    val tRows =
+      if (cs.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else stateComps.filter(org.apache.spark.sql.graftbridge.Bridge
+          .inSetLong(col("component"), cs))
+        .select(col("doc_id"), col("component"))
+        .limit(touchedCompLimit + 1).collect()
+    lap("touched_rows")
+    if (tRows.length > touchedCompLimit)
+      return FullRelabel(labelsOver(stateComps, prep,
+        e.unionAll(stateComps.filter(col("component") =!= col("doc_id"))
+          .select(col("doc_id").as("da"), col("component").as("db")))))
+    val tStars = tRows.filter(r => r.getLong(1) != r.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ccInput = e.unionAll(
+      spark.createDataFrame(tStars).toDF("da", "db"))
+    val labelRows = graft.operators.ConnectedComponents
+      .run(ccInput)
+      .limit(changedLimit + 1).collect()
+    lap("cc_labels")
+    if (labelRows.length > changedLimit)
+      return FullRelabel(labelsOver(stateComps, prep, ccInput))
+    val newLabel: Map[Long, Long] =
+      labelRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // old label of every doc that can change; a doc can be both an
+    // endpoint and a touched member — the map write dedups (the value
+    // is unique per doc)
+    val oldOf: Map[Long, Long] =
+      (tRows.iterator ++ endpointsOld.iterator)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val changed = oldOf.iterator.flatMap { case (id, old) =>
+      newLabel.get(id).filter(_ != old).map(ChangedLabel(id, _, old))
+    }.toSeq
+    // labels as a LocalRelation: consumers broadcast it without a build
+    // job, and the CC result is never recomputed per consumer
+    val labelsLocal = spark
+      .createDataFrame(newLabel.toSeq).toDF("doc_id", "component")
+    val batchLabels = prep.rows.select(col("doc_id"))
+      .join(broadcast(labelsLocal), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    CompDelta(batchLabels, changed)
+  }
+
+  /** Full (state ∪ batch) labeling from an edge set — the FullRelabel
+    * tail (same shape as [[labelsFromEdges]], but from the stored
+    * mapping's doc_id column instead of the doc store).
+    */
+  private def labelsOver(stateComps: DataFrame, prep: BatchPrep,
+      ccEdges: DataFrame): DataFrame = {
+    val labels = graft.operators.ConnectedComponents.run(ccEdges)
+      .withColumnRenamed("id", "doc_id")
+    // distinct: mid-retry the store may already hold the batch's rows
+    // (the crashed attempt appended them) — without it each batch doc
+    // would label twice and the rewrite would duplicate rows
+    stateComps.select(col("doc_id")).unionAll(prep.rows.select(col("doc_id")))
+      .distinct()
       .join(labels, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
   }
@@ -311,7 +529,16 @@ object IncrementalCuration {
     */
   def componentsFromPostings(spark: org.apache.spark.sql.SparkSession,
       state: DataFrame, comps: DataFrame, prep: BatchPrep,
-      postingsDir: String): DataFrame = {
+      postingsDir: String): DataFrame =
+    labelsFromEdges(state, comps, prep,
+      edgesFromPostings(spark, state, prep, postingsDir))
+
+  /** Batch-involved near-dup edges with the corpus-side band rows read
+    * from the persisted postings store (see the file-prune / row-prune
+    * notes above).
+    */
+  def edgesFromPostings(spark: org.apache.spark.sql.SparkSession,
+      state: DataFrame, prep: BatchPrep, postingsDir: String): DataFrame = {
     val batchRows = postingsAll(prep.rows).withColumn("__new", lit(true))
     // one batch-sized job collects the touched bucket keys (both
     // families share the key space — a cross-family bh collision only
@@ -328,7 +555,8 @@ object IncrementalCuration {
           .read(spark, postingsDir,
             Seq(graft.layout.NumIn("bh", keys.map(_.toDouble))),
             schema = Some(PostingsSchema))
-          .df.filter(col("bh").isInCollection(keys))
+          .df.filter(org.apache.spark.sql.graftbridge.Bridge.inSetLong(
+            col("bh"), keys))
       case None => spark.read.schema(PostingsSchema).parquet(postingsDir)
     }
     // trackLazy: the fused census below is the materializing scan, and
@@ -343,11 +571,13 @@ object IncrementalCuration {
       .simhashPairsOfRows(simAll, Some("__new"), DedupQueries.SimhashBandCap,
         Some(c.simMax), c.simHot)
       .select(col("da"), col("db"))
-    val cand = Materialize.track(
+    // trackLazy sound for the same distinct-shuffle reason as the
+    // derive path above (verifySets' collect materializes it fully)
+    val cand = Materialize.trackLazy(
       DedupQueries.minhashCandidatesRows(mhAll, Some("__new"),
         DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot))
-    val mhEdges = DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand))
-    labelsFromEdges(state, comps, prep, simEdges, mhEdges)
+    simEdges.unionAll(
+      DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand)))
   }
 
   /** Fold a new batch into the state (frame-level composition of

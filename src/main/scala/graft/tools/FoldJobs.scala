@@ -16,14 +16,23 @@ object FoldJobs {
 
   class JobLog extends SparkListener {
     val jobs = new scala.collection.mutable.ArrayBuffer[(Int, String, Int)]
+    val started = new scala.collection.mutable.HashMap[Int, Long]
+    val wall = new scala.collection.mutable.HashMap[Int, Double]
     override def onJobStart(j: SparkListenerJobStart): Unit = {
       // stage names carry the action call site ("count at Foo.scala:12");
       // the job's LAST stage is the action itself
-      val desc = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+      val names = j.stageInfos.map(s => s"${s.name.takeWhile(_ != '$')}:${s.numTasks}")
+      val desc = j.stageInfos.lastOption.map(_.name).getOrElse("?") +
+        s"  [${names.mkString(" | ")}]"
       jobs.synchronized {
         jobs += ((j.jobId, desc, j.stageInfos.map(_.numTasks).sum))
+        started(j.jobId) = j.time
       }
     }
+    override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      jobs.synchronized {
+        started.get(j.jobId).foreach(t0 => wall(j.jobId) = (j.time - t0) / 1e3)
+      }
   }
 
   def main(args: Array[String]): Unit = {
@@ -48,8 +57,10 @@ object FoldJobs {
     spark.sparkContext.removeSparkListener(log)
     println(s"== ${log.jobs.length} jobs in the fold")
     log.jobs.foreach { case (id, desc, tasks) =>
-      println(f"job $id%3d tasks=$tasks%4d  $desc")
+      val w = log.wall.getOrElse(id, -1.0)
+      println(f"job $id%3d tasks=$tasks%4d wall=$w%7.2fs  $desc")
     }
+    println(f"== job wall sum ${log.wall.values.sum}%.2fs")
     spark.stop()
   }
 }

@@ -37,6 +37,28 @@ object Bridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
+  /** Membership predicate as a SINGLE Catalyst `InSet` node. The public
+    * `isin`/`isInCollection` build an `In` with ONE CHILD PER VALUE, so a
+    * 10k-key predicate becomes a 10k-node analyzed subtree that every
+    * later plan copy, canonicalization (cache lookup/unpersist!), and
+    * transform walks — measured at SECONDS of driver time per
+    * incremental-curation fold (round 13). `InSet` holds the values in
+    * one hash set: O(1) tree size, O(1) row eval, still translated to a
+    * data-source In filter for parquet pushdown.
+    */
+  def inSetLong(c: Column, values: Iterable[Long]): Column =
+    column(org.apache.spark.sql.catalyst.expressions.InSet(
+      expression(c), values.map(v => v: Any).toSet))
+
+  /** String variant — `InSet` compares Catalyst-internal values, so the
+    * set must hold `UTF8String`, not `java.lang.String`.
+    */
+  def inSetString(c: Column, values: Iterable[String]): Column =
+    column(org.apache.spark.sql.catalyst.expressions.InSet(
+      expression(c),
+      values.map(v =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v): Any).toSet))
+
   /** The id of the cached-column-buffer RDD backing a persisted Dataset
     * (CacheManager → InMemoryRelation → CachedRDDBuilder). This is the id
     * `SparkContext.getRDDStorageInfo` reports the frame's storage under,
