@@ -97,7 +97,7 @@ object Curate {
       writeSchema(outDir, "corpus_schema.json",
         spark.read.parquet(s"$outDir/docs").schema)
       lines
-    } finally graft.runner.Materialize.releaseAll()
+    } finally graft.runner.Materialize.releaseAllFast(spark)
   }
 
   private def writeSchema(outDir: String, name: String,
@@ -252,17 +252,23 @@ object Curate {
       val deltaEligible = storedBudget(outDir).isEmpty &&
         graft.layout.ZoneMap.exists(docsDir)
       val corpusSchema = readSchema(outDir, "corpus_schema.json")
-      // batch-involved near-dup edges, then labels as a DELTA against the
-      // stored mapping (round-12 VERDICT "Next #1"): CC runs over the
-      // batch-bounded subgraph, and only changed labels are written
-      val edges =
-        if (usePostings)
-          graft.queries.IncrementalCuration.edgesFromPostings(
-            spark, stateDocs, prep, postingsDir)
-        else
-          graft.queries.IncrementalCuration.edgesDerived(stateDocs, prep)
+      // labels as a DELTA against the stored mapping (round-12 VERDICT
+      // "Next #1"), driver-local when every bound fits (the micro/small
+      // batch regime: pair generation, hamming verify and CC over two
+      // bounded collects — no census job, no band-join broadcast
+      // builds); the distributed subgraph path is the guarded fallback
       val deltaRes = graft.queries.IncrementalCuration
-        .componentsDelta(stateComps, prep, edges)
+        .componentsDeltaFast(spark, stateDocs, stateComps, prep,
+          if (usePostings) Some(postingsDir) else None)
+        .getOrElse {
+          val edges =
+            if (usePostings)
+              graft.queries.IncrementalCuration.edgesFromPostings(
+                spark, stateDocs, prep, postingsDir)
+            else
+              graft.queries.IncrementalCuration.edgesDerived(stateDocs, prep)
+          graft.queries.IncrementalCuration.componentsDelta(stateComps, prep, edges)
+        }
       lap("components")
       // retry-only (round-10 ADVICE): batch rows a crashed fold already
       // appended to the components/postings stores must be dropped
@@ -328,10 +334,14 @@ object Curate {
           val comps = graft.runner.Materialize.trackLazy(labels)
           val newPath = java.nio.file.Paths.get(outDir, "state", "components.new")
           if (java.nio.file.Files.exists(newPath)) deleteRec(newPath.toFile)
+          val tfr0 = System.nanoTime()
           val tmpManifest = graft.layout.LayoutWriter.write(
             comps.select(col("doc_id"), col("component")), newPath.toString,
             graft.layout.LayoutWriter.LayoutSpec("linear", Seq("doc_id"),
               recordKey = Some("doc_id")))
+          System.err.println(f"[curate.add]   fullrelabel/store_write " +
+            f"${(System.nanoTime() - tfr0) / 1e9}%.2fs")
+          val tfr1 = System.nanoTime()
           val dropIds: Seq[Long] =
             if (!deltaEligible) Nil
             else comps
@@ -341,6 +351,9 @@ object Curate {
               .select(col("doc_id")).limit(100001)
               .collect().map(_.getLong(0)).toSeq
           val useDelta = deltaEligible && dropIds.length <= 100000
+          System.err.println(f"[curate.add]   fullrelabel/drop_ids " +
+            f"${(System.nanoTime() - tfr1) / 1e9}%.2fs (${dropIds.length})")
+          val tfr2 = System.nanoTime()
           val lines =
             if (!useDelta) Nil
             else {
@@ -351,10 +364,20 @@ object Curate {
                 if (!retrying) Nil
                 else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
               java.nio.file.Files.writeString(marker, batchId)
+              // O(batch) summary maintenance exactly as the CompDelta
+              // branch: a full relabel changes the CORPUS only by
+              // dropIds removed + addRows appended, so the rollup
+              // adjustment is identical (removal side read before the
+              // mutation below)
+              val adjusted = summaryDelta(
+                spark, outDir, dropIds ++ addIds, addRows, corpusSchema)
+              System.err.println(f"[curate.add]   fullrelabel/summary_delta " +
+                f"${(System.nanoTime() - tfr2) / 1e9}%.2fs")
               graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds,
                 Some(addRows), corpusSchema)
               lap(s"corpus_delta (${dropIds.length} retired reps, full relabel)")
-              writeSummary(spark, outDir)
+              adjusted.map(writeCsvLines(outDir, _))
+                .getOrElse(writeSummary(spark, outDir))
             }
           if (failAfterCorpusDelta)
             throw new IllegalStateException(
@@ -395,7 +418,6 @@ object Curate {
       prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
       java.nio.file.Files.deleteIfExists(marker)
       lap("state_writes")
-      System.err.println(f"[curate.add] pre_finally ${(System.nanoTime() - tEnter) / 1e9}%.2fs")
       if (useDelta) deltaLines
       else {
         // packed corpus, pre-manifest corpus dir, or a degenerate
@@ -409,11 +431,9 @@ object Curate {
         case None => spark.conf.unset("spark.sql.limit.initialNumPartitions")
       }
       spark.sparkContext.removeSparkListener(diag)
-      val tr0 = System.nanoTime()
-      graft.runner.Materialize.releaseAll()
+      graft.runner.Materialize.releaseAllFast(spark)
       System.err.println(
-        f"[curate.add] releaseAll ${(System.nanoTime() - tr0) / 1e9}%.2fs " +
-        f"total ${(System.nanoTime() - tEnter) / 1e9}%.2fs")
+        f"[curate.add] total ${(System.nanoTime() - tEnter) / 1e9}%.2fs")
     }
   }
 

@@ -124,6 +124,14 @@ object ConnectedComponents {
     members.unionAll(roots)
   }
 
+  /** Driver-local union-find over an already-collected edge list — the
+    * same labels (component = MIN node id) as [[run]], for batch-bounded
+    * subgraphs (incremental curation's local fold path). Nodes not in
+    * the returned map are isolated (label themselves).
+    */
+  def local(edges: IterableOnce[(Long, Long)]): Map[Long, Long] =
+    unionFind(edges.iterator.filter(e => e._1 != e._2)).toMap
+
   /** Single-partition union-find with path compression and union-by-min:
     * attaching the larger root under the smaller makes every final root
     * the component MIN — the same deterministic labels the star rounds

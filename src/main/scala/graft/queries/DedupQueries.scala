@@ -289,8 +289,14 @@ object DedupQueries {
       .agg(count(lit(1)).as("__c"))
       .select(lit(k).as("__k"), col("__c"),
         xxhash64(col("band"), col("bucket")).as("__hk"))
-    val unioned = sizes(simRows.select(col("band"), col("bucket")), 0)
-      .unionAll(sizes(mhRows.select(col("band"), col("bucket")), 1))
+    // lazily cached: when a cap fires, the hot-key pass below re-reads
+    // THIS aggregate instead of re-running the bucket-size groupBy over
+    // the (possibly millions of) band rows — the maxes collect is the
+    // materializing action either way, so the cap-free common case still
+    // pays exactly one job
+    val unioned = graft.runner.Materialize.trackLazy(
+      sizes(simRows.select(col("band"), col("bucket")), 0)
+        .unionAll(sizes(mhRows.select(col("band"), col("bucket")), 1)))
     val maxes = unioned.groupBy(col("__k")).agg(max(col("__c")).as("__m"))
       .collect()
     def m(k: Int): Long =

@@ -302,9 +302,23 @@ object IncrementalCuration {
     * fallback on toy corpora.
     */
   def touchedCompLimit: Int =
-    sys.props.get("graft.curate.touchedCompLimit").map(_.toInt).getOrElse(200000)
+    sys.props.get("graft.curate.touchedCompLimit").map(_.toInt).getOrElse(1000000)
+  /** changedLimit stays low deliberately: beyond ~200k changed labels
+    * the keyed delta rewrites most of the store anyway (scattered ids
+    * touch every file zone), so the FullRelabel whole-store rewrite is
+    * the same bytes with less bookkeeping — measured at sf10 (round 13:
+    * 1.38x via FullRelabel vs 1.17x via a 200k-row keyed delta).
+    */
   def changedLimit: Int =
     sys.props.get("graft.curate.changedLimit").map(_.toInt).getOrElse(200000)
+
+  /** Edge-set size up to which the batch-bounded subgraph's CC runs on
+    * the driver (a collect of an already-cached frame; 4M edges ≈
+    * 400 MB transient Rows in an 8 GB JVM, matching
+    * [[graft.operators.ConnectedComponents.SmallGraphEdges]]).
+    */
+  def EdgeCollectLimit: Int =
+    sys.props.get("graft.curate.edgeCollectLimit").map(_.toInt).getOrElse(4 << 20)
 
   /** Component labels as a DELTA against the stored mapping, computing
     * CC over the batch-bounded SUBGRAPH only (round-12 VERDICT
@@ -403,16 +417,34 @@ object IncrementalCuration {
           .select(col("doc_id").as("da"), col("component").as("db")))))
     val tStars = tRows.filter(r => r.getLong(1) != r.getLong(0))
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val ccInput = e.unionAll(
-      spark.createDataFrame(tStars).toDF("da", "db"))
-    val labelRows = graft.operators.ConnectedComponents
-      .run(ccInput)
-      .limit(changedLimit + 1).collect()
-    lap("cc_labels")
-    if (labelRows.length > changedLimit)
-      return FullRelabel(labelsOver(stateComps, prep, ccInput))
+    // Subgraph CC runs on the DRIVER when the (cached, already fully
+    // materialized by the endpoint collect) edge set fits
+    // [[EdgeCollectLimit]]: one cache-read collect + in-memory
+    // union-find replaces the distributed run's canonicalize-distinct
+    // shuffle, count job, single-task job and label collect — with
+    // endpoints capped at [[touchedCompLimit]] the subgraph is always
+    // driver-sized. The distributed run stays as the over-limit path.
+    val edgeRows = e.limit(EdgeCollectLimit + 1).collect()
     val newLabel: Map[Long, Long] =
-      labelRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (edgeRows.length <= EdgeCollectLimit)
+        graft.operators.ConnectedComponents.local(
+          edgeRows.iterator.map(r => (r.getLong(0), r.getLong(1))) ++
+            tStars.iterator)
+      else {
+        // edge set beyond the driver bound: distributed star rounds,
+        // with the changed-label collect bounded as before (an overflow
+        // reuses the checkpoint-backed frame, never a full collect)
+        val ccInput = e.unionAll(
+          spark.createDataFrame(tStars).toDF("da", "db"))
+        val distDf = graft.operators.ConnectedComponents.run(ccInput)
+          .withColumnRenamed("id", "doc_id")
+        val labelRows = distDf.limit(changedLimit + 1).collect()
+        lap("cc_labels (distributed)")
+        if (labelRows.length > changedLimit)
+          return FullRelabel(overrideMapping(stateComps, prep, distDf))
+        labelRows.map(r => (r.getLong(0), r.getLong(1))).toMap
+      }
+    lap(s"cc_labels (${newLabel.size})")
     // old label of every doc that can change; a doc can be both an
     // endpoint and a touched member — the map write dedups (the value
     // is unique per doc)
@@ -422,15 +454,284 @@ object IncrementalCuration {
     val changed = oldOf.iterator.flatMap { case (id, old) =>
       newLabel.get(id).filter(_ != old).map(ChangedLabel(id, _, old))
     }.toSeq
-    // labels as a LocalRelation: consumers broadcast it without a build
-    // job, and the CC result is never recomputed per consumer
-    val labelsLocal = spark
-      .createDataFrame(newLabel.toSeq).toDF("doc_id", "component")
+    // CHANGED count — not subgraph size — decides the keyed-delta vs
+    // whole-store-rewrite branch: a dup-dense corpus yields a large
+    // touched subgraph whose labels almost all stay put (sf10: 377k
+    // subgraph labels, ~200 changed), and the keyed delta only writes
+    // the changed rows
+    if (changed.length > changedLimit)
+      return FullRelabel(overrideMapping(stateComps, prep,
+        spark.createDataFrame(newLabel.toSeq).toDF("doc_id", "component")))
+    // batch-side labels only (state-side changes ride in `changed`):
+    // the broadcast build stays batch-sized even when the touched
+    // subgraph is corpus-scale. Batch ids cannot be recognized as
+    // "absent from oldOf" alone — mid-retry their labels were already
+    // stored before the crash — so collect them (batch-bounded)
+    val batchIdSet: Set[Long] = prep.rows.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val batchLocal = newLabel.iterator
+      .filter(kv => batchIdSet.contains(kv._1) || !oldOf.contains(kv._1)).toSeq
     val batchLabels = prep.rows.select(col("doc_id"))
-      .join(broadcast(labelsLocal), Seq("doc_id"), "left")
+      .join(broadcast(spark.createDataFrame(batchLocal)
+        .toDF("doc_id", "component")), Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
     CompDelta(batchLabels, changed)
   }
+
+  // ---- driver-local fold (round-13): for the micro/small-batch regime
+  // the whole near-dup subgraph is batch-bounded by construction, so the
+  // pair generation, hamming verification and CC run on the DRIVER over
+  // two bounded collects — no census job, no band-join broadcasts, no
+  // per-consumer broadcast builds. Every bound is guarded; exceeding any
+  // returns None and the caller takes the distributed path.
+
+  /** Collected head/new band-row bound and generated-pair bound for the
+    * local path (each row ~150 B on the driver; 4M ≈ 600 MB transient
+    * in the 8 GB bench JVM — measured surviving comfortably at sf10,
+    * where the adversarial dup-dense fold collects 1.32M head rows and
+    * the local path beats the distributed one 7.2 s vs 13.3 s).
+    */
+  def LocalRowLimit: Int =
+    sys.props.get("graft.curate.localRowLimit").map(_.toInt).getOrElse(4 << 20)
+  def LocalPairLimit: Int =
+    sys.props.get("graft.curate.localPairLimit").map(_.toInt).getOrElse(4 << 20)
+
+  /** Above this many batch band rows (~8k docs) the local path is
+    * skipped up front: a batch that size amortizes the distributed
+    * path's fixed costs anyway, and on a dup-dense corpus its touched
+    * head rows would blow [[LocalRowLimit]] only after paying the
+    * window-scan, making the local attempt pure overhead.
+    */
+  def LocalBatchRowLimit: Int =
+    sys.props.get("graft.curate.localBatchRowLimit").map(_.toInt).getOrElse(65536)
+
+  /** The batch-bounded component delta computed driver-locally, or None
+    * when any bound is exceeded (bulk batches, degenerate corpora).
+    *
+    * Pair-set parity with the distributed path (pinned by the fold ==
+    * rebuild suites and IncBench outputs_identical at three scales):
+    *
+    *  - Per (fam, band, bucket) the candidate set is the bucket HEAD
+    *    (smallest `cap` ids) all-pairs plus root→tail stars, with at
+    *    least one batch side — exactly [[DedupQueries]]'s head/tail
+    *    split. Batch ids exceed all state ids, so the head's state part
+    *    is the per-bucket rank <= cap of STATE rows (the distributed
+    *    window below) and the batch part completes locally; old tail
+    *    members are never collected because their only candidate pair
+    *    (with the old root) fails the >=1-new condition.
+    *  - The census-driven all-pairs vs head/tail branch of the
+    *    distributed path emits the same set either way for buckets at
+    *    or under the cap (pure head), so computing head/tail uniformly
+    *    here cannot diverge.
+    *  - SimHash pairs are hamming<=3-verified on the collected sh
+    *    payloads; MinHash candidates are Jaccard-verified by the SAME
+    *    [[DedupQueries.verifiedBySets]] join over the stored hs arrays.
+    *  - CC over (verified edges ∪ touched old stars) runs as the same
+    *    min-label union-find [[graft.operators.ConnectedComponents]]
+    *    uses for small graphs.
+    *
+    * Crash-retry: the postings store may already hold this batch's rows
+    * (appended before the crash). State rows with batch ids are dropped
+    * locally and re-added from the batch's own band rows — identical
+    * membership, idempotent result.
+    */
+  def componentsDeltaFast(spark: org.apache.spark.sql.SparkSession,
+      state: DataFrame, stateComps: DataFrame, prep: BatchPrep,
+      postingsDir: Option[String]): Option[DeltaResult] = {
+    import org.apache.spark.sql.graftbridge.Bridge.inSetLong
+    var tl = System.nanoTime()
+    def lap(s: String): Unit = {
+      val t = System.nanoTime()
+      System.err.println(f"[curate.add]   local/$s ${(t - tl) / 1e9}%.2fs")
+      tl = t
+    }
+    val batchRows = postingsAll(prep.rows).limit(LocalBatchRowLimit + 1).collect()
+    lap(s"batch_rows (${batchRows.length})")
+    if (batchRows.length > LocalBatchRowLimit) return None
+    val batchIds = batchRows.map(_.getLong(1)).toSet
+    val selfLabels = () => CompDelta(
+      prep.rows.select(col("doc_id"))
+        .withColumn("component", col("doc_id")), Nil)
+    if (batchRows.isEmpty) return Some(selfLabels())
+    val touched = batchRows.map(_.getLong(5)).toSet
+    // state-side head rows of the touched buckets: zone-pruned postings
+    // read when a store exists, derived from the doc store otherwise;
+    // rank <= cap per bucket bounds the collect (a bh collision only
+    // admits rows of foreign buckets, which pair with nothing below)
+    val src = postingsDir match {
+      case Some(dir) =>
+        val scan = graft.layout.PrunedScan.read(spark, dir,
+          Seq(graft.layout.NumIn("bh", touched.map(_.toDouble).toSeq)),
+          schema = Some(PostingsSchema))
+        // free driver-only gate: the manifest's kept-file row counts
+        // upper-bound the head collect BEFORE any job runs. On a
+        // dup-dense store where the batch touches every file (the
+        // adversarial ScaleUp corpus) the bound is the whole store and
+        // the local attempt would only discover the overflow after
+        // paying the window-scan — skip it here for free instead. The
+        // 2x slack is the measured post-cap survival fraction (~0.3-0.4
+        // of kept rows survive the touched-bucket InSet + rank filter at
+        // sf1 AND on the dup-dense sf10 store), so kept > 2x limit means
+        // the collect would overflow with high confidence.
+        if (scan.rowsKeptBound > 2L * LocalRowLimit) {
+          lap(s"kept_bound_gate (${scan.rowsKeptBound} rows kept, skip)")
+          return None
+        }
+        scan.df
+      case None => postingsAll(state)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fam"), col("band"), col("bucket"))
+      .orderBy(col("doc_id"))
+    val headRows = src
+      .filter(inSetLong(col("bh"), touched))
+      .withColumn("__r", row_number().over(w))
+      .filter((col("fam") === 0 && col("__r") <= DedupQueries.SimhashBandCap) ||
+        (col("fam") === 1 && col("__r") <= DedupQueries.DegenerateBucketCap))
+      // postingsAll column order — `add` below reads both row kinds
+      .select(col("fam"), col("doc_id"), col("band"), col("bucket"), col("sh"))
+      .limit(LocalRowLimit + 1).collect()
+    lap(s"head_rows (${headRows.length})")
+    if (headRows.length > LocalRowLimit) return None
+
+    // ---- driver pair generation (exact head/tail semantics)
+    case class M(id: Long, sh: Long, isNew: Boolean)
+    val byBucket = new scala.collection.mutable.HashMap[(Int, Int, String),
+      scala.collection.mutable.ArrayBuffer[M]]()
+    def add(r: org.apache.spark.sql.Row, isNew: Boolean): Unit = {
+      val key = (r.getInt(0), r.getInt(2), r.getString(3))
+      val sh = if (r.isNullAt(4)) 0L else r.getLong(4)
+      byBucket.getOrElseUpdate(key,
+        new scala.collection.mutable.ArrayBuffer[M]()) += M(r.getLong(1), sh, isNew)
+    }
+    // retry leftovers: state-side rows carrying batch ids are this
+    // batch's half-appended postings — the batch rows re-add them
+    headRows.foreach(r => if (!batchIds.contains(r.getLong(1))) add(r, isNew = false))
+    batchRows.foreach(add(_, isNew = true))
+    val simPairs = new scala.collection.mutable.HashSet[(Long, Long)]()
+    val mhPairs = new scala.collection.mutable.HashSet[(Long, Long)]()
+    var overflow = false
+    byBucket.foreach { case ((fam, _, _), ms0) =>
+      if (!overflow && ms0.exists(_.isNew)) {
+        val ms = ms0.sortBy(_.id)
+        val cap = if (fam == 0) DedupQueries.SimhashBandCap
+          else DedupQueries.DegenerateBucketCap
+        val head = ms.take(cap)
+        val root = ms.head
+        def emit(a: M, b: M): Unit = {
+          val p = (math.min(a.id, b.id), math.max(a.id, b.id))
+          if (fam == 0) {
+            if (java.lang.Long.bitCount(a.sh ^ b.sh) <= 3) simPairs += p
+          } else mhPairs += p
+          if (simPairs.size + mhPairs.size > LocalPairLimit) overflow = true
+        }
+        // head pairs with >=1 new side: iterate each NEW head member
+        // against all strictly-smaller head members — old ids are always
+        // smaller than new ids, so old x new is covered once from the new
+        // side and new x new once from the larger side; old x old never
+        var i = 0
+        while (i < head.length && !overflow) {
+          val n = head(i)
+          if (n.isNew) {
+            var j = 0
+            while (j < i && !overflow) { emit(head(j), n); j += 1 }
+          }
+          i += 1
+        }
+        // root -> tail stars with >=1 new side: old tail members only
+        // pair with the (old) root, so only NEW tail members emit
+        var k = cap
+        while (k < ms.length && !overflow) {
+          val m = ms(k)
+          if (m.isNew && m.id != root.id) emit(root, m)
+          k += 1
+        }
+      }
+    }
+    if (overflow) return None
+    lap(s"pairs (sim=${simPairs.size} mh_cand=${mhPairs.size})")
+
+    // ---- Jaccard verification of MinHash candidates (distributed: the
+    // hs arrays stay in the store; the candidate frame is local)
+    val mhEdges: Seq[(Long, Long)] =
+      if (mhPairs.isEmpty) Nil
+      else {
+        val candDf = spark.createDataFrame(mhPairs.toSeq).toDF("da", "db")
+        val ids = mhPairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+        val sets0 = state.select(col("doc_id"), col("hs"))
+          .unionByName(prep.rows.select(col("doc_id"), col("hs")))
+        val sets =
+          if (ids.size > CandIdLimit) sets0
+          else sets0.filter(inSetLong(col("doc_id"), ids))
+        DedupQueries.verifiedBySets(candDf, sets)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+    lap(s"mh_verify (${mhEdges.length})")
+    val edges = simPairs.toSeq ++ mhEdges
+    if (edges.isEmpty) return Some(selfLabels())
+
+    // ---- touched old components + local CC (mirrors componentsDelta)
+    val endpointIds = edges.iterator
+      .flatMap(p => Iterator(p._1, p._2)).toSet
+    if (endpointIds.size > touchedCompLimit) return None
+    val endpointsOld = stateComps
+      .filter(inSetLong(col("doc_id"), endpointIds))
+      .select(col("doc_id"), col("component"))
+      .limit(touchedCompLimit + 1).collect()
+    if (endpointsOld.length > touchedCompLimit) return None
+    val cs = endpointsOld.map(_.getLong(1)).distinct
+    val tRows =
+      if (cs.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else stateComps.filter(inSetLong(col("component"), cs))
+        .select(col("doc_id"), col("component"))
+        .limit(touchedCompLimit + 1).collect()
+    if (tRows.length > touchedCompLimit) return None
+    lap(s"touched (${endpointsOld.length}+${tRows.length})")
+    val tStars = tRows.iterator
+      .map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2)
+    val labels = graft.operators.ConnectedComponents.local(
+      edges.iterator ++ tStars)
+    val oldOf: Map[Long, Long] =
+      (tRows.iterator ++ endpointsOld.iterator)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val changed = oldOf.iterator.flatMap { case (id, old) =>
+      labels.get(id).filter(_ != old).map(ChangedLabel(id, _, old))
+    }.toSeq
+    // changed-count overflow: whole-store rewrite straight from the
+    // already-computed local labels — falling back to the distributed
+    // path would redo the whole subgraph for the same answer
+    if (changed.length > changedLimit)
+      return Some(FullRelabel(overrideMapping(stateComps, prep,
+        spark.createDataFrame(labels.toSeq).toDF("doc_id", "component"))))
+    // batch-side labels only — see componentsDelta: the broadcast build
+    // stays batch-sized even when the touched subgraph is corpus-scale.
+    // Mid-retry batch ids ALSO appear in oldOf (their labels were
+    // stored before the crash) — keep them by id, never by oldOf alone
+    val batchLocal = labels.iterator
+      .filter(kv => batchIds.contains(kv._1) || !oldOf.contains(kv._1)).toSeq
+    val batchLabels = prep.rows.select(col("doc_id"))
+      .join(broadcast(spark.createDataFrame(batchLocal)
+        .toDF("doc_id", "component")), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    lap("cc_labels")
+    Some(CompDelta(batchLabels, changed))
+  }
+
+  /** Full (state ∪ batch) mapping from an ALREADY-COMPUTED subgraph
+    * label frame: stored labels overridden where the subgraph relabeled
+    * them, self-labels for new docs — no second CC run.
+    */
+  private def overrideMapping(stateComps: DataFrame, prep: BatchPrep,
+      labelsDf: DataFrame): DataFrame =
+    stateComps.select(col("doc_id"), col("component").as("__old"))
+      .unionByName(prep.rows
+        .select(col("doc_id"), col("doc_id").as("__old")))
+      // mid-retry the store may already hold batch rows — dedup (their
+      // stored label equals the recomputed one, so min is exact)
+      .groupBy(col("doc_id")).agg(min(col("__old")).as("__old"))
+      .join(labelsDf, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("__old")))
+      .select(col("doc_id"), col("component"))
 
   /** Full (state ∪ batch) labeling from an edge set — the FullRelabel
     * tail (same shape as [[labelsFromEdges]], but from the stored
@@ -539,6 +840,7 @@ object IncrementalCuration {
     */
   def edgesFromPostings(spark: org.apache.spark.sql.SparkSession,
       state: DataFrame, prep: BatchPrep, postingsDir: String): DataFrame = {
+    val tp0 = System.nanoTime()
     val batchRows = postingsAll(prep.rows).withColumn("__new", lit(true))
     // one batch-sized job collects the touched bucket keys (both
     // families share the key space — a cross-family bh collision only
@@ -546,6 +848,8 @@ object IncrementalCuration {
     // >=1-new pair condition then ignores)
     val touchedRows = batchRows.select(col("bh"))
       .distinct().limit(TouchedKeyLimit + 1).collect()
+    System.err.println(f"[curate.add]   edges/touched_keys " +
+      f"${(System.nanoTime() - tp0) / 1e9}%.2fs (${touchedRows.length})")
     val touched: Option[Seq[Long]] =
       if (touchedRows.length > TouchedKeyLimit) None
       else Some(touchedRows.map(_.getLong(0)).toSeq)
@@ -566,7 +870,10 @@ object IncrementalCuration {
       corpusRows.withColumn("__new", lit(false)).unionByName(batchRows))
     val simAll = allRows.filter(col("fam") === 0)
     val mhAll = allRows.filter(col("fam") === 1)
+    val tc0 = System.nanoTime()
     val c = DedupQueries.bandCensusRows(simAll, mhAll)
+    System.err.println(f"[curate.add]   edges/census " +
+      f"${(System.nanoTime() - tc0) / 1e9}%.2fs")
     val simEdges = DedupQueries
       .simhashPairsOfRows(simAll, Some("__new"), DedupQueries.SimhashBandCap,
         Some(c.simMax), c.simHot)
