@@ -66,7 +66,12 @@ object Incremental {
 
       val results = scala.collection.mutable.ArrayBuffer(probe("batch00"))
       for (b <- 0 until batches) {
-        Upserter.upsert(spark, dir, updates.filter(col("batch_id") === b).drop("batch_id"))
+        // raw decay protocol: no sorted rewrites, no auto-recluster —
+        // this scenario MEASURES the unmitigated cliff and then repairs
+        // it explicitly below
+        Upserter.upsert(spark, dir,
+          updates.filter(col("batch_id") === b).drop("batch_id"),
+          sortRewrites = false, autoRecluster = false)
         results += probe(f"batch${b + 1}%02d")
       }
       // Re-cluster (compaction preserves the declared layout) and re-probe:

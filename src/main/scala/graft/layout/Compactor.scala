@@ -17,6 +17,92 @@ object Compactor {
 
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024 // reference default
 
+  /** Rows-weighted expected fraction of the table's ROWS a point query
+    * on `c` must scan, straight off the manifest (no Spark job):
+    * Σ_f rows_f · width_f / (total_rows · global_width), where width is
+    * the file's zone extent on `c`. A perfectly range-partitioned
+    * column scores ~1/numFiles; a fully smeared one scores ~1. Rows
+    * weighting matters: one giant unsorted file among many narrow ones
+    * IS most of the damage, and a file-count average would hide it.
+    * None when `c` has no numeric zone stats (string layout columns) or
+    * the manifest has no rows. Files with missing/all-null stats for
+    * `c` count as full-width (they can never be pruned).
+    */
+  def scanFraction(manifest: TableManifest, c: String): Option[Double] = {
+    val entries = manifest.files.filter(_.rows > 0)
+    val spans = entries.map { f =>
+      f.ranges.get(c) match {
+        case Some(r) if !r.allNull =>
+          (f.rows, for { mn <- r.min; mx <- r.max } yield (mn, mx))
+        case _ => (f.rows, None)
+      }
+    }
+    val known = spans.flatMap { case (_, s) => s }
+    if (known.isEmpty) return None
+    val gMin = known.map(_._1).min
+    val gMax = known.map(_._2).max
+    val w = gMax - gMin
+    val totalRows = spans.map(_._1).sum
+    if (totalRows <= 0) return None
+    if (w <= 0) return Some(0.0) // single-valued column: pruning is moot
+    val weighted = spans.map {
+      case (rows, Some((mn, mx))) => rows * ((mx - mn) / w)
+      case (rows, None) => rows.toDouble // unstatted file: never prunable
+    }.sum
+    Some(weighted / totalRows)
+  }
+
+  /** Clustering health of the table's declared layout: the WORST (max)
+    * [[scanFraction]] across layout columns — a table is as decayed as
+    * its most-smeared clustering column. None when no layout column has
+    * numeric stats. Note the healthy baseline depends on the layout
+    * family: linear partitions its leading column (~1/N), a d-column
+    * space-filling curve tiles each column at ~N^(-1/d) — both far
+    * under [[DefaultDecayThreshold]] for real file counts, while COW
+    * smear drives the metric toward 1 regardless of family.
+    */
+  def clusteringHealth(manifest: TableManifest): Option[Double] = {
+    val fs = manifest.layoutCols.flatMap(scanFraction(manifest, _))
+    if (fs.isEmpty) None else Some(fs.max)
+  }
+
+  /** Recluster when a point query is expected to scan more than this
+    * fraction of the table's rows on some layout column.
+    */
+  val DefaultDecayThreshold: Double = 0.5
+
+  /** Below this many files the metric is dominated by granularity, not
+    * decay (a healthy 4-file zorder table already scores 0.5) — the
+    * policy stays quiet and lets normal compaction cadence handle it.
+    */
+  val MinReclusterFiles: Int = 8
+
+  /** The auto-recluster policy hook (the manifest-metric analog of
+    * Hudi's clustering-every-N-commits, hudi_write_layout.py:188-190,
+    * with the trigger derived from measured decay instead of a commit
+    * counter): re-cluster iff [[clusteringHealth]] exceeds `threshold`.
+    * Pure manifest math on the trigger path — a healthy table pays
+    * zero Spark jobs. Returns the post-compaction manifest iff it
+    * fired. Wired into [[graft.table.Upserter]] so scattered-key COW
+    * upserts (the RQ7 one-commit pruning cliff, results/rq7_layout/)
+    * self-heal instead of waiting for a human to notice.
+    */
+  def maybeRecluster(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = DefaultDecayThreshold,
+      targetFileBytes: Long = DefaultTargetFileBytes): Option[TableManifest] = {
+    val manifest = ZoneMap.read(dir)
+    if (manifest.files.length < MinReclusterFiles) return None
+    clusteringHealth(manifest).filter(_ > threshold).map { h =>
+      System.err.println(
+        f"[graft] maybeRecluster: clustering health $h%.3f > $threshold%.2f " +
+          s"on ${manifest.layout}(${manifest.layoutCols.mkString(",")}) at $dir " +
+          "— re-clustering")
+      compact(spark, dir, targetFileBytes)
+    }
+  }
+
   def compact(
       spark: SparkSession,
       dir: String,

@@ -22,14 +22,29 @@ import graft.layout.LayoutWriter.LayoutSpec
   * [[Compactor.compact]] re-runs the recorded layout sort and the
   * probe shows pruning restored.
   *
-  * Usage: runMain graft.tools.LayoutDecay [sfDir] [workDir] [batches]
+  * Usage: runMain graft.tools.LayoutDecay [sfDir] [workDir] [batches] [mode]
   * Writes workDir/layout_decay.csv (copy to results/rq7_layout/).
+  *
+  * `mode` (round-13): the three update-path variants the decay design
+  * rule offers —
+  *  - `plain`  (default): unsorted COW, no policy — the unmitigated
+  *    cliff the round-12 artifact measured;
+  *  - `sorted`: [[graft.table.Upserter]] `sortRewrites` — every rewrite
+  *    re-runs the recorded layout sort within the touched file set;
+  *  - `policy`: unsorted COW with `autoRecluster` — the
+  *    [[Compactor.maybeRecluster]] health threshold fires a full
+  *    recluster the moment the manifest says a point query would scan
+  *    more than half the rows. The csv gains a `health` column (the
+  *    manifest-derived expected point-scan fraction) in all modes.
   */
 object LayoutDecay {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf16")
     val work = args.lift(1).getOrElse("/tmp/graft_rq7layout")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("plain")
+    require(Seq("plain", "sorted", "policy").contains(mode),
+      s"unknown mode $mode (plain|sorted|policy)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.runner.Sessions
       .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
@@ -61,7 +76,7 @@ object LayoutDecay {
       NumBetween("l_quantity", 24.0, 25.0),
       NumBetween("l_extendedprice", 30000.0, 32000.0))
     val csv = new scala.collection.mutable.ArrayBuffer[String]
-    csv += "phase,batch,files_kept,files_total,bytes_kept_mb,bytes_total_mb,probe_rows,probe_sec,mutate_sec"
+    csv += "phase,batch,files_kept,files_total,bytes_kept_mb,bytes_total_mb,probe_rows,probe_sec,mutate_sec,health"
     def probe(phase: String, batch: Int, mutateSec: Double): Unit = {
       val t0 = System.nanoTime()
       val scan = PrunedScan.read(spark, table, probePreds)
@@ -70,8 +85,10 @@ object LayoutDecay {
           col("l_extendedprice").between(30000.0, 32000.0))
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val health = Compactor.clusteringHealth(ZoneMap.read(table))
+        .map(h => f"$h%.3f").getOrElse("")
       csv += f"$phase,$batch,${scan.filesKept},${scan.filesTotal}," +
-        f"${scan.bytesKept / 1e6}%.1f,${scan.bytesTotal / 1e6}%.1f,$rows,$sec%.3f,$mutateSec%.2f"
+        f"${scan.bytesKept / 1e6}%.1f,${scan.bytesTotal / 1e6}%.1f,$rows,$sec%.3f,$mutateSec%.2f,$health"
       println(csv.last)
     }
     probe("base", 0, 0.0)
@@ -85,7 +102,10 @@ object LayoutDecay {
           pmod(xxhash64(col("lkey")), lit(nBatches)) === i)
         .withColumn("l_extendedprice", col("l_extendedprice") * 1.001)
       val t0 = System.nanoTime()
-      graft.table.Upserter.upsert(spark, table, batch)
+      graft.table.Upserter.upsert(spark, table, batch,
+        sortRewrites = mode == "sorted",
+        autoRecluster = mode == "policy",
+        targetFileBytes = 48L * 1024 * 1024)
       probe("upsert", i + 1, (System.nanoTime() - t0) / 1e9)
     }
 
