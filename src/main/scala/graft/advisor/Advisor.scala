@@ -93,6 +93,13 @@ object Advisor {
         val side = if (colName(bc.left).isDefined) bc.left else bc.right
         colName(side).foreach(c =>
           events += PredEvent(c, RangePred, inOr, queryId, colTable(side)))
+      // Spark 4 parses `x BETWEEN lo AND hi` as an unresolved 'between'
+      // function call, not And(>=, <=)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("between") &&
+            f.arguments.headOption.flatMap(colName).isDefined =>
+        val c = f.arguments.head
+        events += PredEvent(colName(c).get, RangePred, inOr, queryId, colTable(c))
       case l: Like =>
         colName(l.left).foreach(c =>
           events += PredEvent(c, LikePred, inOr, queryId, colTable(l.left)))
@@ -240,5 +247,186 @@ object Advisor {
     }.toSeq.sortBy(r => (!r.eligibleForMultiColLayout,
       -r.layoutOpportunityScore, -r.candidateColumns, -r.queryCoverage))
       .take(top)
+  }
+
+  // ---- band-aware layout-family advice (round-13, VERDICT "Next #4")
+
+  /** One range band a query constrains `column` to: the conjunction of
+    * its >=/<= literals within a single query. Open sides are None.
+    */
+  case class RangeBand(column: String, table: String, queryId: Int,
+      lo: Option[Double], hi: Option[Double])
+
+  /** Collect the per-query numeric range bands of every filtered
+    * column — the width signal [[recommendLayout]] turns into a
+    * selectivity estimate. Non-numeric literals are skipped.
+    */
+  def extractRanges(spark: SparkSession, sql: String, queryId: Int = 0): Seq[RangeBand] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    def colName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+      case Cast(c, _, _, _) => colName(c)
+      case _ => None
+    }
+    def litNum(e: Expression): Option[Double] = e match {
+      case Literal(v, _) => v match {
+        case n: Number => Some(n.doubleValue())
+        case _ => None
+      }
+      case Cast(c, _, _, _) => litNum(c)
+      case _ => None
+    }
+    // (col -> (lo, hi)) per query: tightest bounds win under AND
+    val bounds = scala.collection.mutable
+      .Map.empty[String, (Option[Double], Option[Double])]
+    def note(c: String, lo: Option[Double], hi: Option[Double]): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (None, None))
+      bounds(c) = (
+        Seq(l0, lo).flatten.maxOption,
+        Seq(h0, hi).flatten.minOption)
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThan(l, r) =>
+        (colName(l), litNum(r)) match {
+          case (Some(c), Some(v)) => note(c, Some(v), None)
+          case _ => (colName(r), litNum(l)) match {
+            case (Some(c), Some(v)) => note(c, None, Some(v))
+            case _ =>
+          }
+        }
+      case GreaterThanOrEqual(l, r) => walk(GreaterThan(l, r))
+      case LessThan(l, r) =>
+        (colName(l), litNum(r)) match {
+          case (Some(c), Some(v)) => note(c, None, Some(v))
+          case _ => (colName(r), litNum(l)) match {
+            case (Some(c), Some(v)) => note(c, Some(v), None)
+            case _ =>
+          }
+        }
+      case LessThanOrEqual(l, r) => walk(LessThan(l, r))
+      case EqualTo(l, r) =>
+        (colName(l), litNum(r)) match {
+          case (Some(c), Some(v)) => note(c, Some(v), Some(v))
+          case _ =>
+        }
+      // Spark 4 parses BETWEEN as an unresolved 'between' function call
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("between") &&
+            f.arguments.length == 3 =>
+        (colName(f.arguments(0)), litNum(f.arguments(1)),
+            litNum(f.arguments(2))) match {
+          case (Some(c), lo, hi) if lo.isDefined || hi.isDefined =>
+            note(c, lo, hi)
+          case _ =>
+        }
+      case _ => // OR/NOT/other: no conjunctive band signal
+    }
+    plan.foreach {
+      case f: Filter => walk(f.condition)
+      case _ =>
+    }
+    bounds.toSeq.map { case (c, (lo, hi)) => RangeBand(c, "", queryId, lo, hi) }
+  }
+
+  /** Per-dimension band fraction above which the LINEAR layout wins
+    * wall time: rq1 at sf10/sf16 measured linear beating curves by
+    * ~40% at the S3/S4 bands (>=22% per dimension — surviving pages
+    * are contiguous runs on the leading sort column, while a curve
+    * file interleaves its matches across most of its pages) even
+    * though curves keep fewer files at every band
+    * (results/rq1_sf10/README.md, results/rq1_sf16/). 0.15 sits
+    * between S2's ~7% per-dim and S3's ~22%.
+    */
+  val CoarseBandThreshold: Double = 0.15
+
+  /** The secondary column must carry at least this fraction of the
+    * leading anchor score — and co-occur in at least
+    * [[MinPairCoverage]] of the queries — for a multi-column curve to
+    * beat sorting on the dominant column alone.
+    */
+  val MinSecondaryAnchor: Double = 0.3
+  val MinPairCoverage: Double = 0.3
+
+  case class LayoutAdvice(layout: String, cols: Seq[String],
+      meanBandFraction: Option[Double], reason: String)
+
+  /** V5+ (beyond the reference): pick the layout FAMILY, not only the
+    * columns. The reference's toolkit stops at column ranking; the rq1
+    * matrix at sf10/sf16 shows the family should follow predicate
+    * selectivity — multi-dimensional curves win fine bands (S1/S2) and
+    * always win file-level skipping, but leading-column linear order
+    * wins coarse-band (S3/S4) WALL time by ~40% via page contiguity
+    * (results/rq1_sf10/README.md "Ordering" table). Decision:
+    *
+    *  - effectively single-column workloads (no secondary anchor, or no
+    *    pair co-occurrence) → `linear` on the dominant column;
+    *  - multi-column with mean per-dimension band fraction >=
+    *    [[CoarseBandThreshold]] → `linear` on the leading column (the
+    *    measured S3/S4 inversion);
+    *  - multi-column fine bands → `zorder` (use `hilbert` for the very
+    *    finest bands at scale: sf16 S1 measured hilbert 5.64x vs zorder
+    *    5.28x).
+    *
+    * `colRanges` maps columns to their profiled (min, max) — the
+    * profiler's F-family stats — so query bands normalize to
+    * per-dimension selectivity; columns without stats contribute no
+    * band signal (equality/IN predicates count as fine).
+    */
+  def recommendLayout(
+      spark: SparkSession,
+      sqls: Seq[String],
+      colRanges: Map[String, (Double, Double)],
+      kinds: Map[String, String] = Map.empty,
+      uniqueRatio: Map[String, Double] = Map.empty,
+      k: Int = 2): LayoutAdvice = {
+    val events = sqls.zipWithIndex.flatMap { case (q, i) => extract(spark, q, i) }
+    val scores = scoreColumns(
+      events.filter(_.ptype != JoinPred), kinds, uniqueRatio)
+    require(scores.nonEmpty, "no filter predicates in the workload")
+    val byCol = scores.map(s => s.column -> s.score).toMap
+    val lead = scores.head.column
+    val secondary = scores.drop(1).take(k - 1).map(_.column)
+      .filter(c => byCol(c) >= MinSecondaryAnchor * byCol(lead))
+
+    val queries = events.groupBy(_.queryId).view
+      .mapValues(_.map(_.column).toSet).toMap
+    val nQueries = math.max(1, sqls.size)
+    val pairCoverage =
+      if (secondary.isEmpty) 0.0
+      else queries.values.count(q =>
+        q.contains(lead) && secondary.exists(q.contains)).toDouble / nQueries
+
+    val bands = sqls.zipWithIndex.flatMap { case (q, i) => extractRanges(spark, q, i) }
+    val keyCols = lead +: secondary
+    val fractions = bands.filter(b => keyCols.contains(b.column)).flatMap { b =>
+      colRanges.get(b.column).flatMap { case (mn, mx) =>
+        val w = mx - mn
+        if (w <= 0) None
+        else {
+          val lo = b.lo.getOrElse(mn).max(mn)
+          val hi = b.hi.getOrElse(mx).min(mx)
+          Some(((hi - lo) / w).max(0.0).min(1.0))
+        }
+      }
+    }
+    val meanFraction =
+      if (fractions.isEmpty) None else Some(fractions.sum / fractions.size)
+
+    if (secondary.isEmpty || pairCoverage < MinPairCoverage)
+      LayoutAdvice("linear", Seq(lead), meanFraction,
+        s"single dominant filter column '$lead' " +
+          f"(pair coverage $pairCoverage%.2f) — sort linearly on it")
+    else if (meanFraction.exists(_ >= CoarseBandThreshold))
+      LayoutAdvice("linear", keyCols, meanFraction,
+        f"coarse bands (mean per-dim fraction ${meanFraction.get}%.2f >= " +
+          f"$CoarseBandThreshold%.2f ~ S3/S4): linear on '$lead' wins wall " +
+          "by ~40% via page contiguity (results/rq1_sf10/README.md)")
+    else
+      LayoutAdvice("zorder", keyCols, meanFraction,
+        f"multi-column fine bands (pair coverage $pairCoverage%.2f, " +
+          s"mean per-dim fraction ${meanFraction.map(f => f"$f%.2f").getOrElse("n/a")}): " +
+          "curves win files at every band and wall at S1/S2 " +
+          "(results/rq1_sf10/README.md; hilbert edges zorder at sf16 S1)")
   }
 }

@@ -107,4 +107,55 @@ class AdvisorSuite extends SparkTestBase {
     assert(best.columns.head == "l_shipdate")
     assert(best.coverage > 0.0 && best.coverage <= 1.0)
   }
+
+  // band-aware layout-family advice (round-13): the rq1 sf10/sf16
+  // matrix's S3/S4 wall inversion feeds the linear-vs-curve decision
+  // (results/rq1_sf10/README.md — linear wins coarse bands by ~40%,
+  // curves win fine bands and always win file counts)
+  private val quantPriceRanges = Map(
+    "l_quantity" -> (1.0, 50.0), "l_extendedprice" -> (900.0, 105000.0))
+
+  test("layout advice: S4-heavy single-column workload yields linear") {
+    // ~40% of l_quantity's [1,50] domain per query, one dominant column
+    val workload = Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 10 AND 30",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 20 AND 40",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 5 AND 25")
+    val a = Advisor.recommendLayout(spark, workload, quantPriceRanges)
+    assert(a.layout == "linear", a.toString)
+    assert(a.cols == Seq("l_quantity"))
+    assert(a.meanBandFraction.exists(_ > 0.3), a.toString)
+  }
+
+  test("layout advice: S1 two-column workload yields a curve") {
+    // ~2% of each dimension, both columns in every query (the rq1 S1 band)
+    val workload = Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 24 AND 25 AND l_extendedprice BETWEEN 30000 AND 32000",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 10 AND 11 AND l_extendedprice BETWEEN 50000 AND 52000",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 40 AND 41 AND l_extendedprice BETWEEN 10000 AND 12000")
+    val a = Advisor.recommendLayout(spark, workload, quantPriceRanges)
+    assert(a.layout == "zorder", a.toString)
+    assert(a.cols.toSet == Set("l_quantity", "l_extendedprice"))
+    assert(a.meanBandFraction.exists(_ < 0.15), a.toString)
+  }
+
+  test("layout advice: coarse two-column workload still yields linear (the S3/S4 inversion)") {
+    val workload = Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 10 AND 30 AND l_extendedprice BETWEEN 20000 AND 70000",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 20 AND 45 AND l_extendedprice BETWEEN 10000 AND 60000")
+    val a = Advisor.recommendLayout(spark, workload, quantPriceRanges)
+    assert(a.layout == "linear", a.toString)
+    assert(a.cols.length == 2 && a.cols.head == a.cols.head, a.toString)
+    assert(a.meanBandFraction.exists(_ >= Advisor.CoarseBandThreshold), a.toString)
+    assert(a.reason.contains("rq1"), "advice must cite the measured rq1 data")
+  }
+
+  test("extractRanges: conjunctive bounds tighten, open sides stay open") {
+    val bands = Advisor.extractRanges(spark,
+      "SELECT * FROM t WHERE a >= 5 AND a < 15 AND a >= 7 AND b > 100")
+    val a = bands.find(_.column == "a").get
+    assert(a.lo.contains(7.0) && a.hi.contains(15.0))
+    val b = bands.find(_.column == "b").get
+    assert(b.lo.contains(100.0) && b.hi.isEmpty)
+  }
 }
