@@ -138,12 +138,21 @@ object Upserter {
     // groups the same way) — without this the rewrite inherits the
     // dedup window's shuffle width and a 51-file table becomes a
     // 102-tiny-file one in a single upsert (the round-12 rq7 run).
+    // The width is floored by the same 32 MB-of-parquet-per-partition
+    // band Sessions.shufflePartitionsFor enforces: a whole-table
+    // scattered rewrite packed into target-sized (128 MB) partitions
+    // OOMed the 8 GB bench JVM at sf16 (round 13) — rewrite files may
+    // come out under target, never partitions over the memory band.
     val affectedBytes = affected.flatMap(_.bytes).sum
-    val numFiles = math.max(1, math.min(
-      // never explode a partial rewrite into more files than a
-      // bytes-blind heuristic of one file per affected file + 1
-      affected.length + 1,
-      math.ceil(affectedBytes.toDouble / targetFileBytes).toInt))
+    val numFiles = {
+      val byTarget = math.max(1, math.min(
+        // never explode a partial rewrite into more files than a
+        // bytes-blind heuristic of one file per affected file + 1
+        affected.length + 1,
+        math.ceil(affectedBytes.toDouble / targetFileBytes).toInt))
+      math.max(byTarget,
+        math.ceil(affectedBytes.toDouble / (32L * 1024 * 1024)).toInt)
+    }
     // sorted COW: the rewritten rows re-enter the recorded layout
     // order, so each new file's zones stay as tight as the merged
     // key span allows ("baseline" layouts have no keys and stay on
