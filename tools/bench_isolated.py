@@ -38,11 +38,17 @@ def write_results(results):
     with open(f"{repo}/BENCH_ISOLATED.json", "w") as f:
         json.dump({"sf": sf, "reps": int(reps), "results": results}, f, indent=1)
 
+# extra JVM flags (GC choice, -Dspark.* conf overrides — local-mode
+# SparkConf reads spark.* system properties) for per-knob A/B runs,
+# mirroring build.sbt's SPARK_GRAFT_JVM_FLAGS passthrough
+extra_flags = os.environ.get("SPARK_GRAFT_JVM_FLAGS", "").split()
+
 results = {}
 for q in queries:
     cmd = (["java", "-cp", cp] + add_opens +
            ["-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "8g"),
-            "-Dspark.ui.enabled=false", "graft.BenchOne", q, reps])
+            "-Dspark.ui.enabled=false"] + extra_flags +
+           ["graft.BenchOne", q, reps])
     # a launch failure (missing java/classpath) or crash records a FAIL
     # entry instead of aborting the sweep; the JSON is rewritten after
     # every query so partial sweeps still leave a usable artifact
