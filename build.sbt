@@ -43,4 +43,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // not pause latency — the same choice a cluster deployment makes in
   // spark.executor.extraJavaOptions.
   "-XX:+UseParallelGC",
+  // Off-heap execution memory (round-13 knob matrix, BENCH_RUNS_DEV):
+  // SF16 q63's sort-merge state churn is GC-bound on-heap; moving
+  // execution memory off-heap cut it 11.1 -> 6.2 s (4 tight reps,
+  // isolated JVMs) and was neutral for every other probe. On a cluster
+  // this is spark.executor.memoryOverhead + the same two confs.
+  "-Dspark.memory.offHeap.enabled=true",
+  "-Dspark.memory.offHeap.size=4g",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq.flatMap(_.split("\\s+"))
