@@ -236,4 +236,43 @@ class CurateCliSuite extends SparkTestBase {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(outInc, "state", "pending_delta")))
   }
+
+  test("every guarded fold path produces the rebuild corpus (forced fallback matrix)") {
+    // The round-13 fold has four label paths: driver-local fast path
+    // (default at this scale), the distributed subgraph path with local
+    // CC, the distributed path with distributed star-round CC, and the
+    // FullRelabel whole-store rewrite. Force each via its bound's
+    // system property and pin fold == rebuild through all of them.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val m = docs.agg(expr("percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val b1 = tmpDir("curate_fm1"); val b2 = tmpDir("curate_fm2")
+    docs.filter(col("doc_id") <= m).write.parquet(s"$b1/documents.parquet")
+    docs.filter(col("doc_id") > m).write.parquet(s"$b2/documents.parquet")
+    val outFull = tmpDir("curate_fmfull")
+    Curate.run(spark, sf, outFull, 100L)
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    val want = corpus(outFull)
+
+    val paths = Seq(
+      "distributed+localCC" -> Seq("graft.curate.localBatchRowLimit" -> "0"),
+      "distributed+starCC" -> Seq(
+        "graft.curate.localBatchRowLimit" -> "0",
+        "graft.curate.edgeCollectLimit" -> "0"),
+      "fullRelabel" -> Seq(
+        "graft.curate.localBatchRowLimit" -> "0",
+        "graft.curate.changedLimit" -> "0"),
+      "fullRelabel+local" -> Seq("graft.curate.changedLimit" -> "0"))
+    for ((name, props) <- paths) {
+      props.foreach { case (k, v) => sys.props(k) = v }
+      try {
+        val outInc = tmpDir(s"curate_fm_$name")
+        Curate.run(spark, b1, outInc, 100L)
+        Curate.runAdd(spark, b2, outInc, 100L)
+        assert(corpus(outInc) == want, s"fold != rebuild via path $name")
+      } finally props.foreach { case (k, _) => sys.props.remove(k) }
+    }
+  }
 }
