@@ -124,22 +124,57 @@ case class StrAtLeast(col: String, lo: String) extends ZonePredicate {
   * prune every file between the extremes that contains neither.
   */
 case class NumIn(col: String, values: Seq[Double]) extends ZonePredicate {
+  // sorted once per predicate: the prune loop calls mayMatch per FILE,
+  // and a linear scan per file is O(files x values) on the driver —
+  // 100k upsert keys against an 800k-file manifest would be 10^10
+  // comparisons. Binary search makes it O(files x log values).
+  private lazy val sorted: Array[Double] = {
+    val a = values.toArray; java.util.Arrays.sort(a); a
+  }
   def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
     case None => true
     case Some(r) if r.allNull => false
     case Some(r) =>
-      values.exists(v => r.min.forall(_ <= v) && r.max.forall(_ >= v))
+      if (sorted.isEmpty) false
+      else {
+        val lo = r.min.getOrElse(Double.NegativeInfinity)
+        val hi = r.max.getOrElse(Double.PositiveInfinity)
+        // smallest value >= lo; file survives iff it is also <= hi
+        val i = {
+          val p = java.util.Arrays.binarySearch(sorted, lo)
+          if (p >= 0) p else -(p + 1)
+        }
+        i < sorted.length && sorted(i) <= hi
+      }
   }
 }
 
 /** value IN (set) on a string column — prunes on [min,max] containment. */
 case class StrIn(col: String, values: Seq[String]) extends ZonePredicate {
+  // same binary-search form as NumIn, over the code-point order the
+  // zone stats use (StrOrder, NOT String's UTF-16 compareTo)
+  private lazy val sorted: Array[String] = {
+    val a = values.toArray
+    java.util.Arrays.sort(a, (x: String, y: String) => StrOrder.compare(x, y))
+    a
+  }
   def mayMatch(f: FileEntry): Boolean = f.ranges.get(col) match {
     case None => true
     case Some(r) if r.allNull => false
     case Some(r) =>
-      values.exists(v =>
-        r.minStr.forall(StrOrder.lte(_, v)) && r.maxStr.forall(StrOrder.gte(_, v)))
+      if (sorted.isEmpty) false
+      else {
+        // smallest value >= minStr (code-point order)
+        var lo = 0
+        var hi = sorted.length
+        r.minStr.foreach { mn =>
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (StrOrder.compare(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
+          }
+        }
+        lo < sorted.length && r.maxStr.forall(StrOrder.gte(_, sorted(lo)))
+      }
   }
 }
 

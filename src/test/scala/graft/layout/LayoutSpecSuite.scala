@@ -231,4 +231,46 @@ class LayoutSpecSuite extends SparkTestBase {
     assert(after.layout == "zorder")
     assert(spark.read.parquet(dir).count() == 20000L)
   }
+
+  test("NumIn/StrIn binary-search pruning equals the linear definition on random zones") {
+    // round-13: mayMatch went from O(values) to O(log values) per file;
+    // pin equivalence with the definitional linear form across random
+    // value sets and zone ranges (including empty sets, open-ended
+    // stats, and all-null zones)
+    val rnd = new scala.util.Random(13)
+    def numEntry(mn: Option[Double], mx: Option[Double], allNull: Boolean) =
+      FileEntry("f", 1, Map("c" -> ColRange(mn, mx, None, None, allNull)))
+    for (_ <- 1 to 2000) {
+      val vals = Seq.fill(rnd.nextInt(6))(rnd.nextInt(40).toDouble)
+      val a = rnd.nextInt(40).toDouble; val b = rnd.nextInt(40).toDouble
+      val (mn, mx) = (math.min(a, b), math.max(a, b))
+      val f = numEntry(
+        if (rnd.nextBoolean()) Some(mn) else None,
+        if (rnd.nextBoolean()) Some(mx) else None,
+        allNull = rnd.nextInt(10) == 0)
+      val r = f.ranges("c")
+      val linear = if (r.allNull) false
+        else vals.exists(v => r.min.forall(_ <= v) && r.max.forall(_ >= v))
+      assert(NumIn("c", vals).mayMatch(f) == linear,
+        s"NumIn($vals) vs zone ${r.min}-${r.max} allNull=${r.allNull}")
+    }
+    def strEntry(mn: Option[String], mx: Option[String], allNull: Boolean) =
+      FileEntry("f", 1, Map("c" -> ColRange(None, None, mn, mx, allNull)))
+    for (_ <- 1 to 2000) {
+      val vals = Seq.fill(rnd.nextInt(6))("k" + rnd.nextInt(30))
+      val a = "k" + rnd.nextInt(30); val b = "k" + rnd.nextInt(30)
+      val (mn, mx) =
+        if (StrOrder.lte(a, b)) (a, b) else (b, a)
+      val f = strEntry(
+        if (rnd.nextBoolean()) Some(mn) else None,
+        if (rnd.nextBoolean()) Some(mx) else None,
+        allNull = rnd.nextInt(10) == 0)
+      val r = f.ranges("c")
+      val linear = if (r.allNull) false
+        else vals.exists(v =>
+          r.minStr.forall(StrOrder.lte(_, v)) && r.maxStr.forall(StrOrder.gte(_, v)))
+      assert(StrIn("c", vals).mayMatch(f) == linear,
+        s"StrIn($vals) vs zone ${r.minStr}-${r.maxStr} allNull=${r.allNull}")
+    }
+  }
 }
