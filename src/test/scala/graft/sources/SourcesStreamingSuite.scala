@@ -414,4 +414,54 @@ class SourcesStreamingSuite extends SparkTestBase {
     (got.keySet -- want.keySet).foreach { id =>
       assert(got(id) == 0.0, s"doc $id without query terms must score 0") }
   }
+
+  test("streaming curation sink converges to the rebuild corpus; full replay is a no-op") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val cut = docs.stat.approxQuantile("doc_id", Array(0.4, 0.7), 0.0)
+    val (c1, c2) = (cut(0).toLong, cut(1).toLong)
+
+    // ground truth: one-shot build over everything
+    val outFull = tmpDir("stream_cur_full")
+    graft.cli.Curate.run(spark, sf, outFull, 100L)
+    // base state from the first 40%, then STREAM the rest in two
+    // id-monotone arrival files (file-source order = mod time; the
+    // sleep keeps the second file in a later micro-batch)
+    val b1 = tmpDir("stream_cur_b1")
+    docs.filter(col("doc_id") <= c1).write.parquet(s"$b1/documents.parquet")
+    val out = tmpDir("stream_cur_out")
+    graft.cli.Curate.run(spark, b1, out, 100L)
+    val srcDir = tmpDir("stream_cur_src")
+    docs.filter(col("doc_id") > c1 && col("doc_id") <= c2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > c2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    val want = corpus(outFull)
+
+    def runStream(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = EventStream.curationSink(stream, out, 100L)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      graft.runner.Materialize.releaseAll()
+    }
+    runStream(tmpDir("stream_cur_ck1"))
+    assert(corpus(out) == want, "streamed folds != one-shot rebuild")
+
+    // fresh checkpoint = every batch redelivered: the exact-dedup makes
+    // each replayed fold an empty no-op and the corpus must not change
+    runStream(tmpDir("stream_cur_ck2"))
+    assert(corpus(out) == want, "replayed stream mutated the corpus")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "state", "pending_delta")))
+  }
 }
