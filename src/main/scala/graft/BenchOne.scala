@@ -33,7 +33,7 @@ object BenchOne {
     def once(): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
-      finally graft.runner.Materialize.releaseAll()
+      finally graft.runner.Materialize.releaseAllFast(spark)
       (System.nanoTime() - t0) / 1e9
     }
     once() // warmup (discarded)
