@@ -210,30 +210,39 @@ object EventStream {
   def curationSink(docs: DataFrame, outDir: String, minChars: Long = 100)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty) {
-        val spark = batch.sparkSession
-        val marker = java.nio.file.Paths.get(outDir, "state", "pending_delta")
-        val stateMax: Long =
-          if (!java.nio.file.Files.exists(
-              java.nio.file.Paths.get(outDir, "state", "docs"))) Long.MinValue
-          else spark.read.parquet(s"$outDir/state/docs")
-            .agg(max(col("doc_id"))).collect()(0) match {
-              case r if r.isNullAt(0) => Long.MinValue
-              case r => r.getLong(0)
-            }
-        val batchMax = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
-        if (java.nio.file.Files.exists(marker) || batchMax > stateMax) {
-          val stage = java.nio.file.Paths
-            .get(outDir, "stream_stage", s"batch_$batchId").toString
-          batch.write.mode("overwrite").parquet(s"$stage/documents.parquet")
-          graft.cli.Curate.runAdd(spark, stage, outDir, minChars)
-          // fold committed (marker cleared) — the staged copy is dead
-          def rec(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
+      foldStreamBatch(batch, outDir, batchId, minChars)
+    }
+
+  /** One micro-batch of [[curationSink]] — separated so the crash-retry
+    * window (fold dies with the pending marker written) is
+    * suite-drivable through runAdd's test hooks.
+    */
+  private[graft] def foldStreamBatch(batch: DataFrame, outDir: String,
+      batchId: Long, minChars: Long = 100,
+      failAfterPostingsAppend: Boolean = false): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val marker = java.nio.file.Paths.get(outDir, "state", "pending_delta")
+      val stateMax: Long =
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(outDir, "state", "docs"))) Long.MinValue
+        else spark.read.parquet(s"$outDir/state/docs")
+          .agg(max(col("doc_id"))).collect()(0) match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r => r.getLong(0)
           }
-          rec(new java.io.File(stage))
+      val batchMax = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      if (java.nio.file.Files.exists(marker) || batchMax > stateMax) {
+        val stage = java.nio.file.Paths
+          .get(outDir, "stream_stage", s"batch_$batchId").toString
+        batch.write.mode("overwrite").parquet(s"$stage/documents.parquet")
+        graft.cli.Curate.runAdd(spark, stage, outDir, minChars,
+          failAfterPostingsAppend = failAfterPostingsAppend)
+        // fold committed (marker cleared) — the staged copy is dead
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
         }
-        ()
+        rec(new java.io.File(stage))
       }
     }
 
