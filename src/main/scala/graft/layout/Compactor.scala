@@ -205,6 +205,10 @@ object Compactor {
     ZoneMap.write(dir, updated)
     StagedRewrite.deleteFiles(fs, affected)
     spark.catalog.refreshByPath(dir)
+    // scoped rewrites keep the key-index sidecar current (whole-table
+    // [[compact]] drops it implicitly: the dir swap leaves the new dir
+    // sidecar-less — rebuild with KeyIndex.build if wanted)
+    KeyIndex.update(spark, dir, affected.map(_.path), newEntries)
     updated
   }
 }

@@ -85,6 +85,9 @@ object KeyedDelta {
     // manual file moves bypass Spark's write-path invalidation — stale
     // listings would read deleted part files on the next dir-level scan
     spark.catalog.refreshByPath(dir)
+    // a key-index sidecar (if a user built one on this keyed table)
+    // must track the rewrite — stale blooms would be unsound to consult
+    KeyIndex.update(spark, dir, affected.map(_.path), newEntries)
     updated
   }
 }

@@ -84,7 +84,12 @@ object StagedRewrite {
       .map(f => new java.net.URI(f.path).getPath).toSet
     var deleted = 0
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
-      if (s.isDirectory) walk(s.getPath)
+      if (s.isDirectory) {
+        // hidden (_/. prefixed) dirs are metadata, not data — the
+        // key-index sidecar's part files must not be purged as orphans
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
+      }
       else if (s.getPath.getName.startsWith("part-") &&
           !referenced.contains(s.getPath.toUri.getPath)) {
         fs.delete(s.getPath, false); deleted += 1

@@ -102,7 +102,7 @@ object Upserter {
         if (rows.length > KeyPruneLimit) None
         else Some(rows.map(_.getDouble(0)).toSeq)
       }
-    val (affected, untouched) =
+    val (affected0, untouched0) =
       if (manifest.statsCols.contains(key)) {
         val pred: ZonePredicate = batchKeys match {
           case Some(ks) => NumIn(key, ks)
@@ -115,6 +115,23 @@ object Upserter {
         }
         manifest.files.partition(pred.mayMatch)
       } else (manifest.files, Seq.empty[FileEntry])
+    // Key-index refinement (round 13): on a layout ORTHOGONAL to the
+    // record key every file's key zone spans the whole domain and the
+    // zone test above keeps everything; the per-file bloom sidecar
+    // (KeyIndex.build, the Hudi bloom-index analog) drops every
+    // indexed file whose bloom excludes all batch keys. Fail-safe:
+    // blooms only false-positive, unindexed files stay affected.
+    val (affected, untouched) = batchKeys match {
+      case Some(ks) if KeyIndex.exists(dir) =>
+        KeyIndex.affectedPaths(spark, dir, ks.map(_.toLong)) match {
+          case Some(paths) =>
+            val (a, skipped) = affected0.partition(f =>
+              paths.contains(KeyIndex.norm(f.path)))
+            (a, untouched0 ++ skipped)
+          case None => (affected0, untouched0)
+        }
+      case _ => (affected0, untouched0)
+    }
 
     val existing =
       if (affected.isEmpty) spark.createDataFrame(
@@ -189,6 +206,9 @@ object Upserter {
     ZoneMap.write(dir, updated)
     StagedRewrite.deleteFiles(fs, affected)
     spark.catalog.refreshByPath(dir)
+    // index maintenance AFTER the commit: a crash in between leaves
+    // the new files unindexed, which the lookup treats as affected
+    KeyIndex.update(spark, dir, affected.map(_.path), newEntries)
     if (!autoRecluster) UpsertResult(updated, reclustered = false)
     else Compactor.maybeRecluster(spark, dir,
         targetFileBytes = targetFileBytes) match {

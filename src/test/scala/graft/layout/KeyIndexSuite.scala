@@ -1,0 +1,100 @@
+package graft.layout
+
+import graft.SparkTestBase
+import graft.layout.LayoutWriter.LayoutSpec
+import graft.table.Upserter
+import org.apache.spark.sql.functions._
+
+/** Per-file record-key bloom index (round 13): keyed COW on a layout
+  * ORTHOGONAL to the record key — where zone maps keep every file —
+  * scopes its rewrite to the files whose blooms may contain a batch
+  * key (the Hudi bloom-index analog).
+  */
+class KeyIndexSuite extends SparkTestBase {
+
+  // zorder on (a, b); record key k is uncorrelated with the layout, so
+  // every file's k zone spans ~the whole domain
+  private def writeOrthogonal(dir: String): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map { k =>
+      (k.toLong, rnd.nextDouble() * 1000, rnd.nextDouble() * 1000, s"v$k", 1L)
+    }
+    LayoutWriter.write(rows.toDF("k", "a", "b", "payload", "version"), dir,
+      LayoutSpec("zorder", Seq("a", "b"), numFiles = Some(16),
+        recordKey = Some("k"), precombineCol = Some("version")))
+  }
+
+  test("bloom-scoped upsert rewrites few files where zones keep all, rows exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx")
+    writeOrthogonal(dir)
+    // zones alone: a scattered batch affects everything
+    val m0 = ZoneMap.read(dir)
+    val zoneKept = m0.files.count(NumIn("k", Seq(10000.0)).mayMatch)
+    assert(zoneKept >= m0.files.length - 2,
+      s"precondition: key zones span the domain (layout orthogonal to key); " +
+        s"only $zoneKept of ${m0.files.length} cover a mid-domain key")
+
+    KeyIndex.build(spark, dir)
+    assert(KeyIndex.exists(dir))
+    val before = m0.files.map(_.path).toSet
+    val batch = Seq(
+      (3L, 0.0, 0.0, "upd3", 2L),
+      (19997L, 0.0, 0.0, "upd19997", 2L),
+      (90001L, 0.0, 0.0, "new", 1L)) // insert (key in no file)
+      .toDF("k", "a", "b", "payload", "version")
+    val m1 = Upserter.upsert(spark, dir, batch, autoRecluster = false)
+    val rewritten = before.size - m1.files.map(_.path).toSet.intersect(before).size
+    // 2 present keys live in <=2 files; bloom fpp adds at most a file
+    assert(rewritten <= 4,
+      s"bloom scoping failed: $rewritten of ${before.size} files rewritten")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 20001)
+    assert(got.filter($"k" === 3L).select("payload").as[String].head() == "upd3")
+    assert(got.filter($"k" === 19997L).select("payload").as[String].head() == "upd19997")
+    assert(got.filter($"k" === 90001L).count() == 1)
+    assert(got.filter($"k" === 500L).select("payload").as[String].head() == "v500")
+
+    // the index tracked the rewrite: a second upsert against one of the
+    // JUST-REWRITTEN keys still scopes (its new file is indexed)
+    val before2 = m1.files.map(_.path).toSet
+    val m2 = Upserter.upsert(spark, dir,
+      Seq((3L, 0.0, 0.0, "upd3b", 3L)).toDF("k", "a", "b", "payload", "version"),
+      autoRecluster = false)
+    val rewritten2 = before2.size - m2.files.map(_.path).toSet.intersect(before2).size
+    assert(rewritten2 <= 2, s"post-update index failed to scope: $rewritten2")
+    assert(spark.read.parquet(dir).filter($"k" === 3L)
+      .select("payload").as[String].head() == "upd3b")
+  }
+
+  test("missing index entries are fail-safe affected; reconcile spares the sidecar") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_fs")
+    writeOrthogonal(dir)
+    KeyIndex.build(spark, dir)
+    // simulate a crash between a mutation's commit and its index
+    // update: one manifest file has no sidecar entry
+    val manifest = ZoneMap.read(dir)
+    val victim = KeyIndex.norm(manifest.files.head.path)
+    val idx = spark.read.parquet(KeyIndex.path(dir).toString)
+      .filter(col("path") =!= victim)
+      .collect()
+    val schema = spark.read.parquet(KeyIndex.path(dir).toString).schema
+    KeyIndex.drop(dir)
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(idx: _*)), schema)
+      .write.parquet(KeyIndex.path(dir).toString)
+    val paths = KeyIndex.affectedPaths(spark, dir, Seq(987654321L)).get
+    assert(paths.contains(victim), "unindexed file must stay affected")
+
+    // reconcile must not purge the sidecar's part files
+    StagedRewrite.reconcile(spark, dir, ZoneMap.read(dir))
+    assert(KeyIndex.exists(dir))
+    assert(KeyIndex.affectedPaths(spark, dir, Seq(987654321L)).get
+      .contains(victim))
+  }
+}
