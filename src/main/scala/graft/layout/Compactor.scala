@@ -112,6 +112,7 @@ object Compactor {
     // mutation would be folded into the rewrite as duplicate rows —
     // reconcile first (round-12 ADVICE), mirroring Upserter/KeyedDelta.
     StagedRewrite.reconcile(spark, dir, manifest)
+    val hadKeyIndex = KeyIndex.exists(dir)
     val df = spark.read.parquet(dir)
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -149,6 +150,12 @@ object Compactor {
     val fixed = tmpManifest.copy(
       files = tmpManifest.files.map(f => f.copy(path = rebase(f.path))))
     ZoneMap.write(dir, fixed)
+    // a key-index sidecar rode into the .compact_old dir and died with
+    // it — rebuild it over the compacted files so an auto-recluster
+    // (maybeRecluster) never silently downgrades later keyed upserts
+    // back to table-wide COW. One extra shuffle, only when the table
+    // had an index.
+    if (hadKeyIndex) KeyIndex.build(spark, dir)
     fixed
   }
 

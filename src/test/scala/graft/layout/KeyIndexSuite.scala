@@ -97,4 +97,26 @@ class KeyIndexSuite extends SparkTestBase {
     assert(KeyIndex.affectedPaths(spark, dir, Seq(987654321L)).get
       .contains(victim))
   }
+
+  test("whole-table compact rebuilds an index it found (auto-recluster keeps scoping)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_cmp")
+    writeOrthogonal(dir)
+    KeyIndex.build(spark, dir)
+    Compactor.compact(spark, dir, targetFileBytes = 256L * 1024)
+    assert(KeyIndex.exists(dir), "compact must rebuild the index it dropped")
+    // and the rebuilt index is CURRENT: a keyed upsert still scopes
+    val m = ZoneMap.read(dir)
+    val before = m.files.map(_.path).toSet
+    Upserter.upsert(spark, dir,
+      Seq((42L, 0.0, 0.0, "u42", 2L)).toDF("k", "a", "b", "payload", "version"),
+      autoRecluster = false)
+    val after = ZoneMap.read(dir).files.map(_.path).toSet
+    val rewritten = before.size - after.intersect(before).size
+    assert(rewritten <= 2, s"rebuilt index failed to scope: $rewritten of ${before.size}")
+    assert(spark.read.parquet(dir).filter($"k" === 42L)
+      .select("payload").as[String].head() == "u42")
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
 }
