@@ -33,10 +33,22 @@ object Advise {
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8).trim.stripSuffix(";"))
 
-    val events = sqls.zipWithIndex.flatMap { case (q, i) =>
+    val events0 = sqls.zipWithIndex.flatMap { case (q, i) =>
       Advisor.extract(spark, q, i)
     }
-    require(events.nonEmpty, "workload has no classifiable predicates")
+    require(events0.nonEmpty, "workload has no classifiable predicates")
+    // wlg-emitted workloads read a placeholder view (`tbl`, the
+    // RunQueries {{tbl}} convention): when the caller names the real
+    // table and the workload references exactly one relation, alias
+    // that relation's events onto the real name
+    val events = table match {
+      case Some(t) =>
+        val rels = events0.map(_.table).filter(_.nonEmpty).distinct
+        if (rels.size == 1 && rels.head != t)
+          events0.map(e => if (e.table == rels.head) e.copy(table = t) else e)
+        else events0
+      case None => events0
+    }
 
     // pick the target table BEFORE profiling (ranking by events alone),
     // then profile it once for the kind/cardinality/range multipliers

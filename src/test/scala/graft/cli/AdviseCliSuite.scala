@@ -39,4 +39,15 @@ class AdviseCliSuite extends SparkTestBase {
     assert(json.contains("\"family\": \"linear\""), json)
     assert(json.contains("\"cols\": [\"l_quantity\"]"), json)
   }
+
+  test("wlg-style `tbl` placeholder workloads alias onto the named table") {
+    val wl = tmpDir("advise_tbl")
+    writeWorkload(wl, Seq(
+      "SELECT count(*) FROM tbl WHERE l_quantity BETWEEN 24 AND 25 AND l_extendedprice BETWEEN 30000 AND 32000;",
+      "SELECT count(*) FROM tbl WHERE l_quantity BETWEEN 10 AND 11 AND l_extendedprice BETWEEN 50000 AND 52000;"))
+    val json = Advise.run(spark, "/root/testdata/sf0.001", wl, table = Some("lineitem"))
+    graft.runner.Materialize.releaseAll()
+    assert(json.contains("\"table\": \"lineitem\""), json)
+    assert(json.contains("\"family\": \"zorder\""), json)
+  }
 }
