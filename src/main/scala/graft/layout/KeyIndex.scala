@@ -64,6 +64,12 @@ object KeyIndex {
     rec(path(dir).toFile)
   }
 
+  /** Keys are indexed through `cast("long")` on BOTH the build and the
+    * lookup side, so a non-integral (double/decimal) record key
+    * truncates identically everywhere: two distinct keys that collide
+    * after truncation only widen the bloom's effective membership —
+    * false positives, never a missed file.
+    */
   private def bloomOf(keys: Iterator[Long], expected: Long): Array[Byte] = {
     val bf = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(1L, expected), Fpp)

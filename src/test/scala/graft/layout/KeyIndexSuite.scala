@@ -98,6 +98,32 @@ class KeyIndexSuite extends SparkTestBase {
       .contains(victim))
   }
 
+  test("hive-partitioned table: index builds, scopes, and survives a partitioned upsert") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_part")
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 8000).map { k =>
+      (k.toLong, rnd.nextDouble() * 100, s"p${k % 3}", s"v$k", 1L)
+    }
+    LayoutWriter.write(rows.toDF("k", "a", "part", "payload", "version"), dir,
+      LayoutSpec("linear", Seq("a"), numFiles = Some(4),
+        recordKey = Some("k"), precombineCol = Some("version"),
+        partitionBy = Seq("part")))
+    KeyIndex.build(spark, dir)
+    val before = ZoneMap.read(dir).files.map(_.path).toSet
+    val m = Upserter.upsert(spark, dir,
+      Seq((7L, 0.0, "p1", "upd7", 2L)).toDF("k", "a", "part", "payload", "version"),
+      autoRecluster = false)
+    val rewritten = before.size - m.files.map(_.path).toSet.intersect(before).size
+    assert(rewritten <= 2,
+      s"partitioned index failed to scope: $rewritten of ${before.size}")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 8000)
+    assert(got.filter($"k" === 7L).select("payload").as[String].head() == "upd7")
+    assert(got.filter($"k" === 7L).select("part").as[String].head() == "p1")
+  }
+
   test("whole-table compact rebuilds an index it found (auto-recluster keeps scoping)") {
     val spark2 = spark
     import spark2.implicits._
