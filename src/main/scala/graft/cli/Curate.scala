@@ -280,6 +280,14 @@ object Curate {
         .getOrElse(spark.read.parquet(docsDir).columns.toSeq)
 
       import graft.queries.IncrementalCuration.{CompDelta, FullRelabel}
+      // marker BEFORE the first state-store mutation on EVERY path
+      // (round-13 ADVICE, medium): the components/postings KeyedDelta
+      // appends below run unconditionally, so a !deltaEligible fold
+      // (packed corpus, pre-manifest docs dir) that crashed between
+      // them and the state/docs append must also retry with
+      // retrying=true — otherwise retryIds=Nil re-appends the batch's
+      // component/postings rows as duplicates
+      java.nio.file.Files.writeString(marker, batchId)
       val deltaLines: Seq[String] = deltaRes match {
         case CompDelta(batchLabels, changed) =>
           // retired representatives = changed docs that were their own
@@ -298,12 +306,18 @@ object Curate {
               val addIds: Seq[Long] =
                 if (!retrying) Nil
                 else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-              java.nio.file.Files.writeString(marker, batchId)
               // O(batch) summary maintenance: the (split, lang) rollup is
               // adjusted by exactly the rows the delta removes and appends
-              // — the removal side MUST be read before the mutation below
-              val adjusted = summaryDelta(
-                spark, outDir, retired ++ addIds, addRows, corpusSchema)
+              // — the removal side MUST be read before the mutation below.
+              // On a RETRY the removal side is gone (the crashed fold's
+              // KeyedDelta may have committed before its writeCsvLines),
+              // so the adjustment would permanently overcount: fall back
+              // to the full writeSummary re-scan, which re-derives the
+              // exact numbers from disk post-mutation (round-13 ADVICE).
+              val adjusted =
+                if (retrying) None
+                else summaryDelta(
+                  spark, outDir, retired ++ addIds, addRows, corpusSchema)
               graft.layout.KeyedDelta(spark, docsDir, retired ++ addIds,
                 Some(addRows), corpusSchema)
               lap(s"corpus_delta (${retired.length} retired reps)")
@@ -363,14 +377,15 @@ object Curate {
               val addIds: Seq[Long] =
                 if (!retrying) Nil
                 else addRows.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-              java.nio.file.Files.writeString(marker, batchId)
               // O(batch) summary maintenance exactly as the CompDelta
               // branch: a full relabel changes the CORPUS only by
               // dropIds removed + addRows appended, so the rollup
               // adjustment is identical (removal side read before the
-              // mutation below)
-              val adjusted = summaryDelta(
-                spark, outDir, dropIds ++ addIds, addRows, corpusSchema)
+              // mutation below; retries full-rescan, see CompDelta)
+              val adjusted =
+                if (retrying) None
+                else summaryDelta(
+                  spark, outDir, dropIds ++ addIds, addRows, corpusSchema)
               System.err.println(f"[curate.add]   fullrelabel/summary_delta " +
                 f"${(System.nanoTime() - tfr2) / 1e9}%.2fs")
               graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds,

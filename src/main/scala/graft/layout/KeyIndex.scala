@@ -53,8 +53,13 @@ object KeyIndex {
 
   def exists(dir: String): Boolean = {
     val p = path(dir)
-    java.nio.file.Files.exists(p) &&
-      java.nio.file.Files.list(p).findFirst().isPresent
+    java.nio.file.Files.exists(p) && {
+      // close the listing stream — it holds a directory fd, and this
+      // runs on every upsert/KeyedDelta (a streaming sink leaks fds
+      // until GC otherwise)
+      val s = java.nio.file.Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
   }
 
   def drop(dir: String): Unit = {

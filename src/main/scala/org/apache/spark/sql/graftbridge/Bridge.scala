@@ -47,15 +47,22 @@ object Bridge {
     * data-source In filter for parquet pushdown.
     */
   def inSetLong(c: Column, values: Iterable[Long]): Column =
+    // Raw InSet does NO type coercion: a boxed Integer from an int
+    // column never equals the boxed Longs in the set, so membership
+    // would be silently always-false. Cast the child to long — a no-op
+    // (removed by SimplifyCasts) when the column is already LongType,
+    // so parquet pushdown of the common case is unaffected.
     column(org.apache.spark.sql.catalyst.expressions.InSet(
-      expression(c), values.map(v => v: Any).toSet))
+      expression(c.cast("long")), values.map(v => v: Any).toSet))
 
   /** String variant — `InSet` compares Catalyst-internal values, so the
-    * set must hold `UTF8String`, not `java.lang.String`.
+    * set must hold `UTF8String`, not `java.lang.String`. Same coercion
+    * hazard as [[inSetLong]]: cast the child to string (no-op on
+    * StringType columns).
     */
   def inSetString(c: Column, values: Iterable[String]): Column =
     column(org.apache.spark.sql.catalyst.expressions.InSet(
-      expression(c),
+      expression(c.cast("string")),
       values.map(v =>
         org.apache.spark.unsafe.types.UTF8String.fromString(v): Any).toSet))
 
