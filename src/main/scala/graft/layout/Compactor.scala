@@ -77,23 +77,37 @@ object Compactor {
     */
   val MinReclusterFiles: Int = 8
 
+  /** Minimum keyed-COW commits between two policy reclusters — the
+    * rate limit that keeps a scattered update stream from paying an
+    * O(table) recluster per O(batch) commit (round-13 VERDICT "What's
+    * wrong #3": layout_decay_policy.csv measured recluster-per-commit
+    * on an orthogonal-key zorder table). 4 is Hudi's own
+    * hoodie.clustering.inline.max.commits default. Health still gates
+    * the trigger; this only bounds its FREQUENCY.
+    */
+  val MinCommitsBetweenReclusters: Int = 4
+
   /** The auto-recluster policy hook (the manifest-metric analog of
     * Hudi's clustering-every-N-commits, hudi_write_layout.py:188-190,
-    * with the trigger derived from measured decay instead of a commit
-    * counter): re-cluster iff [[clusteringHealth]] exceeds `threshold`.
-    * Pure manifest math on the trigger path — a healthy table pays
-    * zero Spark jobs. Returns the post-compaction manifest iff it
-    * fired. Wired into [[graft.table.Upserter]] so scattered-key COW
-    * upserts (the RQ7 one-commit pruning cliff, results/rq7_layout/)
-    * self-heal instead of waiting for a human to notice.
+    * with the trigger derived from measured decay AND rate-limited by
+    * the manifest's commit counter): re-cluster iff [[clusteringHealth]]
+    * exceeds `threshold` and at least `minCommits` keyed commits landed
+    * since the last recluster. Pure manifest math on the trigger path —
+    * a healthy table pays zero Spark jobs. Returns the post-compaction
+    * manifest iff it fired. Wired into [[graft.table.Upserter]] so
+    * scattered-key COW upserts (the RQ7 one-commit pruning cliff,
+    * results/rq7_layout/) self-heal instead of waiting for a human to
+    * notice — at a bounded rate.
     */
   def maybeRecluster(
       spark: SparkSession,
       dir: String,
       threshold: Double = DefaultDecayThreshold,
-      targetFileBytes: Long = DefaultTargetFileBytes): Option[TableManifest] = {
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      minCommits: Int = MinCommitsBetweenReclusters): Option[TableManifest] = {
     val manifest = ZoneMap.read(dir)
     if (manifest.files.length < MinReclusterFiles) return None
+    if (manifest.commitsSinceCluster.getOrElse(0) < minCommits) return None
     clusteringHealth(manifest).filter(_ > threshold).map { h =>
       System.err.println(
         f"[graft] maybeRecluster: clustering health $h%.3f > $threshold%.2f " +
@@ -126,6 +140,7 @@ object Compactor {
       bits = Some(manifest.bits),
       numFiles = Some(numFiles),
       recordKey = manifest.recordKey,
+      recordKeys = manifest.recordKeys.getOrElse(Nil),
       precombineCol = manifest.precombineCol,
       partitionBy = manifest.hivePartitions) // preserve hive partitioning
     val tmpManifest =

@@ -33,8 +33,17 @@ object KeyedDelta {
     // the manifest commit leaves manifest-unreferenced part files; purge
     // them so dir-level readers never see duplicate rows
     StagedRewrite.reconcile(spark, dir, manifest)
-    val key = manifest.recordKey.getOrElse(
-      throw new IllegalArgumentException(s"$dir has no recordKey — cannot delta"))
+    val key = manifest.keyCols match {
+      case Seq(k) => k
+      case Nil =>
+        throw new IllegalArgumentException(s"$dir has no recordKey — cannot delta")
+      case ks =>
+        // KeyedDelta's drop set is Seq[Long] — a single-column contract.
+        // Composite-keyed tables mutate through Upserter.
+        throw new IllegalArgumentException(
+          s"$dir has a composite record key (${ks.mkString(",")}) — " +
+            "KeyedDelta needs a single long key column")
+    }
     val partitioned = manifest.hivePartitions.nonEmpty
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -34,7 +34,15 @@ object LayoutWriter {
       recordKey: Option[String] = None,
       precombineCol: Option[String] = None,
       partitionBy: Seq[String] = Nil, // hive-style partition dirs (S3/P8)
-      norm: String = "rank") // curve coordinate normalization: rank | minmax
+      norm: String = "rank", // curve coordinate normalization: rank | minmax
+      // composite record key (reference ComplexKeyGenerator,
+      // tpch_all_loader.py:141-148); wins over `recordKey` when nonEmpty
+      recordKeys: Seq[String] = Nil) {
+
+    /** The effective record-key tuple. */
+    def keyCols: Seq[String] =
+      if (recordKeys.nonEmpty) recordKeys else recordKey.toSeq
+  }
 
   /** Columns the manifest keeps stats for: layout cols always; callers can
     * pass extras (e.g. partition-ish columns queried with equality).
@@ -113,15 +121,19 @@ object LayoutWriter {
     // manifest prunes on them like any other column (partition pruning).
     // The record key always gets stats: Upserter's file-scoped COW needs
     // key zones to avoid rewriting the whole table.
+    val keyCols = spec.keyCols
     val statsCols =
-      (spec.cols ++ spec.partitionBy ++ spec.recordKey.toSeq ++ extraStatsCols).distinct
+      (spec.cols ++ spec.partitionBy ++ keyCols ++ extraStatsCols).distinct
     val files = ZoneMap.collectStats(spark, dir, statsCols)
     val manifest = TableManifest(
       layout = spec.layout,
       layoutCols = spec.cols,
       bits = bits,
       statsCols = statsCols,
-      recordKey = spec.recordKey,
+      // single keys stay on the legacy field (old manifests/readers
+      // unchanged); composite tuples go to recordKeys
+      recordKey = if (keyCols.length == 1) Some(keyCols.head) else None,
+      recordKeys = if (keyCols.length > 1) Some(keyCols) else None,
       precombineCol = spec.precombineCol,
       files = files,
       partitionCols = if (spec.partitionBy.nonEmpty) Some(spec.partitionBy) else None)

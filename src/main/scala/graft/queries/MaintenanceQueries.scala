@@ -45,6 +45,46 @@ object MaintenanceQueries {
     upd.unionByName(ins)
   }
 
+  /** lineitem under the reference's OWN keyed config — composite
+    * record_key [l_orderkey, l_linenumber] + ComplexKeyGenerator
+    * (tpch_all_schemas.py:84, tpch_all_loader.py:141-148) — laid out
+    * linear on the key tuple, upserted once per JVM.
+    */
+  /** Tuple-unique lineitem base: the synthetic generator does NOT
+    * enforce the (l_orderkey, l_linenumber) PK (sf0.01: 60000 rows,
+    * 45832 distinct tuples), so the keyed table is built from a
+    * deterministic per-tuple rollup both sides can state.
+    */
+  private def compositeBase(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(max(col("l_quantity")).as("l_quantity"),
+        max(col("l_extendedprice")).as("l_extendedprice"))
+
+  private def compositeDir(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(d + "#composite", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert_c_").toString
+      LayoutWriter.write(compositeBase(s, d), dir,
+        LayoutSpec("linear", Seq("l_orderkey", "l_linenumber"),
+          numFiles = Some(8), recordKeys = Seq("l_orderkey", "l_linenumber")))
+      Upserter.upsert(s, dir, compositeBatchOf(s, d))
+      dir
+    })
+
+  /** Tuple updates (10% of orders, price * 1.1) + tuple inserts (a new
+    * line number for every 1000th order — same order key, so single-key
+    * merge semantics would WRONGLY treat them as updates).
+    */
+  private def compositeBatchOf(s: SparkSession, d: String): DataFrame = {
+    val li = compositeBase(s, d)
+    val upd = li.filter(col("l_orderkey") % 10 === 0)
+      .withColumn("l_extendedprice", col("l_extendedprice") * 1.1)
+    val ins = li.filter(col("l_orderkey") % 1000 === 0 && col("l_linenumber") === 1)
+      .withColumn("l_linenumber", col("l_linenumber") + 10)
+      .withColumn("l_extendedprice", lit(100.0))
+    upd.unionByName(ins)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_upsert_merge" -> ((s, d) => {
       val dir = upsertedDir(s, d)
@@ -52,6 +92,13 @@ object MaintenanceQueries {
         count(lit(1)).as("cnt"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+    "q38b_composite_upsert" -> ((s, d) => {
+      val dir = compositeDir(s, d)
+      s.read.parquet(dir).agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_keys"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
     })
   )
 
@@ -69,6 +116,31 @@ object MaintenanceQueries {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch))
         |SELECT count(*) AS cnt, count(DISTINCT o_orderkey) AS n_keys,
+        |  round(sum(p),2) AS sum_price
+        |FROM merged""".stripMargin,
+    "q38b_composite_upsert" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity,
+        |    max(l_extendedprice) AS l_extendedprice
+        |  FROM lineitem GROUP BY 1, 2),
+        |upd AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice*1.1 AS p
+        |  FROM li WHERE l_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT l_orderkey, l_linenumber + 10 AS l_linenumber, 100.0 AS p
+        |  FROM li WHERE l_orderkey % 1000 = 0 AND l_linenumber = 1),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT l_orderkey, l_linenumber, p FROM batch
+        |  UNION ALL
+        |  SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+        |  FROM li l
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch b
+        |    WHERE b.l_orderkey = l.l_orderkey
+        |      AND b.l_linenumber = l.l_linenumber))
+        |SELECT count(*) AS cnt,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM merged)) AS n_keys,
         |  round(sum(p),2) AS sum_price
         |FROM merged""".stripMargin
   )

@@ -44,107 +44,148 @@ object Upserter {
   case class UpsertResult(manifest: TableManifest, reclustered: Boolean)
 
   /** Upsert `batch` into the layout table at `dir`. Returns the refreshed
-    * manifest. Record key and precombine column come from the manifest.
+    * manifest. Record key tuple (single or composite) and precombine
+    * column come from the manifest.
     *
     *  - `sortRewrites`: re-run the recorded layout sort WITHIN the
     *    rewritten file set (range-partitioned on the layout key), so a
     *    scattered upsert degrades pruning proportionally to the bytes it
     *    touches instead of collapsing it to 1x (the RQ7 decay cliff,
-    *    results/rq7_layout/). Off by default — the unsorted path is the
-    *    plain Hudi-COW analog the decay study measures.
+    *    results/rq7_layout/). DEFAULT ON since round 14 (a no-op for
+    *    baseline tables, which declare no layout): the plain path decays
+    *    to the cliff in one scattered commit AND bloats storage ~21%
+    *    (results/rq7 sorted-vs-plain decay study), so unsorted COW is
+    *    the measurement mode, not the production default.
     *  - `autoRecluster`: after the commit, [[graft.layout.Compactor
     *    .maybeRecluster]] re-clusters the whole table iff the manifest's
-    *    clustering health crossed the decay threshold (manifest math
+    *    clustering health crossed the decay threshold AND enough keyed
+    *    commits accumulated since the last recluster (manifest math
     *    only when healthy). On by default: an unattended update stream
-    *    self-heals.
+    *    self-heals, at a bounded recluster rate.
     */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
-      sortRewrites: Boolean = false, autoRecluster: Boolean = true,
+      sortRewrites: Boolean = true, autoRecluster: Boolean = true,
       targetFileBytes: Long = Compactor.DefaultTargetFileBytes): TableManifest =
     upsertResult(spark, dir, batch, sortRewrites, autoRecluster,
       targetFileBytes).manifest
 
   def upsertResult(spark: SparkSession, dir: String, batch: DataFrame,
-      sortRewrites: Boolean = false, autoRecluster: Boolean = true,
+      sortRewrites: Boolean = true, autoRecluster: Boolean = true,
       targetFileBytes: Long = Compactor.DefaultTargetFileBytes): UpsertResult = {
     val manifest = ZoneMap.read(dir)
     // entry reconcile (round-11 ADVICE): purge manifest-unreferenced part
     // files a crashed prior mutation may have left behind
     StagedRewrite.reconcile(spark, dir, manifest)
     val partitioned = manifest.hivePartitions.nonEmpty
-    val key = manifest.recordKey.getOrElse(
-      throw new IllegalArgumentException(s"$dir has no recordKey — cannot upsert"))
+    val keys = manifest.keyCols
+    if (keys.isEmpty)
+      throw new IllegalArgumentException(s"$dir has no recordKey — cannot upsert")
     val precombine = manifest.precombineCol
 
     val table = spark.read.parquet(dir)
     val alignedBatch = alignSchema(batch, table.schema)
 
-    // File-scoped COW: find files whose key zone intersects the batch
-    // keys — by exact key SET when the distinct keys fit the driver
-    // bound (scattered keys then only touch the files that actually
-    // hold them: a 1k-key batch over an 800k-file table rewrites <=1k
-    // file groups, where the [min,max] range test would rewrite all),
-    // by key range otherwise. Both are sound over the same double-cast
-    // the zone stats use.
-    val keyIsNumeric = {
-      import org.apache.spark.sql.types._
-      table.schema(key).dataType match {
-        case _: NumericType | DateType | TimestampType | TimestampNTZType => true
-        case _ => false
+    // File-scoped COW: find files whose key zones intersect the batch
+    // keys — by exact key SET per key column when the distinct key
+    // tuples fit the driver bound (scattered keys then only touch the
+    // files that actually hold them: a 1k-key batch over an 800k-file
+    // table rewrites <=1k file groups, where a [min,max] range test
+    // would rewrite all), by per-column key range otherwise. Values are
+    // normalized EXACTLY as the zone stats are (ZoneMap.numericView:
+    // dates → epoch days, timestamps → epoch seconds — Spark 4 refuses
+    // CAST(DATE AS DOUBLE), the round-13 date-key crash); string keys
+    // prune through StrIn/StrBetween. For a composite key the
+    // per-column IN conjunction is a superset of the tuple set — sound.
+    // ONE bounded collect also yields the xxhash64 tuple hashes the
+    // bloom sidecar probe uses (computed on the raw typed columns, so
+    // longs above 2^53 never round — round-13 ADVICE).
+    val statsKeys = keys.filter(manifest.statsCols.contains)
+    val zoneCols: Seq[(String, Boolean, org.apache.spark.sql.Column)] =
+      statsKeys.zipWithIndex.map { case (k, i) =>
+        ZoneMap.numericView(table.schema(k).dataType, k) match {
+          case Some(num) => (k, true, num.as(s"__z_$i"))
+          case None => (k, false, col(k).cast("string").as(s"__z_$i"))
+        }
       }
-    }
-    val batchKeys: Option[Seq[Double]] =
-      if (!keyIsNumeric || !manifest.statsCols.contains(key)) None
+    // rows with a NULL key column are excluded from the prune domain
+    // (and from bloom probing) — they dedup within the merged frame but
+    // never scope the rewrite, matching the non-null key contract keyed
+    // tables have always had here (Hudi rejects null record keys)
+    val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+    val tuples: Array[org.apache.spark.sql.Row] = alignedBatch
+      .filter(nonNullKeys)
+      .select((KeyIndex.keyHashCol(keys).as("__h") +: zoneCols.map(_._3)): _*)
+      .distinct()
+      .limit(KeyPruneLimit + 1).collect()
+    val exact = tuples.length <= KeyPruneLimit
+    val preds: Seq[ZonePredicate] =
+      if (statsKeys.isEmpty) Nil
+      else if (exact)
+        zoneCols.zipWithIndex.map { case ((k, isNum, _), i) =>
+          if (isNum)
+            NumIn(k, tuples.iterator.map(_.getDouble(i + 1)).toSeq.distinct)
+          else StrIn(k, tuples.iterator.map(_.getString(i + 1)).toSeq.distinct)
+        }
       else {
-        val rows = alignedBatch.select(col(key).cast("double"))
-          .filter(col(key).isNotNull).distinct()
-          .limit(KeyPruneLimit + 1).collect()
-        if (rows.length > KeyPruneLimit) None
-        else Some(rows.map(_.getDouble(0)).toSeq)
+        // too many distinct tuples for the driver bound: per-column
+        // [min,max] conjunction via one distributed agg
+        val aggs = zoneCols.indices.flatMap { i =>
+          Seq(min(col(s"__z_$i")).as(s"__lo_$i"),
+            max(col(s"__z_$i")).as(s"__hi_$i"))
+        }
+        val r = alignedBatch.filter(nonNullKeys)
+          .select(zoneCols.map(_._3): _*)
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        zoneCols.zipWithIndex.map { case ((k, isNum, _), i) =>
+          if (isNum) {
+            val lo = Option(r.getAs[java.lang.Double](s"__lo_$i"))
+              .map(_.doubleValue).getOrElse(0d)
+            val hi = Option(r.getAs[java.lang.Double](s"__hi_$i"))
+              .map(_.doubleValue).getOrElse(0d)
+            NumBetween(k, lo, hi)
+          } else {
+            val lo = Option(r.getAs[String](s"__lo_$i")).getOrElse("")
+            val hi = Option(r.getAs[String](s"__hi_$i")).getOrElse("")
+            StrBetween(k, lo, hi)
+          }
+        }
       }
     val (affected0, untouched0) =
-      if (manifest.statsCols.contains(key)) {
-        val pred: ZonePredicate = batchKeys match {
-          case Some(ks) => NumIn(key, ks)
-          case None =>
-            val Seq(kLo, kHi) = alignedBatch
-              .agg(min(col(key).cast("double")), max(col(key).cast("double")))
-              .collect()(0).toSeq
-              .map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0d))
-            NumBetween(key, kLo, kHi)
-        }
-        manifest.files.partition(pred.mayMatch)
-      } else (manifest.files, Seq.empty[FileEntry])
+      if (preds.isEmpty) (manifest.files, Seq.empty[FileEntry])
+      else manifest.files.partition(f => preds.forall(_.mayMatch(f)))
     // Key-index refinement (round 13): on a layout ORTHOGONAL to the
     // record key every file's key zone spans the whole domain and the
     // zone test above keeps everything; the per-file bloom sidecar
     // (KeyIndex.build, the Hudi bloom-index analog) drops every
-    // indexed file whose bloom excludes all batch keys. Fail-safe:
-    // blooms only false-positive, unindexed files stay affected.
-    val (affected, untouched) = batchKeys match {
-      case Some(ks) if KeyIndex.exists(dir) =>
-        KeyIndex.affectedPaths(spark, dir, ks.map(_.toLong)) match {
+    // indexed file whose bloom excludes all batch key-tuple hashes.
+    // Fail-safe: blooms only false-positive, unindexed files stay
+    // affected.
+    val (affected, untouched) =
+      if (exact && KeyIndex.exists(dir)) {
+        val hashes = tuples.iterator.map(_.getLong(0)).toSeq.distinct
+        KeyIndex.affectedPaths(spark, dir, hashes, manifest) match {
           case Some(paths) =>
             val (a, skipped) = affected0.partition(f =>
               paths.contains(KeyIndex.norm(f.path)))
             (a, untouched0 ++ skipped)
           case None => (affected0, untouched0)
         }
-      case _ => (affected0, untouched0)
-    }
+      } else (affected0, untouched0)
 
     val existing =
       if (affected.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
       else StagedRewrite.readFiles(spark, dir, affected.map(_.path), partitioned)
 
-    // Dedup: max precombine wins; the incoming batch wins ties (__src=1).
+    // Dedup on the key TUPLE: max precombine wins; the incoming batch
+    // wins ties (__src=1).
     val merged = existing.withColumn("__src", lit(0))
       .unionByName(alignedBatch.withColumn("__src", lit(1)))
+    val keyPart = keys.map(col)
     val ordered = precombine match {
-      case Some(pc) => Window.partitionBy(col(key))
+      case Some(pc) => Window.partitionBy(keyPart: _*)
         .orderBy(col(pc).desc, col("__src").desc)
-      case None => Window.partitionBy(col(key)).orderBy(col("__src").desc)
+      case None => Window.partitionBy(keyPart: _*).orderBy(col("__src").desc)
     }
     val deduped = merged
       .withColumn("__rn", row_number().over(ordered))
@@ -198,7 +239,8 @@ object Upserter {
       if (moved.isEmpty) Seq.empty[FileEntry]
       else ZoneMap.collectStatsDf(
         StagedRewrite.readFiles(spark, dir, moved, partitioned), manifest.statsCols)
-    val updated = manifest.copy(files = untouched ++ newEntries)
+    val updated = manifest.copy(files = untouched ++ newEntries,
+      commitsSinceCluster = Some(manifest.commitsSinceCluster.getOrElse(0) + 1))
     // commit order matches KeyedDelta (round-11 ADVICE): atomically
     // publish the manifest FIRST, delete superseded files after — a
     // crash in between leaves orphan old files a manifest-driven reader

@@ -70,32 +70,141 @@ class KeyIndexSuite extends SparkTestBase {
       .select("payload").as[String].head() == "upd3b")
   }
 
+  // the hash Upserter probes with: xxhash64 over the typed key value
+  private def hashOf(k: Long): Long =
+    spark.range(1).select(xxhash64(lit(k))).head().getLong(0)
+
   test("missing index entries are fail-safe affected; reconcile spares the sidecar") {
-    val spark2 = spark
-    import spark2.implicits._
     val dir = tmpDir("graft_keyidx_fs")
     writeOrthogonal(dir)
     KeyIndex.build(spark, dir)
     // simulate a crash between a mutation's commit and its index
-    // update: one manifest file has no sidecar entry
+    // update: drop the shard dir holding one manifest file's bloom row
     val manifest = ZoneMap.read(dir)
     val victim = KeyIndex.norm(manifest.files.head.path)
-    val idx = spark.read.parquet(KeyIndex.path(dir).toString)
-      .filter(col("path") =!= victim)
-      .collect()
-    val schema = spark.read.parquet(KeyIndex.path(dir).toString).schema
-    KeyIndex.drop(dir)
-    spark.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(idx: _*)), schema)
-      .write.parquet(KeyIndex.path(dir).toString)
-    val paths = KeyIndex.affectedPaths(spark, dir, Seq(987654321L)).get
+    val shardDir = new java.io.File(
+      KeyIndex.path(dir).toFile, s"s=${KeyIndex.shardOf(victim)}")
+    assert(shardDir.isDirectory, "victim's shard dir must exist")
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
+    }
+    rec(shardDir)
+    val h = hashOf(987654321L) // a key in no file: blooms all negative
+    val paths = KeyIndex.affectedPaths(spark, dir, Seq(h), manifest).get
     assert(paths.contains(victim), "unindexed file must stay affected")
 
     // reconcile must not purge the sidecar's part files
     StagedRewrite.reconcile(spark, dir, ZoneMap.read(dir))
     assert(KeyIndex.exists(dir))
-    assert(KeyIndex.affectedPaths(spark, dir, Seq(987654321L)).get
+    assert(KeyIndex.affectedPaths(spark, dir, Seq(h), manifest).get
       .contains(victim))
+  }
+
+  test("update rewrites only the shards holding a removed path (sharded sidecar)") {
+    val dir = tmpDir("graft_keyidx_shard")
+    writeOrthogonal(dir)
+    KeyIndex.build(spark, dir)
+    val manifest = ZoneMap.read(dir)
+    val removed = manifest.files.take(2).map(_.path)
+    val expectShards = removed.map(p => KeyIndex.shardOf(KeyIndex.norm(p)))
+      .distinct.length
+    val stats = KeyIndex.update(spark, dir, removed, Nil)
+    assert(stats.shardsRewritten <= expectShards,
+      s"update touched ${stats.shardsRewritten} shards for $expectShards " +
+        "removed-path shards")
+    assert(stats.shardsRewritten < KeyIndex.Shards,
+      "a 2-file removal must not rewrite the whole sidecar")
+    // a pure append touches NO shards (no rewrite at all)
+    val readd = ZoneMap.collectStatsDf(
+      StagedRewrite.readFiles(spark, dir,
+        manifest.files.drop(2).take(1).map(_.path), partitioned = false),
+      manifest.statsCols)
+    val stats2 = KeyIndex.update(spark, dir, Nil, readd)
+    assert(stats2.shardsRewritten == 0 && stats2.bytesRewritten == 0L,
+      s"append-only update must rewrite nothing: $stats2")
+  }
+
+  test("string (UUID-style) record key: bloom scoping where zones keep all") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_str")
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 20000).map { i =>
+      (f"doc-${i * 2654435761L % 100000}%05d-$i", rnd.nextDouble() * 1000,
+        rnd.nextDouble() * 1000, s"v$i", 1L)
+    }
+    LayoutWriter.write(rows.toDF("id", "a", "b", "payload", "version"), dir,
+      LayoutSpec("zorder", Seq("a", "b"), numFiles = Some(16),
+        recordKey = Some("id"), precombineCol = Some("version")))
+    KeyIndex.build(spark, dir)
+    val before = ZoneMap.read(dir).files.map(_.path).toSet
+    val k1 = rows(300)._1; val k2 = rows(19000)._1
+    val batch = Seq((k1, 0.0, 0.0, "upd1", 2L), (k2, 0.0, 0.0, "upd2", 2L))
+      .toDF("id", "a", "b", "payload", "version")
+    val m1 = graft.table.Upserter.upsert(spark, dir, batch, autoRecluster = false)
+    val rewritten = before.size - m1.files.map(_.path).toSet.intersect(before).size
+    assert(rewritten <= 4,
+      s"string-key bloom scoping failed: $rewritten of ${before.size} rewritten")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 20000)
+    assert(got.filter($"id" === k1).select("payload").as[String].head() == "upd1")
+    assert(got.filter($"id" === k2).select("payload").as[String].head() == "upd2")
+  }
+
+  test("composite record key: tuple blooms scope, tuple identity dedups") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_comp")
+    val rnd = new scala.util.Random(17)
+    // (ok, ln) like lineitem: 5000 orders x 4 line numbers
+    val rows = for { ok <- 1 to 5000; ln <- 1 to 4 } yield
+      (ok.toLong, ln, rnd.nextDouble() * 1000, s"v$ok-$ln", 1L)
+    LayoutWriter.write(rows.toDF("ok", "ln", "a", "payload", "version"), dir,
+      LayoutSpec("linear", Seq("a"), numFiles = Some(16),
+        recordKeys = Seq("ok", "ln"), precombineCol = Some("version")))
+    assert(ZoneMap.read(dir).keyCols == Seq("ok", "ln"))
+    KeyIndex.build(spark, dir)
+    val before = ZoneMap.read(dir).files.map(_.path).toSet
+    val batch = Seq(
+      (42L, 2, 0.0, "upd", 2L), // updates ONE (ok,ln) tuple
+      (42L, 9, 0.0, "new", 1L)) // same ok, new ln → INSERT, not update
+      .toDF("ok", "ln", "a", "payload", "version")
+    val m1 = graft.table.Upserter.upsert(spark, dir, batch, autoRecluster = false)
+    val rewritten = before.size - m1.files.map(_.path).toSet.intersect(before).size
+    assert(rewritten <= 4,
+      s"composite-key bloom scoping failed: $rewritten of ${before.size}")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 20001, "same-ok/new-ln row must insert, not merge")
+    assert(got.filter($"ok" === 42L && $"ln" === 2).select("payload")
+      .as[String].head() == "upd")
+    assert(got.filter($"ok" === 42L && $"ln" === 1).select("payload")
+      .as[String].head() == "v42-1", "sibling tuple must be untouched")
+    assert(got.filter($"ok" === 42L).count() == 5)
+  }
+
+  test("snowflake-scale long keys (>2^53) probe exactly — no double rounding") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_snow")
+    val base = 1L << 60
+    // adjacent ids that COLLIDE when rounded through double
+    val rows = (0 until 4000).map { i =>
+      (base + i, i.toDouble, s"v$i", 1L)
+    }
+    LayoutWriter.write(rows.toDF("id", "a", "payload", "version"), dir,
+      LayoutSpec("linear", Seq("a"), numFiles = Some(8),
+        recordKey = Some("id"), precombineCol = Some("version")))
+    KeyIndex.build(spark, dir)
+    val victim = base + 1234L
+    val batch = Seq((victim, 0.0, "updated", 2L))
+      .toDF("id", "a", "payload", "version")
+    graft.table.Upserter.upsert(spark, dir, batch, autoRecluster = false)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 4000, "neighbor ids must not merge")
+    assert(got.filter($"id" === victim).select("payload")
+      .as[String].head() == "updated")
+    assert(got.filter($"id" === (victim + 1)).select("payload")
+      .as[String].head() == "v1235", "adjacent id untouched")
   }
 
   test("hive-partitioned table: index builds, scopes, and survives a partitioned upsert") {

@@ -151,6 +151,95 @@ class TableMaintenanceSuite extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 9999)
   }
 
+  test("date record key: upsert merges correctly and prunes files (round-13 crash)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_upsert_date")
+    // one row per day over ~8 years, linear on the date key
+    val days = (0 until 3000).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2015, 1, 1).plusDays(i)),
+        s"v$i", i * 1.0, 1L)
+    }
+    LayoutWriter.write(days.toDF("d", "payload", "price", "version"), dir,
+      LayoutSpec("linear", Seq("d"), numFiles = Some(8),
+        recordKey = Some("d"), precombineCol = Some("version")))
+    val before = ZoneMap.read(dir).files.map(_.path).toSet
+    val target = java.sql.Date.valueOf("2016-06-15")
+    val batch = Seq(
+      (target, "updated", 9.9, 2L),
+      (java.sql.Date.valueOf("2030-01-01"), "new", 1.0, 1L)) // insert
+      .toDF("d", "payload", "price", "version")
+    val m = Upserter.upsert(spark, dir, batch, autoRecluster = false)
+    val rewritten = before.size - m.files.map(_.path).toSet.intersect(before).size
+    assert(rewritten <= 2,
+      s"date-key prune failed: $rewritten of ${before.size} files rewritten")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 3001)
+    assert(got.filter($"d" === target).select("payload").as[String].head() == "updated")
+    assert(got.filter($"d" === java.sql.Date.valueOf("2016-06-14"))
+      .select("payload").as[String].head() == "v530")
+  }
+
+  test("timestamp record key: upsert merges correctly and prunes files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_upsert_ts")
+    val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val rows = (0 until 3000).map { i =>
+      (new java.sql.Timestamp(t0.getTime + i * 3600L * 1000), s"v$i", 1L)
+    }
+    LayoutWriter.write(rows.toDF("ts", "payload", "version"), dir,
+      LayoutSpec("linear", Seq("ts"), numFiles = Some(8),
+        recordKey = Some("ts"), precombineCol = Some("version")))
+    val before = ZoneMap.read(dir).files.map(_.path).toSet
+    val target = new java.sql.Timestamp(t0.getTime + 1500 * 3600L * 1000)
+    val batch = Seq((target, "updated", 2L)).toDF("ts", "payload", "version")
+    val m = Upserter.upsert(spark, dir, batch, autoRecluster = false)
+    val rewritten = before.size - m.files.map(_.path).toSet.intersect(before).size
+    assert(rewritten <= 2,
+      s"timestamp-key prune failed: $rewritten of ${before.size}")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 3000)
+    assert(got.filter($"ts" === target).select("payload").as[String].head() == "updated")
+  }
+
+  test("composite record key on a key-clustered layout: file-scoped rewrite") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_upsert_comp")
+    // the reference's own lineitem shape: record_key [l_orderkey,
+    // l_linenumber] (tpch_all_schemas.py:84), clustered linear on the
+    // key tuple — per-column NumIn conjunction scopes the rewrite
+    val rows = for { ok <- 1 to 5000; ln <- 1 to 4 } yield
+      (ok.toLong, ln, s"v$ok-$ln", 1L)
+    LayoutWriter.write(rows.toDF("ok", "ln", "payload", "version"), dir,
+      LayoutSpec("linear", Seq("ok", "ln"), numFiles = Some(10),
+        recordKeys = Seq("ok", "ln"), precombineCol = Some("version")))
+    val m0 = ZoneMap.read(dir)
+    assert(m0.keyCols == Seq("ok", "ln") && m0.recordKey.isEmpty)
+    val before = m0.files.map(_.path).toSet
+    val batch = Seq(
+      (100L, 3, "upd", 2L), // update one tuple
+      (100L, 7, "ins", 1L), // same order, new line → insert
+      (9999999L, 1, "insfar", 1L)) // new order → insert
+      .toDF("ok", "ln", "payload", "version")
+    val m1 = Upserter.upsert(spark, dir, batch, autoRecluster = false)
+    val rewritten = before.size - m1.files.map(_.path).toSet.intersect(before).size
+    assert(rewritten <= 2,
+      s"composite-key zone prune failed: $rewritten of ${before.size}")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 20002)
+    assert(got.filter($"ok" === 100L && $"ln" === 3)
+      .select("payload").as[String].head() == "upd")
+    assert(got.filter($"ok" === 100L).count() == 5)
+    assert(got.filter($"ok" === 100L && $"ln" === 1)
+      .select("payload").as[String].head() == "v100-1")
+    // compaction preserves the composite key through its manifest
+    graft.layout.Compactor.compact(spark, dir)
+    assert(ZoneMap.read(dir).keyCols == Seq("ok", "ln"))
+    assert(spark.read.parquet(dir).count() == 20002)
+  }
+
   test("batch builder: ntile split is balanced, hash split deterministic") {
     val nt = BatchBuilder.splitNtile(base, 5, seed = 42)
     val sizes = nt.groupBy("batch_id").count().collect()
