@@ -25,8 +25,13 @@ object BenchOne {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the data-dir-aware profile, SAME as the sweep's (round-14,
+    // VERDICT "Next #7": isolated runs with the byte-derived width):
+    // the byte-derived shuffle width keeps partitions inside the 32 MB
+    // memory band at sf16/sf32 — at the sf0.1 dev scale it resolves to
+    // the cpu count, so small-scale numbers stay comparable
     val spark = graft.runner.Sessions
-      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)

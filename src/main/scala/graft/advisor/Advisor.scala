@@ -348,6 +348,17 @@ object Advisor {
   val MinSecondaryAnchor: Double = 0.3
   val MinPairCoverage: Double = 0.3
 
+  /** Mean per-dimension band fraction at or under which HILBERT is
+    * recommended over zorder: the rq1 S1 band is ~2.2% per dimension
+    * (tools/LayoutDecay.scala:73, the rq1 protocol's finest band) and
+    * there sf16 measured hilbert 5.64x vs zorder 5.28x wall speedup at
+    * identical 32x file pruning (results/rq1_sf16/geomean_speedup.csv)
+    * — Hilbert's adjacent cells are spatially adjacent, so the finest
+    * boxes stay contiguous. By S2 (~7% per dim) zorder already edges it
+    * (4.10x vs 3.89x), so the branch stops just above S1.
+    */
+  val FinestBandThreshold: Double = 0.03
+
   case class LayoutAdvice(layout: String, cols: Seq[String],
       meanBandFraction: Option[Double], reason: String)
 
@@ -422,11 +433,18 @@ object Advisor {
         f"coarse bands (mean per-dim fraction ${meanFraction.get}%.2f >= " +
           f"$CoarseBandThreshold%.2f ~ S3/S4): linear on '$lead' wins wall " +
           "by ~40% via page contiguity (results/rq1_sf10/README.md)")
+    else if (meanFraction.exists(_ <= FinestBandThreshold))
+      LayoutAdvice("hilbert", keyCols, meanFraction,
+        f"multi-column S1-width bands (mean per-dim fraction " +
+          f"${meanFraction.get}%.3f <= $FinestBandThreshold%.2f): hilbert " +
+          "measured 5.64x vs zorder 5.28x at sf16 S1, same 32x file " +
+          "pruning (results/rq1_sf16/geomean_speedup.csv)")
     else
       LayoutAdvice("zorder", keyCols, meanFraction,
         f"multi-column fine bands (pair coverage $pairCoverage%.2f, " +
           s"mean per-dim fraction ${meanFraction.map(f => f"$f%.2f").getOrElse("n/a")}): " +
           "curves win files at every band and wall at S1/S2 " +
-          "(results/rq1_sf10/README.md; hilbert edges zorder at sf16 S1)")
+          "(results/rq1_sf10/README.md; hilbert edges zorder only at S1 " +
+          "widths, handled above)")
   }
 }

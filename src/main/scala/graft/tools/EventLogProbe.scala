@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Fidelity check for [[graft.runner.EventLogMetrics]] (M5): run a
+  * job-grouped query in a session that writes a REAL Spark event log,
+  * capture the same run through the live [[graft.runner
+  * .MetricsListener]] (M4), then parse the finished log and compare —
+  * both sources read TaskEnd payloads, so the shared fields must match
+  * exactly.
+  *
+  * Usage: runMain graft.tools.EventLogProbe [sfDir]
+  */
+object EventLogProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val logDir = java.nio.file.Files.createTempDirectory("graft_eventlog_")
+    val spark = graft.runner.Sessions
+      .tuned(SparkSession.builder().master("local[8]"), "8")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", logDir.toUri.toString)
+      .config("spark.eventLog.compress", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new graft.runner.MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    spark.sparkContext.setJobGroup("probe_q1", "eventlog probe", false)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+    spark.sparkContext.clearJobGroup()
+    org.apache.spark.graftbridge.SparkBridge
+      .drainListenerBus(spark.sparkContext)
+    val live = listener.snapshot("probe_q1")
+    val appId = spark.sparkContext.applicationId
+    spark.stop()
+
+    val parsed = graft.runner.EventLogMetrics
+      .parse(logDir.resolve(appId).toString)("probe_q1")
+    println(s"live:   bytesRead=${live.bytesRead} records=${live.recordsRead} " +
+      s"runMs=${live.executorRunTimeMs} cpuNs=${live.executorCpuTimeNs} tasks=${live.tasks}")
+    println(s"parsed: bytesRead=${parsed.bytesRead} records=${parsed.recordsRead} " +
+      s"runMs=${parsed.executorRunTimeMs} cpuNs=${parsed.executorCpuTimeNs} tasks=${parsed.tasks}")
+    val ok = live.bytesRead == parsed.bytesRead &&
+      live.recordsRead == parsed.recordsRead &&
+      live.executorRunTimeMs == parsed.executorRunTimeMs &&
+      live.executorCpuTimeNs == parsed.executorCpuTimeNs &&
+      live.tasks == parsed.tasks
+    println(s"match=$ok")
+    if (!ok) sys.exit(1)
+  }
+}

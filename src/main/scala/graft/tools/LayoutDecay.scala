@@ -22,8 +22,15 @@ import graft.layout.LayoutWriter.LayoutSpec
   * [[Compactor.compact]] re-runs the recorded layout sort and the
   * probe shows pruning restored.
   *
-  * Usage: runMain graft.tools.LayoutDecay [sfDir] [workDir] [batches] [mode]
+  * Usage: runMain graft.tools.LayoutDecay [sfDir] [workDir] [batches] [mode] [keysPerBatch]
   * Writes workDir/layout_decay.csv (copy to results/rq7_layout/).
+  *
+  * `keysPerBatch` (round-14, optional): switch from the bulk-smear
+  * protocol (~2.5% of rows per batch — every file touched, nothing can
+  * scope) to the PRODUCTION regime: N uniformly-scattered keys per
+  * batch with the bloom KeyIndex built on the base table, so the
+  * affected set is key-proportional and the sorted rewrite touches
+  * O(batch) bytes while any recluster stays O(table).
   *
   * `mode` (round-13): the three update-path variants the decay design
   * rule offers —
@@ -33,9 +40,17 @@ import graft.layout.LayoutWriter.LayoutSpec
   *    re-runs the recorded layout sort within the touched file set;
   *  - `policy`: unsorted COW with `autoRecluster` — the
   *    [[Compactor.maybeRecluster]] health threshold fires a full
-  *    recluster the moment the manifest says a point query would scan
-  *    more than half the rows. The csv gains a `health` column (the
-  *    manifest-derived expected point-scan fraction) in all modes.
+  *    recluster when the manifest says a point query would scan more
+  *    than half the rows AND the commit-counter rate limit allows
+  *    (round-14: at most one recluster per
+  *    [[Compactor.MinCommitsBetweenReclusters]] keyed commits);
+  *  - `sorted+policy` (round-14, the production default composition):
+  *    sorted rewrites keep health low so the rate-limited policy is
+  *    the rare backstop — 10 scattered upserts must trigger ≤1
+  *    recluster with pruning ≤25% throughout.
+  * The csv gains a `health` column (the manifest-derived expected
+  * point-scan fraction) in all modes, and `reclustered` flags policy
+  * fires.
   */
 object LayoutDecay {
   def main(args: Array[String]): Unit = {
@@ -43,8 +58,8 @@ object LayoutDecay {
     val work = args.lift(1).getOrElse("/tmp/graft_rq7layout")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(10)
     val mode = args.lift(3).getOrElse("plain")
-    require(Seq("plain", "sorted", "policy").contains(mode),
-      s"unknown mode $mode (plain|sorted|policy)")
+    require(Seq("plain", "sorted", "policy", "sorted+policy").contains(mode),
+      s"unknown mode $mode (plain|sorted|policy|sorted+policy)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.runner.Sessions
       .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
@@ -66,9 +81,11 @@ object LayoutDecay {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
       .withColumn("lkey", col("l_orderkey") * 8 + col("l_linenumber"))
       .dropDuplicates("lkey")
+    val keysPerBatch = args.lift(4).map(_.toInt)
     LayoutWriter.write(li, table, LayoutSpec(
       "zorder", Seq("l_quantity", "l_extendedprice"),
       numFiles = Some(52), recordKey = Some("lkey")))
+    keysPerBatch.foreach(_ => KeyIndex.build(spark, table))
 
     // fixed S1-band probe (~2.2% per dimension, the rq1 protocol's
     // finest band): zone pruning quality is (files, bytes) kept
@@ -76,7 +93,8 @@ object LayoutDecay {
       NumBetween("l_quantity", 24.0, 25.0),
       NumBetween("l_extendedprice", 30000.0, 32000.0))
     val csv = new scala.collection.mutable.ArrayBuffer[String]
-    csv += "phase,batch,files_kept,files_total,bytes_kept_mb,bytes_total_mb,probe_rows,probe_sec,mutate_sec,health"
+    csv += "phase,batch,files_kept,files_total,bytes_kept_mb,bytes_total_mb,probe_rows,probe_sec,mutate_sec,health,reclustered"
+    var lastReclustered = false
     def probe(phase: String, batch: Int, mutateSec: Double): Unit = {
       val t0 = System.nanoTime()
       val scan = PrunedScan.read(spark, table, probePreds)
@@ -88,7 +106,7 @@ object LayoutDecay {
       val health = Compactor.clusteringHealth(ZoneMap.read(table))
         .map(h => f"$h%.3f").getOrElse("")
       csv += f"$phase,$batch,${scan.filesKept},${scan.filesTotal}," +
-        f"${scan.bytesKept / 1e6}%.1f,${scan.bytesTotal / 1e6}%.1f,$rows,$sec%.3f,$mutateSec%.2f,$health"
+        f"${scan.bytesKept / 1e6}%.1f,${scan.bytesTotal / 1e6}%.1f,$rows,$sec%.3f,$mutateSec%.2f,$health,$lastReclustered"
       println(csv.last)
     }
     probe("base", 0, 0.0)
@@ -97,15 +115,17 @@ object LayoutDecay {
     // the reference's SF4-source-into-SF16-base ratio; the price bump
     // keeps values inside the probe's domain (updates, not drift)
     for (i <- 0 until nBatches) {
-      val batch = li
-        .filter(col("lkey") % 4 === 0 &&
+      val batch = (keysPerBatch match {
+        case Some(n) => li.orderBy(xxhash64(col("lkey"), lit(i))).limit(n)
+        case None => li.filter(col("lkey") % 4 === 0 &&
           pmod(xxhash64(col("lkey")), lit(nBatches)) === i)
-        .withColumn("l_extendedprice", col("l_extendedprice") * 1.001)
+      }).withColumn("l_extendedprice", col("l_extendedprice") * 1.001)
       val t0 = System.nanoTime()
-      graft.table.Upserter.upsert(spark, table, batch,
-        sortRewrites = mode == "sorted",
-        autoRecluster = mode == "policy",
+      val res = graft.table.Upserter.upsertResult(spark, table, batch,
+        sortRewrites = mode == "sorted" || mode == "sorted+policy",
+        autoRecluster = mode == "policy" || mode == "sorted+policy",
         targetFileBytes = 48L * 1024 * 1024)
+      lastReclustered = res.reclustered
       probe("upsert", i + 1, (System.nanoTime() - t0) / 1e9)
     }
 

@@ -49,6 +49,22 @@ object UpsertProbe {
       println(s"[upsertprobe] wrote $dst linear on ${keys.mkString(",")}")
       spark.stop(); return
     }
+    if (args.headOption.contains("mkcomposite")) {
+      // lineitem under the reference's composite record_key
+      // [l_orderkey, l_linenumber] (tpch_all_schemas.py:84), clustered
+      // linear on the key tuple (tuple-deduped: the synthetic generator
+      // does not enforce the PK)
+      val sfDir = args(1); val dst = args(2)
+      val li = graft.Tables.load(spark, sfDir, "lineitem")
+        .dropDuplicates("l_orderkey", "l_linenumber")
+      graft.layout.LayoutWriter.write(li, dst,
+        graft.layout.LayoutWriter.LayoutSpec("linear",
+          Seq("l_orderkey", "l_linenumber"), numFiles = Some(48),
+          recordKeys = Seq("l_orderkey", "l_linenumber")))
+      println(s"[upsertprobe] wrote $dst composite-keyed " +
+        "(linear on l_orderkey,l_linenumber)")
+      spark.stop(); return
+    }
     if (args.headOption.contains("mkuuid")) {
       val src = args(1); val dst = args(2)
       val m = graft.layout.ZoneMap.read(src)

@@ -127,16 +127,32 @@ class AdvisorSuite extends SparkTestBase {
     assert(a.meanBandFraction.exists(_ > 0.3), a.toString)
   }
 
-  test("layout advice: S1 two-column workload yields a curve") {
-    // ~2% of each dimension, both columns in every query (the rq1 S1 band)
+  test("layout advice: S1-width two-column workload yields hilbert (measured 5.64x vs 5.28x)") {
+    // ~2% of each dimension, both columns in every query (the rq1 S1 band,
+    // where sf16 measured hilbert 5.64x vs zorder 5.28x —
+    // results/rq1_sf16/geomean_speedup.csv)
     val workload = Seq(
       "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 24 AND 25 AND l_extendedprice BETWEEN 30000 AND 32000",
       "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 10 AND 11 AND l_extendedprice BETWEEN 50000 AND 52000",
       "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 40 AND 41 AND l_extendedprice BETWEEN 10000 AND 12000")
     val a = Advisor.recommendLayout(spark, workload, quantPriceRanges)
+    assert(a.layout == "hilbert", a.toString)
+    assert(a.cols.toSet == Set("l_quantity", "l_extendedprice"))
+    assert(a.meanBandFraction.exists(_ <= Advisor.FinestBandThreshold), a.toString)
+    assert(a.reason.contains("5.64x"), "advice must cite the measured sf16 S1 data")
+  }
+
+  test("layout advice: S2-width two-column workload yields zorder (zorder edges hilbert by S2)") {
+    // ~6-7% of each dimension — the rq1 S2 band, where zorder already
+    // beats hilbert (4.10x vs 3.89x at sf16)
+    val workload = Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 10 AND 13 AND l_extendedprice BETWEEN 30000 AND 37000",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 30 AND 33 AND l_extendedprice BETWEEN 50000 AND 57000")
+    val a = Advisor.recommendLayout(spark, workload, quantPriceRanges)
     assert(a.layout == "zorder", a.toString)
     assert(a.cols.toSet == Set("l_quantity", "l_extendedprice"))
-    assert(a.meanBandFraction.exists(_ < 0.15), a.toString)
+    assert(a.meanBandFraction.exists(f =>
+      f > Advisor.FinestBandThreshold && f < Advisor.CoarseBandThreshold), a.toString)
   }
 
   test("layout advice: coarse two-column workload still yields linear (the S3/S4 inversion)") {
