@@ -59,15 +59,25 @@ object KeyIndex {
     */
   val Shards = 16
 
-  private case class Meta(version: Int, keys: Seq[String], shards: Int)
+  /** `stale` counts sidecar rows whose file a mutation has since
+    * deleted. Lookups ignore them for free (live-manifest
+    * intersection), so [[update]] never rewrites a shard for a
+    * removal — it only bumps this counter and lets [[gc]] reclaim
+    * space once stale rows reach ~half the live file count. That is
+    * what makes maintenance O(appended files) per mutation with
+    * O(sidecar) work amortized over O(table/2) removals.
+    */
+  private case class Meta(version: Int, keys: Seq[String], shards: Int,
+      stale: Long = 0L)
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
   private val MetaName = "_meta.json"
 
   /** What [[update]] did — logged and returned so probes/suites can pin
-    * the sidecar-maintenance cost (bytes rewritten per mutation).
+    * the sidecar-maintenance cost (bytes rewritten per mutation;
+    * nonzero only when the amortized GC fired).
     */
   case class UpdateStats(shardsRewritten: Int, bytesRewritten: Long,
-      filesRemoved: Int, filesAdded: Int)
+      filesRemoved: Int, filesAdded: Int, gc: Boolean = false)
 
   /** Canonical URI form shared by manifest paths and `input_file_name`
     * outputs ("file:///x" and "file:/x" must compare equal).
@@ -104,11 +114,12 @@ object KeyIndex {
     rec(path(dir).toFile)
   }
 
-  private def writeMeta(dir: String, keys: Seq[String]): Unit = {
+  private def writeMeta(dir: String, keys: Seq[String],
+      stale: Long = 0L): Unit = {
     val p = path(dir).resolve(MetaName)
     java.nio.file.Files.createDirectories(path(dir))
     java.nio.file.Files.write(p,
-      Serialization.write(Meta(2, keys, Shards))
+      Serialization.write(Meta(2, keys, Shards, stale))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -238,13 +249,17 @@ object KeyIndex {
     }
   }
 
-  /** Post-mutation maintenance: drop superseded paths (rewriting ONLY
-    * the shards that hold one), append blooms for the files the
-    * mutation created (pure appends into their shards). Runs AFTER the
-    * manifest commit — a crash in between leaves missing entries,
-    * which the lookup treats as affected; a crash inside leaves stale
-    * rows, which lookups ignore (manifest intersection). A v1 sidecar
-    * (no meta) is rebuilt as v2 once.
+  /** Post-mutation maintenance: append blooms for the files the
+    * mutation created; superseded paths become STALE rows, which
+    * lookups already ignore for free (live-manifest intersection) —
+    * no shard is rewritten on the mutation path, so maintenance is
+    * O(appended files), the Hudi write-once-footer-bloom asymptotic.
+    * Stale rows are reclaimed by an amortized [[gc]] once they reach
+    * ~half the live file count. Runs AFTER the manifest commit — a
+    * crash in between leaves missing entries, which the lookup treats
+    * as affected; a crash inside leaves stale rows or an understated
+    * stale counter, both harmless. A v1 sidecar (no meta) is rebuilt
+    * as v2 once.
     */
   def update(spark: SparkSession, dir: String, removedPaths: Seq[String],
       added: Seq[FileEntry]): UpdateStats = {
@@ -252,45 +267,70 @@ object KeyIndex {
     val manifest = ZoneMap.read(dir)
     val keys = manifest.keyCols
     if (keys.isEmpty) { drop(dir); return UpdateStats(0, 0L, 0, 0) }
-    if (readMeta(dir).forall(_.version != 2)) {
-      // legacy/torn sidecar: one-time in-place upgrade (full rebuild
-      // over the already-committed manifest)
-      System.err.println(s"[graft] KeyIndex: upgrading v1 sidecar at $dir")
-      build(spark, dir)
-      return UpdateStats(Shards, 0L, removedPaths.length, added.length)
-    }
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val removed = removedPaths.map(norm).toSet
-    var shardsRewritten = 0
-    var bytesRewritten = 0L
-    removed.map(shardOf).toSeq.sorted.foreach { sh =>
-      val sdir = new org.apache.hadoop.fs.Path(path(dir).toString, s"s=$sh")
-      if (fs.exists(sdir)) {
-        val kept = spark.read.parquet(sdir.toString)
-          .filter(!org.apache.spark.sql.graftbridge.Bridge.inSetString(
-            col("path"), removed))
-        // stage + swap: the shard read above is lazy until the write
-        val tmp = new org.apache.hadoop.fs.Path(
-          dir, s".graft_keyindex_tmp_s$sh")
-        fs.delete(tmp, true)
-        kept.write.mode("overwrite").parquet(tmp.toString)
-        bytesRewritten += fs.getContentSummary(tmp).getLength
-        fs.delete(sdir, true)
-        fs.rename(tmp, sdir)
-        shardsRewritten += 1
-      }
+    val meta = readMeta(dir) match {
+      case Some(m) if m.version == 2 => m
+      case _ =>
+        // legacy/torn sidecar: one-time in-place upgrade (full rebuild
+        // over the already-committed manifest)
+        System.err.println(s"[graft] KeyIndex: upgrading v1 sidecar at $dir")
+        build(spark, dir)
+        return UpdateStats(Shards, 0L, removedPaths.length, added.length,
+          gc = true)
     }
     if (added.nonEmpty) {
       bloomRows(spark, dir, keys, added, manifest.hivePartitions.nonEmpty)
         .write.mode("append").partitionBy("s").parquet(path(dir).toString)
     }
-    val stats = UpdateStats(shardsRewritten, bytesRewritten,
-      removed.size, added.length)
-    System.err.println(s"[graft] KeyIndex.update: rewrote " +
-      s"${stats.shardsRewritten}/$Shards shards " +
-      s"(${stats.bytesRewritten} B) for ${stats.filesRemoved} removed, " +
-      s"appended ${stats.filesAdded} file blooms")
+    val stale = meta.stale + removedPaths.length
+    val stats =
+      if (stale > math.max(64L, manifest.files.length / 2L))
+        gc(spark, dir, manifest).copy(
+          filesRemoved = removedPaths.length, filesAdded = added.length)
+      else {
+        writeMeta(dir, keys, stale)
+        UpdateStats(0, 0L, removedPaths.length, added.length)
+      }
+    System.err.println(s"[graft] KeyIndex.update: appended " +
+      s"${stats.filesAdded} file blooms, ${stats.filesRemoved} paths went " +
+      s"stale (${if (stats.gc) s"GC: rewrote ${stats.shardsRewritten} " +
+        s"shards, ${stats.bytesRewritten} B" else s"$stale stale total"})")
     stats
+  }
+
+  /** Reclaim stale rows: rewrite each shard keeping only live-manifest
+    * paths. O(sidecar) — called by [[update]] only once stale rows
+    * amortize it over O(table/2) removals; callable directly from a
+    * maintenance window. Crash-safe per shard (stage + swap; a shard
+    * lost mid-swap only fail-safes its files to affected).
+    */
+  def gc(spark: SparkSession, dir: String,
+      manifest: TableManifest): UpdateStats = {
+    val keys = manifest.keyCols
+    val live = manifest.files.map(f => norm(f.path)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var shardsRewritten = 0
+    var bytesRewritten = 0L
+    shardDirs(dir).foreach { sd =>
+      val sdir = new org.apache.hadoop.fs.Path(sd.toUri)
+      // same path always shards identically, so per-shard dedup is
+      // global dedup (duplicate rows only arise from unusual re-index
+      // flows; blooms for one path are interchangeable)
+      val kept = spark.read.parquet(sd.toString)
+        .filter(org.apache.spark.sql.graftbridge.Bridge.inSetString(
+          col("path"), live))
+        .dropDuplicates("path")
+      // stage + swap: the shard read above is lazy until the write
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, s".graft_keyindex_tmp_${sd.getFileName}")
+      fs.delete(tmp, true)
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      bytesRewritten += fs.getContentSummary(tmp).getLength
+      fs.delete(sdir, true)
+      fs.rename(tmp, sdir)
+      shardsRewritten += 1
+    }
+    writeMeta(dir, keys, 0L)
+    UpdateStats(shardsRewritten, bytesRewritten, 0, 0, gc = true)
   }
 }

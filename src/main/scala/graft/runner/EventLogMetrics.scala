@@ -49,20 +49,25 @@ object EventLogMetrics {
     case _ => 0L
   }
 
-  /** Parse one event-log file (or every file of a directory — an
-    * application may roll logs) into per-job-group metrics. Tasks of
-    * jobs with no group land under "".
+  /** Parse one event-log file (or a directory) into per-job-group
+    * metrics. Directories recurse into Spark 4's default ROLLING layout
+    * (`eventlog_v2_<appId>/events_<n>_<appId>` plus zero-length
+    * `appstatus_` markers, which are skipped), so both a single app's
+    * log dir and a whole `spark.eventLog.dir` parse. Tasks of jobs with
+    * no group land under "".
     */
   def parse(path: String): Map[String, GroupMetrics] = {
     val p = java.nio.file.Paths.get(path)
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
+        val s = java.nio.file.Files.walk(p, 3)
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(f =>
+          s.iterator().asScala.filter { f =>
+            val n = f.getFileName.toString
             java.nio.file.Files.isRegularFile(f) &&
-              !f.getFileName.toString.startsWith(".")).toSeq.sortBy(_.toString)
+              !n.startsWith(".") && !n.startsWith("appstatus_")
+          }.toSeq.sortBy(_.toString)
         } finally s.close()
       } else Seq(p)
     val stageToGroup = scala.collection.mutable.Map.empty[Int, String]

@@ -32,11 +32,12 @@ object EventLogProbe {
     org.apache.spark.graftbridge.SparkBridge
       .drainListenerBus(spark.sparkContext)
     val live = listener.snapshot("probe_q1")
-    val appId = spark.sparkContext.applicationId
     spark.stop()
 
+    // the finished log is the one file in the dir (Spark may suffix the
+    // app id, e.g. ".inprogress" until close or a compression ext)
     val parsed = graft.runner.EventLogMetrics
-      .parse(logDir.resolve(appId).toString)("probe_q1")
+      .parse(logDir.toString)("probe_q1")
     println(s"live:   bytesRead=${live.bytesRead} records=${live.recordsRead} " +
       s"runMs=${live.executorRunTimeMs} cpuNs=${live.executorCpuTimeNs} tasks=${live.tasks}")
     println(s"parsed: bytesRead=${parsed.bytesRead} records=${parsed.recordsRead} " +

@@ -115,11 +115,24 @@ object LayoutDecay {
     // the reference's SF4-source-into-SF16-base ratio; the price bump
     // keeps values inside the probe's domain (updates, not drift)
     for (i <- 0 until nBatches) {
-      val batch = (keysPerBatch match {
+      val batch0 = (keysPerBatch match {
         case Some(n) => li.orderBy(xxhash64(col("lkey"), lit(i))).limit(n)
         case None => li.filter(col("lkey") % 4 === 0 &&
           pmod(xxhash64(col("lkey")), lit(nBatches)) === i)
       }).withColumn("l_extendedprice", col("l_extendedprice") * 1.001)
+      // small batches MATERIALIZE before the timer: the sampler re-runs
+      // li's dropDuplicates shuffle (~the whole table) lazily inside the
+      // upsert otherwise, drowning the actual O(touched-files) mutate
+      // cost this regime exists to measure. Bulk batches stay lazy —
+      // streaming 2.5% of the table through the writer is the protocol.
+      val batch = keysPerBatch match {
+        case Some(_) =>
+          val rows = batch0.collect()
+          spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            batch0.schema)
+        case None => batch0
+      }
       val t0 = System.nanoTime()
       val res = graft.table.Upserter.upsertResult(spark, table, batch,
         sortRewrites = mode == "sorted" || mode == "sorted+policy",

@@ -100,21 +100,18 @@ class KeyIndexSuite extends SparkTestBase {
       .contains(victim))
   }
 
-  test("update rewrites only the shards holding a removed path (sharded sidecar)") {
+  test("maintenance is append-only; stale rows reclaimed by amortized GC") {
     val dir = tmpDir("graft_keyidx_shard")
     writeOrthogonal(dir)
     KeyIndex.build(spark, dir)
     val manifest = ZoneMap.read(dir)
-    val removed = manifest.files.take(2).map(_.path)
-    val expectShards = removed.map(p => KeyIndex.shardOf(KeyIndex.norm(p)))
-      .distinct.length
-    val stats = KeyIndex.update(spark, dir, removed, Nil)
-    assert(stats.shardsRewritten <= expectShards,
-      s"update touched ${stats.shardsRewritten} shards for $expectShards " +
-        "removed-path shards")
-    assert(stats.shardsRewritten < KeyIndex.Shards,
-      "a 2-file removal must not rewrite the whole sidecar")
-    // a pure append touches NO shards (no rewrite at all)
+    // a removal rewrites NOTHING on the mutation path (stale rows are
+    // invisible to lookups via the live-manifest intersection) — the
+    // Hudi write-once-bloom asymptotic
+    val stats = KeyIndex.update(spark, dir, manifest.files.take(2).map(_.path), Nil)
+    assert(stats.shardsRewritten == 0 && stats.bytesRewritten == 0L && !stats.gc,
+      s"removal must not rewrite the sidecar: $stats")
+    // a pure append rewrites nothing either
     val readd = ZoneMap.collectStatsDf(
       StagedRewrite.readFiles(spark, dir,
         manifest.files.drop(2).take(1).map(_.path), partitioned = false),
@@ -122,6 +119,15 @@ class KeyIndexSuite extends SparkTestBase {
     val stats2 = KeyIndex.update(spark, dir, Nil, readd)
     assert(stats2.shardsRewritten == 0 && stats2.bytesRewritten == 0L,
       s"append-only update must rewrite nothing: $stats2")
+    // stale accumulation beyond max(64, files/2) triggers the GC sweep
+    val fakeRemovals = (1 to 70).map(i => s"file:/nonexistent/part-$i.parquet")
+    val stats3 = KeyIndex.update(spark, dir, fakeRemovals, Nil)
+    assert(stats3.gc && stats3.shardsRewritten > 0,
+      s"stale overflow must trigger GC: $stats3")
+    // GC kept only live-manifest rows; lookups still scope correctly
+    val rows = spark.read.parquet(KeyIndex.path(dir).toString).count()
+    assert(rows == ZoneMap.read(dir).files.length.toLong,
+      s"GC must keep exactly the live rows, got $rows")
   }
 
   test("string (UUID-style) record key: bloom scoping where zones keep all") {
