@@ -23,7 +23,9 @@ class AdviseCliSuite extends SparkTestBase {
     val json = Advise.run(spark, "/root/testdata/sf0.001", wl)
     graft.runner.Materialize.releaseAll()
     assert(json.contains("\"table\": \"lineitem\""), json)
-    assert(json.contains("\"family\": \"zorder\""), json)
+    // ~2% bands are S1-width: the round-14 finest-band branch picks
+    // hilbert here (measured 5.64x vs zorder 5.28x at sf16 S1)
+    assert(json.contains("\"family\": \"hilbert\""), json)
     assert(json.contains("l_quantity") && json.contains("l_extendedprice"), json)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(wl, "advice.json")))
@@ -48,6 +50,7 @@ class AdviseCliSuite extends SparkTestBase {
     val json = Advise.run(spark, "/root/testdata/sf0.001", wl, table = Some("lineitem"))
     graft.runner.Materialize.releaseAll()
     assert(json.contains("\"table\": \"lineitem\""), json)
-    assert(json.contains("\"family\": \"zorder\""), json)
+    // same S1-width bands as above: hilbert since round 14
+    assert(json.contains("\"family\": \"hilbert\""), json)
   }
 }
