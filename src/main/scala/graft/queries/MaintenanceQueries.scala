@@ -85,20 +85,33 @@ object MaintenanceQueries {
     upd.unionByName(ins)
   }
 
+  /** Order-independent checksum: per-row round to integer cents, sum as
+    * BIGINT. A `round(sum(double), 2)` over ~457k rows is numerically
+    * fragile — the partial-sum order (partitioning, AQE, core count) can
+    * perturb the hundredths digit when the true sum sits near a rounding
+    * boundary (observed on q38b: 26 717 424 640.791 vs the .795 cut).
+    * Rounding each row to a long BEFORE summing makes the aggregate an
+    * exact integer sum, invariant under any reordering, and both engines
+    * round identical IEEE doubles to identical longs (HALF_UP ==
+    * half-away-from-zero for positive prices).
+    */
+  private def centsSum(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast("long")).as("sum_cents")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_upsert_merge" -> ((s, d) => {
       val dir = upsertedDir(s, d)
       s.read.parquet(dir).agg(
         count(lit(1)).as("cnt"),
         countDistinct(col("o_orderkey")).as("n_keys"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        centsSum(col("o_totalprice")))
     }),
     "q38b_composite_upsert" -> ((s, d) => {
       val dir = compositeDir(s, d)
       s.read.parquet(dir).agg(
         count(lit(1)).as("cnt"),
         countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_keys"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        centsSum(col("l_extendedprice")))
     })
   )
 
@@ -116,7 +129,7 @@ object MaintenanceQueries {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch))
         |SELECT count(*) AS cnt, count(DISTINCT o_orderkey) AS n_keys,
-        |  round(sum(p),2) AS sum_price
+        |  CAST(sum(cast(round(p*100) AS bigint)) AS BIGINT) AS sum_cents
         |FROM merged""".stripMargin,
     "q38b_composite_upsert" ->
       """WITH li AS (
@@ -141,7 +154,7 @@ object MaintenanceQueries {
         |SELECT count(*) AS cnt,
         |  (SELECT count(*) FROM
         |    (SELECT DISTINCT l_orderkey, l_linenumber FROM merged)) AS n_keys,
-        |  round(sum(p),2) AS sum_price
+        |  CAST(sum(cast(round(p*100) AS bigint)) AS BIGINT) AS sum_cents
         |FROM merged""".stripMargin
   )
 }

@@ -31,25 +31,37 @@ object RelationalQueries {
   private val shipHi = "1995-12-31 23:59:59"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A2/A6 group-by + multi-agg (demo q3_group_by, TPC-H Q1 shape)
+    // A2/A6 group-by + multi-agg (demo q3_group_by, TPC-H Q1 shape).
+    // Price sums accumulate in exact DECIMAL (order-independent): at
+    // sf0.1 each group sums ~150k doubles at magnitude ~6e9, where the
+    // partial-sum reordering error (~7e-4) is the same order as the 5e-3
+    // rounding-boundary margin — the construction that made q38b a
+    // coin-flip gate. Raw 2-dp columns cast exactly; the product is
+    // computed in decimal on both engines (same as TpchQueries.discPrice).
     "q1_agg" -> ((s, d) => {
+      val decPrice = col("l_extendedprice").cast("decimal(12,2)")
+      val decDisc = col("l_discount").cast("decimal(12,2)")
       T(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(decPrice), 2).cast("double").as("sum_base_price"),
+          round(sum(decPrice * (lit(1).cast("decimal(12,2)") - decDisc)), 2)
+            .cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // P2 1-D range predicate (demo q2_date_range): count + sum in band
+    // P2 1-D range predicate (demo q2_date_range): count + sum in band.
+    // DECIMAL accumulation for the same order-independence reason as q1.
     "q2_date_range" -> ((s, d) => {
       T(s, d, "lineitem")
         .filter(col("l_shipdate").between(lit(shipLo).cast("timestamp"), lit(shipHi).cast("timestamp")))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("sum_price"))
     }),
 
     // P4/P5/P8 point + IN predicates (demo q1_filter, spec_tpch_Q3/Q4)
@@ -406,15 +418,20 @@ object RelationalQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE)
+        |   AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(12,2)))),2) AS DOUBLE)
+        |   AS sum_disc_price,
         | round(avg(l_quantity),6) AS avg_qty,
         | round(avg(l_discount),6) AS avg_disc,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_date_range" ->
-      s"""SELECT count(*) AS cnt, round(sum(l_extendedprice),2) AS sum_price
+      s"""SELECT count(*) AS cnt,
+         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE)
+         |   AS sum_price
          |FROM lineitem
          |WHERE l_shipdate BETWEEN TIMESTAMP '$shipLo' AND TIMESTAMP '$shipHi'""".stripMargin,
     "q3_point_in" ->
