@@ -35,10 +35,24 @@ object Bench {
     // Session profile mirrors the reference's M8 conf set
     // (run_queries.py:46-62): AQE (+skew join), 256m split size,
     // vectorized parquet reader, 50 MB broadcast threshold.
-    val spark = graft.runner.Sessions
+    // SPARK_GRAFT_EVENTLOG=1: write a real Spark event log and, after the
+    // sweep, gate the post-hoc parser (M5) against the live listener (M4)
+    // per query group — the end-to-end fidelity check VERDICT r14 Next #6
+    // asked for (results/eventlog_gate.json).
+    val eventLogGate = sys.env.get("SPARK_GRAFT_EVENTLOG").contains("1")
+    val eventLogDir =
+      if (eventLogGate) Some(java.nio.file.Files.createTempDirectory("graft_bench_elog_"))
+      else None
+    val builder0 = graft.runner.Sessions
       .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
-      .getOrCreate()
+    val builder = eventLogDir.fold(builder0)(d => builder0
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", d.toUri.toString)
+      .config("spark.eventLog.compress", "true"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val gateListener = new graft.runner.MetricsListener
+    if (eventLogGate) spark.sparkContext.addSparkListener(gateListener)
     System.err.println(s"[bench] shuffle.partitions=" +
       spark.conf.get("spark.sql.shuffle.partitions"))
     val diag = new graft.runner.DiagListener
@@ -104,11 +118,13 @@ object Bench {
       // 2–5 kept measuring). One forced GC per query, OUTSIDE the timed
       // window, lets the cleaner settle before the warmup run.
       System.gc()
+      if (eventLogGate) spark.sparkContext.setJobGroup(name, name, false)
       once() // warmup (discarded)
       // two measured runs: min is the headline (absorbs JIT/GC noise);
       // both runs are recorded so cross-query pollution stays visible
       // (round-3 VERDICT #7)
       val r1 = once(); val r2 = once()
+      if (eventLogGate) spark.sparkContext.clearJobGroup()
       // invariant, observable per round-5 VERDICT #7: builders must not
       // leave persisted frames behind (Materialize protocol) — count and
       // contain any straggler so one leak can't taint the whole sweep
@@ -152,6 +168,28 @@ object Bench {
       s"""{"sf":"$sfDir","cache_budget_mb":${graft.runner.Materialize.budgetBytes / 1048576L},"excluded_baselines":${baselineQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs":$runs}""" + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","leaked_caches":$leakedCaches,"queries":$qs}""")
-    spark.stop()
+    if (eventLogGate) {
+      org.apache.spark.graftbridge.SparkBridge.drainListenerBus(spark.sparkContext)
+      val live = names.map(n => n -> gateListener.snapshot(n)).toMap
+      spark.stop() // flush + finalize the event log before parsing
+      val parsed = graft.runner.EventLogMetrics.parse(eventLogDir.get.toString)
+      val rows = names.map { n =>
+        val l = live(n)
+        val p = parsed.getOrElse(n, graft.runner.EventLogMetrics.GroupMetrics())
+        val ok = l.bytesRead == p.bytesRead && l.recordsRead == p.recordsRead &&
+          l.executorRunTimeMs == p.executorRunTimeMs &&
+          l.executorCpuTimeNs == p.executorCpuTimeNs && l.tasks == p.tasks
+        if (!ok) System.err.println(
+          s"[bench] eventlog gate MISMATCH $n: live=(${l.bytesRead},${l.recordsRead},${l.tasks}) parsed=(${p.bytesRead},${p.recordsRead},${p.tasks})")
+        s"""{"query":"$n","ok":$ok,"tasks":${p.tasks},"bytes":${p.bytesRead}}"""
+      }
+      val allOk = !rows.exists(_.contains("\"ok\":false"))
+      new java.io.File("results").mkdirs()
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("results/eventlog_gate.json"),
+        s"""{"sf":"$sfDir","all_ok":$allOk,"n_queries":${names.size},"rows":${rows.mkString("[", ",", "]")}}""" + "\n")
+      catch { case scala.util.control.NonFatal(_) => () }
+      System.err.println(s"[bench] eventlog gate all_ok=$allOk over ${names.size} queries")
+    } else spark.stop()
   }
 }
