@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scale guard: equi-join sides over big tables must not
     // broadcast (see FactBroadcastGuard's doc for the SF1 numbers)
     e.injectPlannerStrategy(_ => graft.plans.FactBroadcastGuard)
+    // manifest-stats CBO: zone-provably-small filtered dims broadcast
+    // even where Spark's naive full-table sizing would shuffle
+    e.injectPreCBORule(_ => graft.plans.StatsBroadcastHint)
     e.injectFunction((
       FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo(classOf[ZValueExpr].getName, "graft_zvalue"),

@@ -91,7 +91,18 @@ object FactBroadcastGuard extends SparkStrategy {
     case j @ Join(left, right, _, _, hint)
         if SQLConf.get.autoBroadcastJoinThreshold >= 0 &&
           ExtractEquiJoinKeys.unapply(j).isDefined =>
-      val threshold = BigInt(SQLConf.get.autoBroadcastJoinThreshold)
+      // Demote at the memory-derived budget, not the static estimate
+      // threshold: a side whose honest cost lands BETWEEN the two stays
+      // unstamped, plans as shuffle join (static threshold unchanged),
+      // and AQE may still promote it once the TRUE size is measured —
+      // the regime the q57 sf32 cliff needed. Sides over the budget are
+      // stamped NO_BROADCAST_HASH so AQE can never promote them; without
+      // the graft conf (untuned session) the bar stays the static
+      // threshold, the original guard behavior.
+      val threshold = BigInt(math.max(
+        SQLConf.get.autoBroadcastJoinThreshold,
+        SQLConf.get.getConfString("spark.graft.broadcastBudget",
+          SQLConf.get.autoBroadcastJoinThreshold.toString).toLong))
       val demoteLeft = hint.leftHint.forall(_.strategy.isEmpty) &&
         broadcastCostBytes(left) > threshold
       val demoteRight = hint.rightHint.forall(_.strategy.isEmpty) &&

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+import graft.table.{GraftFileIndex, ZoneTranslator}
+
+/** Manifest-stats broadcast promotion — the cost-based join-regime pick
+  * the reference never had (round-14 VERDICT Next #3).
+  *
+  * Spark's static planner sizes a filtered scan at the FULL table bytes
+  * (filter selectivity is unknown without CBO column stats), so a
+  * 250 MB dim filtered down to 5 MB plans as a shuffle join and every
+  * fact row pays the exchange. For zone-mapped tables
+  * ([[graft.table.SfcTable.open]]) the engine already KNOWS better: the
+  * manifest's per-file [min,max]/rows/bytes evaluate the pushed filter
+  * per file — the same math the scan itself uses to skip files. This
+  * rule runs that estimate at planning time and stamps a BROADCAST hint
+  * on a join side whose provable post-prune cost fits the broadcast
+  * budget (`spark.graft.broadcastBudget`, memory-derived in
+  * Sessions.tuned; falls back to the static threshold).
+  *
+  * Soundness of the estimate: zone pruning is conservative — every file
+  * that COULD hold a matching row is counted — so the estimate is an
+  * upper bound on the bytes the scan can produce. The hash-build cost is
+  * bounded the same way [[FactBroadcastGuard]] bounds it: surviving rows
+  * x 48 bytes/entry, so a byte-light but row-heavy side still refuses to
+  * broadcast. Un-translatable conjuncts (LIKE, UDFs) contribute no
+  * pruning and only make the estimate MORE conservative; a side with no
+  * translatable filter at all is left to Spark's own sizing.
+  *
+  * Placement: a pre-CBO logical rule — operator optimization has already
+  * pushed filters down to the relation, and physical planning (which
+  * reads the Join's hint) has not happened yet. Idempotent: a side
+  * already carrying any strategy hint is left alone, so user hints and
+  * FactBroadcastGuard's NO_BROADCAST_HASH stamps always win.
+  */
+object StatsBroadcastHint extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Same per-entry hash-relation cost as FactBroadcastGuard. */
+  private val HashEntryBytes = 48L
+
+  /** Post-prune cost bytes for a chain of Project/Filter nodes over one
+    * zone-mapped relation; None when the shape or stats don't apply.
+    */
+  private def zoneCost(p: LogicalPlan): Option[BigInt] = {
+    @scala.annotation.tailrec
+    def walk(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(GraftFileIndex, Seq[Expression])] = p match {
+      case Filter(c, child) => walk(child, conds ++ splitConjunctivePredicates(c))
+      case Project(_, child) => walk(child, conds)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case g: GraftFileIndex if conds.nonEmpty => Some((g, conds))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(p, Nil).flatMap { case (g, conds) =>
+      val preds = conds.flatMap(ZoneTranslator.translate(_, g.tableSchema))
+      if (preds.isEmpty) None // nothing provable — Spark's sizing stands
+      else {
+        val files = g.manifest.files
+        val totalRows = math.max(1L, files.map(_.rows).sum)
+        val totalBytes = files.flatMap(_.bytes).sum
+        // pre-manifest-v2 entries lack bytes: prorate the table total
+        def entryBytes(rows: Long, b: Option[Long]): Long =
+          b.getOrElse(
+            if (totalBytes > 0) totalBytes * rows / totalRows
+            else rows * 128L) // last resort: assume wide-ish rows
+        val kept = files.filter(f => preds.forall(_.mayMatch(f)))
+        val bytes = kept.map(f => BigInt(entryBytes(f.rows, f.bytes))).sum
+        val rows = kept.map(f => BigInt(f.rows)).sum
+        Some(bytes.max(rows * HashEntryBytes))
+      }
+    }
+  }
+
+  private def canBuildRight(jt: JoinType): Boolean = jt match {
+    case _: InnerLike | LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin => true
+    case _ => false
+  }
+  private def canBuildLeft(jt: JoinType): Boolean = jt match {
+    case _: InnerLike | RightOuter => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = SQLConf.get
+    if (conf.autoBroadcastJoinThreshold < 0) return plan // broadcast off
+    val budget = BigInt(conf.getConfString("spark.graft.broadcastBudget",
+      conf.autoBroadcastJoinThreshold.toString).toLong)
+    plan.transformUp {
+      case j @ Join(left, right, jt, _, hint)
+          if hint.leftHint.forall(_.strategy.isEmpty) &&
+            hint.rightHint.forall(_.strategy.isEmpty) =>
+        val rCost = if (canBuildRight(jt)) zoneCost(right).filter(_ <= budget) else None
+        val lCost = if (canBuildLeft(jt)) zoneCost(left).filter(_ <= budget) else None
+        (lCost, rCost) match {
+          case (None, None) => j
+          case (l, r) =>
+            // both provably small: broadcast the cheaper side
+            val pickRight = r.exists(rc => l.forall(rc <= _))
+            val bc = Some(HintInfo(strategy = Some(BROADCAST)))
+            if (pickRight) j.copy(hint = hint.copy(rightHint = bc))
+            else j.copy(hint = hint.copy(leftHint = bc))
+        }
+    }
+  }
+}

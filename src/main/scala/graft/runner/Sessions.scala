@@ -69,6 +69,24 @@ object Sessions {
       .config("spark.sql.shuffle.partitions",
         shufflePartitionsFor(dataDir, cpus.toInt).toString)
 
+  /** Memory-derived broadcast budget: the size up to which a join side
+    * whose TRUE size is known (AQE runtime stats, manifest zone stats)
+    * may broadcast, even though the static 50 MB threshold — tuned for
+    * Spark's naive full-table estimates — would not dare. heap/16
+    * clamped to [64 MB, 256 MB]: a hashed relation costs ~3x its bytes
+    * to build, so 256 MB stays under 1 GB of executor memory, safe for
+    * any executor this engine targets (4 GB+). The q57/TPC-H-Q9 sf32
+    * cliff (BENCH_SF32_TPCH.json): the p_name-filtered part side is
+    * 55 MB REAL — broadcasting it halves the query; the fixed 50 MB
+    * conf forced the shuffle regime until sf64. Override with
+    * SPARK_GRAFT_BROADCAST_BUDGET (bytes).
+    */
+  def broadcastBudgetBytes: Long =
+    sys.env.get("SPARK_GRAFT_BROADCAST_BUDGET").map(_.toLong).getOrElse {
+      val heap = Runtime.getRuntime.maxMemory
+      math.max(64L * 1024 * 1024, math.min(256L * 1024 * 1024, heap / 16))
+    }
+
   def tuned(builder: SparkSession.Builder, cpus: String): SparkSession.Builder =
     builder
       // full engine surface: curve/text SQL functions + optimizer rules
@@ -88,5 +106,14 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST_BYTES",
           (50L * 1024 * 1024).toString))
+      // Regime split (round-15, the q57 sf32 cliff): ESTIMATED sizes are
+      // judged by the conservative static threshold above; EXACT sizes —
+      // AQE's measured shuffle stages — may broadcast up to the
+      // memory-derived budget. FactBroadcastGuard reads the same budget
+      // (spark.graft.broadcastBudget) so its row-cost demotion and AQE's
+      // byte-based promotion agree on one bar.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        broadcastBudgetBytes.toString)
+      .config("spark.graft.broadcastBudget", broadcastBudgetBytes.toString)
       .config("spark.ui.enabled", "false")
 }

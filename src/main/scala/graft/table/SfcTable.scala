@@ -26,10 +26,10 @@ import graft.layout._
 class GraftFileIndex(
     spark: SparkSession,
     rootPath: Path,
-    manifest: TableManifest,
-    schema: StructType)
+    val manifest: TableManifest,
+    val tableSchema: StructType)
   extends InMemoryFileIndex(
-    spark, Seq(rootPath), Map.empty, Some(schema), FileStatusCache.getOrCreate(spark)) {
+    spark, Seq(rootPath), Map.empty, Some(tableSchema), FileStatusCache.getOrCreate(spark)) {
 
   private val byPath: Map[String, FileEntry] =
     manifest.files.map(f => normalize(f.path) -> f).toMap
@@ -44,7 +44,7 @@ class GraftFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val all = super.listFiles(partitionFilters, dataFilters)
-    val preds = dataFilters.flatMap(ZoneTranslator.translate(_, schema))
+    val preds = dataFilters.flatMap(ZoneTranslator.translate(_, tableSchema))
     if (preds.isEmpty) {
       lastKept = -1; lastTotal = -1
       return all

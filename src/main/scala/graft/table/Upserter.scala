@@ -107,11 +107,17 @@ object Upserter {
           case None => (k, false, col(k).cast("string").as(s"__z_$i"))
         }
       }
-    // rows with a NULL key column are excluded from the prune domain
-    // (and from bloom probing) — they dedup within the merged frame but
-    // never scope the rewrite, matching the non-null key contract keyed
-    // tables have always had here (Hudi rejects null record keys)
+    // NULL record keys are rejected loudly (Hudi behavior): a null-key
+    // row can't be scoped by zones or blooms, so it would bypass the
+    // file-scoped dedup — null-key rows sitting in unaffected files are
+    // never deduped against, and repeated upserts of the same null-key
+    // row would silently accumulate duplicates (round-14 ADVICE).
     val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+    if (alignedBatch.filter(!nonNullKeys).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"upsert batch for $dir has NULL record-key values in " +
+          s"(${keys.mkString(", ")}) — null record keys are not " +
+          "upsertable (same contract as Hudi); filter or fill them first")
     val tuples: Array[org.apache.spark.sql.Row] = alignedBatch
       .filter(nonNullKeys)
       .select((KeyIndex.keyHashCol(keys).as("__h") +: zoneCols.map(_._3)): _*)
@@ -239,13 +245,14 @@ object Upserter {
       if (moved.isEmpty) Seq.empty[FileEntry]
       else ZoneMap.collectStatsDf(
         StagedRewrite.readFiles(spark, dir, moved, partitioned), manifest.statsCols)
-    val updated = manifest.copy(files = untouched ++ newEntries,
-      commitsSinceCluster = Some(manifest.commitsSinceCluster.getOrElse(0) + 1))
     // commit order matches KeyedDelta (round-11 ADVICE): atomically
     // publish the manifest FIRST, delete superseded files after — a
     // crash in between leaves orphan old files a manifest-driven reader
     // never sees, never a manifest referencing deleted files.
-    ZoneMap.write(dir, updated)
+    // ZoneMap.write stamps the commit generation; propagate ITS result.
+    val updated = ZoneMap.write(dir, manifest.copy(
+      files = untouched ++ newEntries,
+      commitsSinceCluster = Some(manifest.commitsSinceCluster.getOrElse(0) + 1)))
     StagedRewrite.deleteFiles(fs, affected)
     spark.catalog.refreshByPath(dir)
     // index maintenance AFTER the commit: a crash in between leaves

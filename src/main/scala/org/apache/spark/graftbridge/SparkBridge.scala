@@ -12,4 +12,15 @@ object SparkBridge {
   def drainListenerBus(sc: SparkContext, timeoutMs: Long = 10000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
     catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Broadcast blocks currently in the local block manager, name → bytes
+    * (memory + disk). Local mode only; lets suites probe how much a code
+    * path actually broadcast (KeyIndexSuite's O(batch)-lookup assertion).
+    */
+  def broadcastBlocks(sc: SparkContext): Map[String, Long] = {
+    val bm = org.apache.spark.SparkEnv.get.blockManager
+    bm.getMatchingBlockIds(_.isBroadcast).flatMap { id =>
+      bm.getStatus(id).map(s => id.name -> (s.memSize + s.diskSize))
+    }.toMap
+  }
 }

@@ -78,26 +78,68 @@ class KeyIndexSuite extends SparkTestBase {
     val dir = tmpDir("graft_keyidx_fs")
     writeOrthogonal(dir)
     KeyIndex.build(spark, dir)
-    // simulate a crash between a mutation's commit and its index
-    // update: drop the shard dir holding one manifest file's bloom row
+    // simulate the REAL crash window: a mutation commits a new file +
+    // manifest (generation bump) and dies before KeyIndex.update — the
+    // new file has no bloom row and its gen exceeds the sidecar's
+    // indexedGen, so pure driver-side generation math must flag it
     val manifest = ZoneMap.read(dir)
-    val victim = KeyIndex.norm(manifest.files.head.path)
-    val shardDir = new java.io.File(
-      KeyIndex.path(dir).toFile, s"s=${KeyIndex.shardOf(victim)}")
-    assert(shardDir.isDirectory, "victim's shard dir must exist")
-    def rec(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
-    }
-    rec(shardDir)
+    val src = new java.io.File(new java.net.URI(manifest.files.head.path))
+    val crashed = new java.io.File(src.getParentFile, "part-crashed.parquet")
+    java.nio.file.Files.copy(src.toPath, crashed.toPath)
+    val committed = ZoneMap.write(dir, manifest.copy(files =
+      manifest.files :+ manifest.files.head.copy(
+        path = crashed.toURI.toString, gen = None)))
+    val victim = KeyIndex.norm(crashed.toURI.toString)
     val h = hashOf(987654321L) // a key in no file: blooms all negative
-    val paths = KeyIndex.affectedPaths(spark, dir, Seq(h), manifest).get
-    assert(paths.contains(victim), "unindexed file must stay affected")
+    val paths = KeyIndex.affectedPaths(spark, dir, Seq(h), committed).get
+    assert(paths.contains(victim), "unindexed committed file must be affected")
+    assert(paths.size == 1,
+      s"indexed files with negative blooms must be pruned: $paths")
 
     // reconcile must not purge the sidecar's part files
     StagedRewrite.reconcile(spark, dir, ZoneMap.read(dir))
     assert(KeyIndex.exists(dir))
-    assert(KeyIndex.affectedPaths(spark, dir, Seq(h), manifest).get
+    assert(KeyIndex.affectedPaths(spark, dir, Seq(h), committed).get
       .contains(victim))
+
+    // the next maintenance pass SELF-HEALS: even with nothing added,
+    // update() blooms the crash-window file and advances indexedGen
+    KeyIndex.update(spark, dir, Nil, Nil)
+    val healed = KeyIndex.affectedPaths(spark, dir, Seq(h), ZoneMap.read(dir)).get
+    assert(!healed.contains(victim),
+      s"after update() the healed file's bloom must prune it: $healed")
+  }
+
+  test("lookup broadcasts O(batch), not the live-path set") {
+    val dir = tmpDir("graft_keyidx_bc")
+    writeOrthogonal(dir)
+    KeyIndex.build(spark, dir)
+    val manifest = ZoneMap.read(dir)
+    val sc = spark.sparkContext
+    // drain pending cleanup, then measure broadcast blocks created by
+    // ONE lookup: only the batch-hash array (+ per-stage task binaries),
+    // never the O(table) path-string set the v2 protocol shipped
+    // inflate the manifest to production file counts with fake already-
+    // indexed entries (gen 0 <= indexedGen): the v2 protocol broadcast
+    // every live path per lookup (~20 MB for these 200k paths); v3 does
+    // driver-side set math over them and ships only the batch hashes
+    val fake = (1 to 200000).map(i => manifest.files.head.copy(
+      path = s"file:///graft/fake/part-${i}%08d-0000.parquet",
+      gen = Some(0L)))
+    val bigManifest = manifest.copy(files = manifest.files ++ fake)
+    System.gc()
+    org.apache.spark.graftbridge.SparkBridge.drainListenerBus(sc)
+    val before = org.apache.spark.graftbridge.SparkBridge
+      .broadcastBlocks(sc).keySet
+    val hashes = (1L to 100L).map(hashOf)
+    KeyIndex.affectedPaths(spark, dir, hashes, bigManifest)
+    val after = org.apache.spark.graftbridge.SparkBridge.broadcastBlocks(sc)
+    val newBytes = after.view.filterKeys(!before.contains(_)).values.sum
+    // 100 hash longs + the per-job task binary (~0.5 MB, constant in
+    // table size): far under the ~20 MB the 200k-path live set measures
+    assert(newBytes > 0, "lookup should create the batch-hash broadcast")
+    assert(newBytes < 2 * 1024 * 1024,
+      s"lookup broadcast must be O(batch), not O(table): $newBytes bytes")
   }
 
   test("maintenance is append-only; stale rows reclaimed by amortized GC") {

@@ -1,0 +1,158 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.layout.LayoutWriter
+import graft.layout.LayoutWriter.LayoutSpec
+import graft.table.SfcTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The join-regime split (round-15): ESTIMATED sizes obey the static
+  * 50 MB threshold; PROVEN sizes — manifest zone stats at planning time,
+  * AQE-measured stages at runtime — may broadcast up to the
+  * memory-derived `spark.graft.broadcastBudget`. These tests reproduce
+  * the q57/TPC-H-Q9 sf32 cliff shape at test scale: a filtered dim whose
+  * naive estimate exceeds the static threshold but whose true size is
+  * tiny, joined to a larger fact.
+  */
+class StatsBroadcastSuite extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private lazy val layoutDir: String = {
+    val dir = tmpDir("graft_sbh_")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    LayoutWriter.write(li, dir,
+      LayoutSpec("linear", Seq("l_orderkey"), numFiles = Some(8)))
+    dir
+  }
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("manifest zone stats promote a provably-small filtered dim to broadcast " +
+      "below the static threshold (static plan, no AQE)") {
+    // static threshold 1 KB: Spark's naive sizing broadcasts NOTHING;
+    // the zone estimate of the orderkey-range filter is what must act
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      "spark.graft.broadcastBudget" -> (10L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("f_orderkey"), col("l_quantity"))
+      val dim = SfcTable.open(spark, layoutDir)
+        .filter(col("l_orderkey") <= 50)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val j = fact.join(dim, col("f_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"zone-provably-small dim must broadcast:\n$plan")
+      // and the result is the same rows as the shuffle plan would give
+      assert(j.count() ==
+        fact.join(
+          spark.read.parquet(layoutDir).filter(col("l_orderkey") <= 50)
+            .select(col("l_orderkey"), col("l_extendedprice")),
+          col("f_orderkey") === col("l_orderkey")).count())
+    }
+  }
+
+  test("no zone-translatable filter -> no promotion (Spark's sizing stands)") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      "spark.graft.broadcastBudget" -> (10L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("f_orderkey"), col("l_quantity"))
+      // modulo is not a zone predicate: the estimate stays at full size,
+      // which exceeds the 1 KB static threshold -> shuffle join
+      val dim = SfcTable.open(spark, layoutDir)
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val plan = fact.join(dim, col("f_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"unprovable filter must not promote:\n$plan")
+    }
+  }
+
+  test("zone estimate above the budget -> no promotion") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      "spark.graft.broadcastBudget" -> "2048", // 2 KB: nothing fits
+      "spark.sql.adaptive.enabled" -> "false") {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("f_orderkey"), col("l_quantity"))
+      val dim = SfcTable.open(spark, layoutDir)
+        .filter(col("l_orderkey") <= 50)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val plan = fact.join(dim, col("f_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-budget estimate must not promote:\n$plan")
+    }
+  }
+
+  test("sf32-shaped regime: AQE promotes a filtered plain-parquet dim at the " +
+      "measured size, static threshold unchanged") {
+    // the q57 shape: dim's NAIVE estimate (full file bytes) exceeds the
+    // static threshold, its TRUE filtered size fits the budget. Static
+    // plan must be a shuffle join; the final adaptive plan must have
+    // converted it to broadcast WITHOUT touching the static threshold.
+    val partBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$sf/part.parquet"))
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> (partBytes / 2).toString,
+      "spark.graft.broadcastBudget" -> (10L * 1024 * 1024).toString,
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" ->
+        (10L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "true") {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"))
+      val dim = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_name").contains("green"))
+        .select(col("p_partkey"), col("p_brand"))
+      val j = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      val initial = j.queryExecution.executedPlan.toString
+      assert(!initial.contains("BroadcastHashJoinExec"),
+        s"naive estimate must not broadcast statically:\n$initial")
+      val after = finalPlan(j)
+      assert(after.contains("BroadcastHashJoin"),
+        s"AQE must promote at the measured size:\n$after")
+    }
+  }
+
+  test("FactBroadcastGuard still pins oversized sides: AQE cannot promote " +
+      "past the budget") {
+    val partBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$sf/part.parquet"))
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> (partBytes / 2).toString,
+      // budget BELOW the dim bytes: the guard stamps NO_BROADCAST_HASH,
+      // so even a huge adaptive threshold must not broadcast
+      "spark.graft.broadcastBudget" -> (partBytes / 2).toString,
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" ->
+        (100L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "true") {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"))
+      val dim = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_name").contains("green"))
+        .select(col("p_partkey"), col("p_brand"))
+      val after = finalPlan(fact.join(dim, col("l_partkey") === col("p_partkey")))
+      assert(!after.contains("BroadcastHashJoin"),
+        s"guard-stamped side must never broadcast:\n$after")
+    }
+  }
+}

@@ -46,6 +46,39 @@ class JdbcSourceSuite extends SparkTestBase {
     assert(df.select(countDistinct(col("id"))).collect()(0).getLong(0) == 500)
   }
 
+  test("date partitionColumn: range fan-out over a DATE stride, rows exact") {
+    // separate table with a date column (round-14 VERDICT Next #8: the
+    // JDBC partitioner's date/timestamp stride path had no coverage)
+    val dir = tmpDir("graft_derby_d")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE orders_d (id INT NOT NULL, odate DATE, amt DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO orders_d VALUES (?, ?, ?)")
+      val d0 = java.time.LocalDate.of(2024, 1, 1)
+      (0 until 365).foreach { i =>
+        ps.setInt(1, i)
+        ps.setDate(2, java.sql.Date.valueOf(d0.plusDays(i)))
+        ps.setDouble(3, i * 2.0)
+        ps.addBatch()
+      }
+      ps.executeBatch(); st.close(); ps.close()
+    } finally conn.close()
+    val df = JdbcSource.read(spark, url, "orders_d",
+      partitionColumn = Some("odate"), numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 date-range partitions, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 365)
+    assert(df.select(countDistinct(col("id"))).collect()(0).getLong(0) == 365)
+    // a date filter still pushes into the per-partition WHERE
+    // (2024 is a leap year: 365 rows from Jan 1 end at Dec 30 -> 30
+    // December dates)
+    assert(df.filter(col("odate") >= java.sql.Date.valueOf("2024-12-01"))
+      .count() == 30)
+  }
+
   test("filters push into the generated WHERE clause") {
     val df = JdbcSource.read(spark, dbUrl, "items")
       .filter(col("id") > 490)
