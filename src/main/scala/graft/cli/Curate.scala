@@ -41,6 +41,35 @@ object Curate {
     */
   val PostingsMinDocs: Long = 100000L
 
+  /** Amortized small-file compaction for the fold-mutated stores
+    * (round-15: the 50-batch streaming soak measured per-fold reads
+    * growing with FOLD COUNT — each fold appends ~1 file per store, so
+    * listings/footers grow linearly and append-era zones decay). A
+    * store is re-sorted + bin-packed (Compactor.compact: crash-safe
+    * swap, sidecars rebuilt) once its file count exceeds
+    * [[StoreCompactFactor]] x its byte-ideal count. The trigger is
+    * geometric, so the O(store) rewrite is paid at most once per
+    * ~factor-x growth in file count: O(1) amortized per appended file,
+    * the LSM/Hudi-clustering shape.
+    */
+  val StoreCompactFactor = 4
+  val StoreTargetFileBytes: Long = 32L * 1024 * 1024
+
+  private def maybeCompactStore(spark: SparkSession, dir: String): Unit = {
+    if (!graft.layout.ZoneMap.exists(dir)) return
+    val m = graft.layout.ZoneMap.read(dir)
+    val bytes = m.files.flatMap(_.bytes).sum
+    val ideal = math.max(1,
+      math.ceil(bytes.toDouble / StoreTargetFileBytes).toInt)
+    if (m.files.length >= math.max(16, StoreCompactFactor * ideal)) {
+      val t = System.nanoTime()
+      graft.layout.Compactor.compact(spark, dir, StoreTargetFileBytes)
+      System.err.println(f"[curate.add]   store_compact $dir: " +
+        f"${m.files.length} files -> ~$ideal " +
+        f"(${(System.nanoTime() - t) / 1e9}%.2fs)")
+    }
+  }
+
   def run(spark: SparkSession, sfDir: String, outDir: String,
       minChars: Long, packBudget: Option[Long] = None,
       forcePostings: Boolean = false): Seq[String] = {
@@ -51,14 +80,31 @@ object Curate {
       // untracked, each write re-runs the 4-way state join and the CC job
       val state = graft.runner.Materialize.track(
         graft.queries.IncrementalCuration.initState(docs, minChars))
-      state.drop("component").write.mode("overwrite")
-        .parquet(s"$outDir/state/docs")
+      val nState = state.count()
+      // the docs store gets the SAME zone-mapped keyed shape as the
+      // mapping below (round-15: the 50-batch streaming soak measured
+      // the fold's signature lookups growing O(state) — 0.5 s -> 3.2 s
+      // over 50 folds at sf1 — because a plain appended dir offers no
+      // file pruning: candidate doc_ids span the id domain, so parquet's
+      // In->range pushdown keeps every row group). linear-on-doc_id
+      // zones + id-monotone appends make a candidate-id lookup touch
+      // O(candidate) files; recordKey=doc_id gives crash-retry
+      // delete-by-key, mirroring the postings store.
+      graft.layout.LayoutWriter.write(
+        state.drop("component"), s"$outDir/state/docs",
+        graft.layout.LayoutWriter.LayoutSpec("linear", Seq("doc_id"),
+          numFiles = Some(math.max(1, math.ceil(nState / 2e6).toInt)),
+          recordKey = Some("doc_id")))
+      // secondary bloom index over the exact-dedup content hash: __h is
+      // a random md5, so NO zone/range structure can scope the per-fold
+      // "which batch hashes already exist" probe — only a bloom can
+      // (the other O(state) fold component the soak exposed)
+      graft.layout.KeyIndex.build(spark, s"$outDir/state/docs", Seq("__h"))
       // zone-mapped keyed store (round-12 VERDICT "Next #1"): folds
       // mutate the mapping with a file-scoped KeyedDelta instead of a
       // corpus-sized rewrite — tight doc_id zones (linear layout) make
       // the delete-by-key touch only the files holding changed labels.
       // ~2M rows per file ≈ 32 MB: a 10B-doc store stays at ~5k files.
-      val nState = state.count()
       graft.layout.LayoutWriter.write(
         state.select(col("doc_id"), col("component")),
         s"$outDir/state/components",
@@ -194,6 +240,11 @@ object Curate {
       // crash-recovery: a FullRelabel fold that died mid-swap can leave
       // state/components renamed away to components.old — restore it
       // (the pre-fold mapping is always safe: the retry recomputes)
+      // a previous fold's store compaction may have crashed mid-swap —
+      // heal each store (rollback or cleanup) before any read
+      Seq(s"$outDir/state/docs", s"$outDir/state/postings",
+          s"$outDir/state/components", s"$outDir/docs")
+        .foreach(graft.layout.Compactor.heal)
       val compPath = java.nio.file.Paths.get(outDir, "state", "components")
       val oldPath = java.nio.file.Paths.get(outDir, "state", "components.old")
       if (!java.nio.file.Files.exists(compPath) &&
@@ -232,9 +283,19 @@ object Curate {
       // corpus×corpus shuffle join to every narrow signature projection.
       // Schemas are pinned from the build-time capture (round-12 VERDICT
       // "Next #1"): no footer-inference jobs on the fold's hot path.
+      val stateDocsDir = s"$outDir/state/docs"
+      // manifest'd docs store (round-15: soak-measured O(state) fold
+      // lookups — see the full build): reconcile crash orphans BEFORE
+      // the dir-level read, mirroring components above. Pre-r15 states
+      // have no manifest — every new path below degrades to the old
+      // full-scan/plain-append behavior on them.
+      val docsZoned = graft.layout.ZoneMap.exists(stateDocsDir)
+      if (docsZoned)
+        graft.layout.StagedRewrite.reconcile(
+          spark, stateDocsDir, graft.layout.ZoneMap.read(stateDocsDir))
       val stateDocs = readSchema(outDir, "docs_schema.json")
         .foldLeft(spark.read)((r, s) => r.schema(s))
-        .parquet(s"$outDir/state/docs")
+        .parquet(stateDocsDir)
       // state-format gate (round-11 ADVICE): the fold reads the stored
       // sorted-shingle column `hs`; a pre-hs state would otherwise
       // die deep in plan analysis with a raw unresolved-column error
@@ -244,7 +305,9 @@ object Curate {
       val stateComps = spark.read.schema(CompsSchema).parquet(compDir)
       val batch = graft.Tables.parallelized(
         graft.Tables.load(spark, batchDir, "documents"))
-      val prep = graft.queries.IncrementalCuration.prepareBatch(stateDocs, batch, minChars)
+      val prep = graft.queries.IncrementalCuration.prepareBatch(
+        stateDocs, batch, minChars,
+        docsDir = if (docsZoned) Some(stateDocsDir) else None)
       lap("prepare_batch")
       val postingsDir = s"$outDir/state/postings"
       val usePostings = graft.layout.ZoneMap.exists(postingsDir)
@@ -259,12 +322,14 @@ object Curate {
       // builds); the distributed subgraph path is the guarded fallback
       val deltaRes = graft.queries.IncrementalCuration
         .componentsDeltaFast(spark, stateDocs, stateComps, prep,
-          if (usePostings) Some(postingsDir) else None)
+          if (usePostings) Some(postingsDir) else None,
+          docsDir = if (docsZoned) Some(stateDocsDir) else None)
         .getOrElse {
           val edges =
             if (usePostings)
               graft.queries.IncrementalCuration.edgesFromPostings(
-                spark, stateDocs, prep, postingsDir)
+                spark, stateDocs, prep, postingsDir,
+                docsDir = if (docsZoned) Some(stateDocsDir) else None)
             else
               graft.queries.IncrementalCuration.edgesDerived(stateDocs, prep)
           graft.queries.IncrementalCuration.componentsDelta(stateComps, prep, edges)
@@ -319,7 +384,7 @@ object Curate {
                 else summaryDelta(
                   spark, outDir, retired ++ addIds, addRows, corpusSchema)
               graft.layout.KeyedDelta(spark, docsDir, retired ++ addIds,
-                Some(addRows), corpusSchema)
+                Some(addRows), corpusSchema, appendPartitions = Some(1))
               lap(s"corpus_delta (${retired.length} retired reps)")
               adjusted.map(writeCsvLines(outDir, _))
                 .getOrElse(writeSummary(spark, outDir))
@@ -339,7 +404,7 @@ object Curate {
             changed.map(_.docId) ++ retryIds,
             Some(batchLabels.select(col("doc_id"), col("component"))
               .unionByName(changedDf)),
-            Some(CompsSchema))
+            Some(CompsSchema), appendPartitions = Some(1))
           lines
         case FullRelabel(labels) =>
           // degenerate merge storm beyond the delta caps: whole-mapping
@@ -389,7 +454,7 @@ object Curate {
               System.err.println(f"[curate.add]   fullrelabel/summary_delta " +
                 f"${(System.nanoTime() - tfr2) / 1e9}%.2fs")
               graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds,
-                Some(addRows), corpusSchema)
+                Some(addRows), corpusSchema, appendPartitions = Some(1))
               lap(s"corpus_delta (${dropIds.length} retired reps, full relabel)")
               adjusted.map(writeCsvLines(outDir, _))
                 .getOrElse(writeSummary(spark, outDir))
@@ -425,14 +490,30 @@ object Curate {
       if (usePostings) {
         graft.layout.KeyedDelta(spark, postingsDir, retryIds,
           Some(graft.queries.IncrementalCuration.postingsAll(prep.rows)),
-          Some(graft.queries.IncrementalCuration.PostingsSchema))
+          Some(graft.queries.IncrementalCuration.PostingsSchema),
+          appendPartitions = Some(1))
       }
       if (failAfterPostingsAppend)
         throw new IllegalStateException(
           "test hook: simulated crash after postings append, before docs append")
-      prep.rows.write.mode("append").parquet(s"$outDir/state/docs")
+      if (docsZoned) {
+        // manifest-maintained append; a retry's delete-by-key removes a
+        // crashed fold's half-appended rows first (batch ids exceed the
+        // corpus ids, so the delete prunes to zero files on clean folds).
+        // KeyedDelta also keeps the __h bloom sidecar current (updateAll).
+        graft.layout.KeyedDelta(spark, stateDocsDir, retryIds,
+          Some(prep.rows.select(stateDocs.columns.map(col).toSeq: _*)),
+          Some(stateDocs.schema), appendPartitions = Some(1))
+      } else {
+        prep.rows.write.mode("append").parquet(stateDocsDir)
+      }
       java.nio.file.Files.deleteIfExists(marker)
       lap("state_writes")
+      // amortized re-sort/bin-pack of whichever stores outgrew their
+      // append debt (no-op most folds; see maybeCompactStore)
+      Seq(stateDocsDir, postingsDir, compDir, docsDir)
+        .foreach(d => maybeCompactStore(spark, d))
+      lap("store_compact")
       if (useDelta) deltaLines
       else {
         // packed corpus, pre-manifest corpus dir, or a degenerate

@@ -17,6 +17,37 @@ object Compactor {
 
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024 // reference default
 
+  /** Heal a [[compact]] that crashed mid-swap. The swap is
+    * `rename(dir → .compact_old); rename(.compact_tmp → dir);
+    * ZoneMap.write(dir); delete(.compact_old)`, so a crash can leave:
+    * (a) `dir` missing with the pre-compact store intact under
+    * `.compact_old` → roll back (rename it home); (b) `dir` present but
+    * its manifest still the tmp-written one whose paths point into the
+    * now-renamed tmp dir → the old store is still complete under
+    * `.compact_old`, roll back wholesale; (c) `dir` present with a
+    * committed manifest and a leftover `.compact_old` → finish the
+    * cleanup. Call before relying on a store a compaction may have
+    * touched (the fold path does, every add).
+    */
+  def heal(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(dir)
+    val old = Paths.get(dir.stripSuffix("/") + ".compact_old")
+    if (!Files.exists(old)) return
+    def rm(p: java.nio.file.Path): Unit = {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
+      }
+      rec(p.toFile)
+    }
+    if (!Files.exists(d)) { Files.move(old, d); return } // (a)
+    val committed = ZoneMap.exists(dir) && ZoneMap.read(dir).files.forall { f =>
+      Files.exists(Paths.get(new Path(f.path).toUri.getPath))
+    }
+    if (committed) rm(old) // (c)
+    else { rm(d); Files.move(old, d) } // (b)
+  }
+
   /** Rows-weighted expected fraction of the table's ROWS a point query
     * on `c` must scan, straight off the manifest (no Spark job):
     * Σ_f rows_f · width_f / (total_rows · global_width), where width is
@@ -121,12 +152,16 @@ object Compactor {
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = DefaultTargetFileBytes): TableManifest = {
+    heal(dir) // a previous compact's crash leftovers, before re-reading
     val manifest = ZoneMap.read(dir)
     // compact reads the whole dir, so orphans from a crashed prior
     // mutation would be folded into the rewrite as duplicate rows —
     // reconcile first (round-12 ADVICE), mirroring Upserter/KeyedDelta.
     StagedRewrite.reconcile(spark, dir, manifest)
-    val hadKeyIndex = KeyIndex.exists(dir)
+    // capture index columns BEFORE the rewrite — the sidecar metas die
+    // with the superseded files' dir
+    val sidecars = KeyIndex.sidecarNames(dir)
+      .flatMap(n => KeyIndex.indexColsOf(dir, n).map(n -> _))
     val df = spark.read.parquet(dir)
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -165,12 +200,12 @@ object Compactor {
     val fixed = tmpManifest.copy(
       files = tmpManifest.files.map(f => f.copy(path = rebase(f.path))))
     ZoneMap.write(dir, fixed)
-    // a key-index sidecar rode into the .compact_old dir and died with
-    // it — rebuild it over the compacted files so an auto-recluster
-    // (maybeRecluster) never silently downgrades later keyed upserts
-    // back to table-wide COW. One extra shuffle, only when the table
-    // had an index.
-    if (hadKeyIndex) KeyIndex.build(spark, dir)
+    // key-index sidecars rode into the .compact_old dir and died with
+    // it — rebuild each (primary over the record key, secondaries over
+    // their meta columns) so an auto-recluster (maybeRecluster) never
+    // silently downgrades later keyed upserts back to table-wide COW.
+    // One extra shuffle per index, only when the table had one.
+    sidecars.foreach { case (_, cols) => KeyIndex.build(spark, dir, cols) }
     fixed
   }
 
@@ -227,10 +262,9 @@ object Compactor {
     ZoneMap.write(dir, updated)
     StagedRewrite.deleteFiles(fs, affected)
     spark.catalog.refreshByPath(dir)
-    // scoped rewrites keep the key-index sidecar current (whole-table
-    // [[compact]] drops it implicitly: the dir swap leaves the new dir
-    // sidecar-less — rebuild with KeyIndex.build if wanted)
-    KeyIndex.update(spark, dir, affected.map(_.path), newEntries)
+    // scoped rewrites keep every key-index sidecar current (whole-table
+    // [[compact]] rebuilds them over the swapped dir instead)
+    KeyIndex.updateAll(spark, dir, affected.map(_.path), newEntries)
     updated
   }
 }

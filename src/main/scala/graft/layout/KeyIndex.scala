@@ -58,6 +58,38 @@ object KeyIndex {
   val DirName = "_graft_keyindex"
   val Fpp = 0.001
 
+  /** Sidecar dir for an index over `cols` — the table's record key
+    * when empty (the primary, [[DirName]]), a named secondary dir
+    * otherwise. Secondaries index NON-key columns with the same bloom
+    * machinery (Hudi analog: its bloom index is record-key-only; a
+    * content-hash lookup like exact-dedup's md5 probe needs the same
+    * file scoping on a column zones can't serve — random hashes span
+    * every file's min/max).
+    */
+  def indexName(cols: Seq[String]): String =
+    if (cols.isEmpty) DirName else DirName + "_" + cols.mkString("_")
+
+  /** The columns a sidecar indexes (from its meta) — `Nil`-wrapped
+    * record-key marker for the primary so [[build]] re-derives from the
+    * manifest; the meta's columns for a secondary. None when the meta
+    * is missing/torn.
+    */
+  def indexColsOf(dir: String, name: String): Option[Seq[String]] =
+    if (name == DirName) Some(Nil)
+    else readMeta(dir, name).map(_.keys)
+
+  /** Names of every index sidecar present on `dir` (primary first). */
+  def sidecarNames(dir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(d)) return Nil
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(DirName)).toSeq.sorted
+    } finally s.close()
+  }
+
   /** Fixed shard-dir count. Small enough that a full build writes a
     * handful of dirs, large enough that a scattered mutation's removal
     * set (≤ tens of files) rewrites a bounded fraction of the sidecar.
@@ -107,11 +139,11 @@ object KeyIndex {
   def shardOf(normPath: String): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(normPath), Shards)
 
-  def path(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, DirName)
+  def path(dir: String, name: String = DirName): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, name)
 
-  def exists(dir: String): Boolean = {
-    val p = path(dir)
+  def exists(dir: String, name: String = DirName): Boolean = {
+    val p = path(dir, name)
     java.nio.file.Files.exists(p) && {
       // close the listing stream — it holds a directory fd, and this
       // runs on every upsert/KeyedDelta (a streaming sink leaks fds
@@ -121,32 +153,33 @@ object KeyIndex {
     }
   }
 
-  def drop(dir: String): Unit = {
+  def drop(dir: String, name: String = DirName): Unit = {
     def rec(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
     }
-    rec(path(dir).toFile)
+    rec(path(dir, name).toFile)
   }
 
   private def writeMeta(dir: String, keys: Seq[String],
-      stale: Long = 0L, indexedGen: Long = -1L): Unit = {
-    val p = path(dir).resolve(MetaName)
-    java.nio.file.Files.createDirectories(path(dir))
+      stale: Long = 0L, indexedGen: Long = -1L,
+      name: String = DirName): Unit = {
+    val p = path(dir, name).resolve(MetaName)
+    java.nio.file.Files.createDirectories(path(dir, name))
     java.nio.file.Files.write(p,
       Serialization.write(Meta(3, keys, Shards, stale, indexedGen))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def readMeta(dir: String): Option[Meta] = {
-    val p = path(dir).resolve(MetaName)
+  private def readMeta(dir: String, name: String = DirName): Option[Meta] = {
+    val p = path(dir, name).resolve(MetaName)
     if (!java.nio.file.Files.exists(p)) None
     else scala.util.Try(Serialization.read[Meta](new String(
       java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8))).toOption
   }
 
-  private def shardDirs(dir: String): Seq[java.nio.file.Path] = {
-    val p = path(dir)
+  private def shardDirs(dir: String, name: String = DirName): Seq[java.nio.file.Path] = {
+    val p = path(dir, name)
     if (!java.nio.file.Files.exists(p)) return Nil
     val s = java.nio.file.Files.list(p)
     try {
@@ -197,22 +230,30 @@ object KeyIndex {
       .toDF("path", "rows", "bloom", "s")
   }
 
-  /** Build (or rebuild) the index for every file in the manifest. */
-  def build(spark: SparkSession, dir: String): Unit = {
+  /** Build (or rebuild) the index for every file in the manifest —
+    * over the record key when `indexCols` is empty, or a named
+    * SECONDARY index over the given columns (see [[indexName]]).
+    */
+  def build(spark: SparkSession, dir: String,
+      indexCols: Seq[String] = Nil): Unit = {
     val manifest = ZoneMap.read(dir)
-    val keys = manifest.keyCols
+    val keys = if (indexCols.isEmpty) manifest.keyCols else indexCols
     require(keys.nonEmpty, s"$dir has no record key")
-    if (java.nio.file.Files.exists(path(dir))) drop(dir)
+    val name = indexName(indexCols)
+    if (java.nio.file.Files.exists(path(dir, name))) drop(dir, name)
     val gen = manifest.generation.getOrElse(0L)
-    if (manifest.files.isEmpty) { writeMeta(dir, keys, indexedGen = gen); return }
+    if (manifest.files.isEmpty) {
+      writeMeta(dir, keys, indexedGen = gen, name = name); return
+    }
     bloomRows(spark, dir, keys, manifest.files,
         manifest.hivePartitions.nonEmpty)
-      .write.mode("overwrite").partitionBy("s").parquet(path(dir).toString)
+      .write.mode("overwrite").partitionBy("s")
+      .parquet(path(dir, name).toString)
     // meta AFTER the parquet write (overwrite clears the dir); a crash
     // in between leaves a meta-less sidecar, which lookups skip and the
     // next mutation's update() rebuilds. indexedGen = the manifest
     // generation: every live file is indexed as of this commit.
-    writeMeta(dir, keys, indexedGen = gen)
+    writeMeta(dir, keys, indexedGen = gen, name = name)
   }
 
   /** The file paths (URI form) that MAY contain one of the key-tuple
@@ -234,12 +275,14 @@ object KeyIndex {
     * sidecar rows offset an unindexed live file.)
     */
   def affectedPaths(spark: SparkSession, dir: String,
-      hashes: Seq[Long], manifest: TableManifest): Option[Set[String]] = {
-    val meta = readMeta(dir) match {
+      hashes: Seq[Long], manifest: TableManifest,
+      indexCols: Seq[String] = Nil): Option[Set[String]] = {
+    val name = indexName(indexCols)
+    val meta = readMeta(dir, name) match {
       case Some(m) if m.version == 3 => m
       case _ => return None
     }
-    val dirs = shardDirs(dir)
+    val dirs = shardDirs(dir, name)
     if (dirs.isEmpty) return None
     val live = manifest.files.map(f => norm(f.path)).toSet
     // fail-safe, driver-side: files committed after the sidecar's last
@@ -250,7 +293,7 @@ object KeyIndex {
       .map(f => norm(f.path)).toSet
     val bcKeys = spark.sparkContext.broadcast(hashes.toArray)
     import spark.implicits._
-    val positives = spark.read.parquet(path(dir).toString)
+    val positives = spark.read.parquet(path(dir, name).toString)
       .select(col("path"), col("bloom")).as[(String, Array[Byte])]
       .mapPartitions { it =>
         val ks = bcKeys.value
@@ -276,16 +319,26 @@ object KeyIndex {
     * as v2 once.
     */
   def update(spark: SparkSession, dir: String, removedPaths: Seq[String],
-      added: Seq[FileEntry]): UpdateStats = {
-    if (!exists(dir)) return UpdateStats(0, 0L, 0, 0)
+      added: Seq[FileEntry], name: String = DirName): UpdateStats = {
+    if (!exists(dir, name)) return UpdateStats(0, 0L, 0, 0)
     val manifest = ZoneMap.read(dir)
-    val keys = manifest.keyCols
-    if (keys.isEmpty) { drop(dir); return UpdateStats(0, 0L, 0, 0) }
-    val meta = readMeta(dir) match {
+    // a named secondary carries its columns in its own meta; the
+    // primary's are the manifest record key
+    val metaKeys = readMeta(dir, name).map(_.keys).getOrElse(Nil)
+    val indexCols = if (name == DirName) Nil else metaKeys
+    val keys = if (name == DirName) manifest.keyCols else metaKeys
+    if (keys.isEmpty) { drop(dir, name); return UpdateStats(0, 0L, 0, 0) }
+    val meta = readMeta(dir, name) match {
       case Some(m) if m.version == 3 => m
       case _ =>
         // legacy/torn sidecar (v1/v2 or missing meta): one-time in-place
-        // upgrade (full rebuild over the already-committed manifest)
+        // upgrade (full rebuild over the already-committed manifest).
+        // A meta-less SECONDARY is unrecoverable (its columns lived only
+        // in the meta) — drop it; the owner rebuilds explicitly.
+        if (name != DirName) {
+          drop(dir, name)
+          return UpdateStats(0, 0L, removedPaths.length, added.length)
+        }
         System.err.println(s"[graft] KeyIndex: upgrading legacy sidecar at $dir")
         build(spark, dir)
         return UpdateStats(Shards, 0L, removedPaths.length, added.length,
@@ -304,15 +357,15 @@ object KeyIndex {
     val toIndex = added ++ healed
     if (toIndex.nonEmpty) {
       bloomRows(spark, dir, keys, toIndex, manifest.hivePartitions.nonEmpty)
-        .write.mode("append").partitionBy("s").parquet(path(dir).toString)
+        .write.mode("append").partitionBy("s").parquet(path(dir, name).toString)
     }
     val stale = meta.stale + removedPaths.length
     val stats =
       if (stale > math.max(64L, manifest.files.length / 2L))
-        gc(spark, dir, manifest, indexedGen = Some(currentGen)).copy(
-          filesRemoved = removedPaths.length, filesAdded = added.length)
+        gc(spark, dir, manifest, indexedGen = Some(currentGen), name = name)
+          .copy(filesRemoved = removedPaths.length, filesAdded = added.length)
       else {
-        writeMeta(dir, keys, stale, indexedGen = currentGen)
+        writeMeta(dir, keys, stale, indexedGen = currentGen, name = name)
         UpdateStats(0, 0L, removedPaths.length, added.length)
       }
     System.err.println(s"[graft] KeyIndex.update: appended " +
@@ -329,17 +382,19 @@ object KeyIndex {
     * lost mid-swap only fail-safes its files to affected).
     */
   def gc(spark: SparkSession, dir: String, manifest: TableManifest,
-      indexedGen: Option[Long] = None): UpdateStats = {
-    val keys = manifest.keyCols
+      indexedGen: Option[Long] = None, name: String = DirName): UpdateStats = {
+    val keys =
+      if (name == DirName) manifest.keyCols
+      else readMeta(dir, name).map(_.keys).getOrElse(Nil)
     // preserve the sidecar's indexed-through generation unless the
     // caller (update, after healing) proved a newer one
-    val gen = indexedGen.orElse(readMeta(dir).map(_.indexedGen)).getOrElse(-1L)
+    val gen = indexedGen.orElse(readMeta(dir, name).map(_.indexedGen)).getOrElse(-1L)
     val live = manifest.files.map(f => norm(f.path)).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var shardsRewritten = 0
     var bytesRewritten = 0L
-    shardDirs(dir).foreach { sd =>
+    shardDirs(dir, name).foreach { sd =>
       val sdir = new org.apache.hadoop.fs.Path(sd.toUri)
       // same path always shards identically, so per-shard dedup is
       // global dedup (duplicate rows only arise from unusual re-index
@@ -350,7 +405,7 @@ object KeyIndex {
         .dropDuplicates("path")
       // stage + swap: the shard read above is lazy until the write
       val tmp = new org.apache.hadoop.fs.Path(
-        dir, s".graft_keyindex_tmp_${sd.getFileName}")
+        dir, s".${name}_tmp_${sd.getFileName}")
       fs.delete(tmp, true)
       kept.write.mode("overwrite").parquet(tmp.toString)
       bytesRewritten += fs.getContentSummary(tmp).getLength
@@ -358,7 +413,20 @@ object KeyIndex {
       fs.rename(tmp, sdir)
       shardsRewritten += 1
     }
-    writeMeta(dir, keys, 0L, indexedGen = gen)
+    writeMeta(dir, keys, 0L, indexedGen = gen, name = name)
     UpdateStats(shardsRewritten, bytesRewritten, 0, 0, gc = true)
+  }
+
+  /** Post-mutation maintenance for EVERY index sidecar on `dir` —
+    * primary and secondaries alike (a mutation that only tracked the
+    * primary would leave a secondary's blooms stale-but-consulted).
+    * Returns the primary's stats (the one probes historically pin).
+    */
+  def updateAll(spark: SparkSession, dir: String, removedPaths: Seq[String],
+      added: Seq[FileEntry]): UpdateStats = {
+    val names = sidecarNames(dir)
+    if (names.isEmpty) return UpdateStats(0, 0L, 0, 0)
+    val stats = names.map(n => n -> update(spark, dir, removedPaths, added, n))
+    stats.collectFirst { case (DirName, st) => st }.getOrElse(stats.head._2)
   }
 }

@@ -27,7 +27,8 @@ object KeyedDelta {
     */
   def apply(spark: SparkSession, dir: String,
       dropKeys: Seq[Long], addRows: Option[DataFrame],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): TableManifest = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      appendPartitions: Option[Int] = None): TableManifest = {
     val manifest = ZoneMap.read(dir)
     // entry reconcile (round-11 ADVICE): a crash between writeAndMove and
     // the manifest commit leaves manifest-unreferenced part files; purge
@@ -58,11 +59,27 @@ object KeyedDelta {
         .readFiles(spark, dir, affected.map(_.path), partitioned, schema)
         .filter(!org.apache.spark.sql.graftbridge.Bridge.inSetLong(
           col(key), dropKeys)))
+    // appended-file shape (round-15: a 50-fold streaming soak left the
+    // docs store with 32 HASH-partitioned files per fold — every file
+    // spanning the batch's whole key range, so 1281 of 1281 files
+    // survived any zone prune). Callers appending batch-sized deltas
+    // pass appendPartitions=1: each fold lands as ONE file, sorted by
+    // the layout columns so its zones are as tight as the data allows.
+    val addShaped = addRows.map { a =>
+      appendPartitions match {
+        case Some(n) =>
+          val c = a.coalesce(n)
+          if (manifest.layoutCols.nonEmpty)
+            c.sortWithinPartitions(manifest.layoutCols.map(col): _*)
+          else c
+        case None => a
+      }
+    }
 
     // ---- one staged write for surviving + appended rows (round-12
     // VERDICT "Next #1": two writeAndMove actions fused into one —
     // column order aligned by name, the survivors' order wins)
-    val toWrite = (keep, addRows) match {
+    val toWrite = (keep, addShaped) match {
       case (Some(k), Some(a)) => Some(k.unionByName(a.select(k.columns.map(col).toSeq: _*)))
       case (Some(k), None) => Some(k)
       case (None, Some(a)) => Some(a)
@@ -94,9 +111,9 @@ object KeyedDelta {
     // manual file moves bypass Spark's write-path invalidation — stale
     // listings would read deleted part files on the next dir-level scan
     spark.catalog.refreshByPath(dir)
-    // a key-index sidecar (if a user built one on this keyed table)
-    // must track the rewrite — stale blooms would be unsound to consult
-    KeyIndex.update(spark, dir, affected.map(_.path), newEntries)
+    // every key-index sidecar (primary + any named secondaries) must
+    // track the rewrite — stale blooms would be unsound to consult
+    KeyIndex.updateAll(spark, dir, affected.map(_.path), newEntries)
     updated
   }
 }

@@ -107,7 +107,8 @@ object IncrementalCuration {
     */
   val BatchHashLimit: Int = 200000
 
-  def prepareBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100): BatchPrep = {
+  def prepareBatch(state: DataFrame, batch: DataFrame, minChars: Long = 100,
+      docsDir: Option[String] = None): BatchPrep = {
     val base = batch.filter(col("n_chars") >= minChars)
     val bh = base.withColumn("__h", md5(col("text")))
     // exact dedup as two bounded driver collects (round-12 VERDICT
@@ -118,7 +119,10 @@ object IncrementalCuration {
     // plan. Driver-side, the batch's kept ids become one InSet filter
     // on the batch scan (pushdown-friendly, trivially re-executable)
     // and the state side is one narrow InSet-pushed scan per fold.
+    // __hh rides along in the SAME collect: the bloom probe below needs
+    // xxhash64(__h) and computing it here costs nothing extra
     val hashRows = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("__h"), col("doc_id"), xxhash64(col("__h")).as("__hh"))
       .limit(BatchHashLimit + 1).collect()
     val bKept = if (hashRows.length > BatchHashLimit) {
       val keepIds = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
@@ -129,12 +133,43 @@ object IncrementalCuration {
         bh.join(keepIds, Seq("__h", "doc_id"))
           .join(state.select(col("__h")), Seq("__h"), "left_anti"))
     } else {
+      // which batch hashes already exist in the state: __h is a random
+      // md5, so neither zones nor parquet range pushdown can scope this
+      // probe — the secondary __h BLOOM sidecar can (round-15: the
+      // 50-batch soak measured the un-scoped probe growing with the
+      // store). Bloom-positive files only; no positives means no scan
+      // job at all. Fail-safes: no sidecar -> full scan (pre-r15
+      // states); files committed after the sidecar's generation are
+      // included by affectedPaths.
+      val hProbe: Either[Set[String], DataFrame] = docsDir match {
+        case Some(d) if hashRows.nonEmpty && graft.layout.KeyIndex.exists(
+            d, graft.layout.KeyIndex.indexName(Seq("__h"))) =>
+          val manifest = graft.layout.ZoneMap.read(d)
+          graft.layout.KeyIndex.affectedPaths(state.sparkSession, d,
+              hashRows.map(_.getLong(2)).toSeq, manifest, Seq("__h")) match {
+            case Some(paths) =>
+              val files = manifest.files.filter(f =>
+                paths.contains(graft.layout.KeyIndex.norm(f.path)))
+              System.err.println(s"[curate.add]   hash_bloom_prune " +
+                s"${files.length}/${manifest.files.length} files")
+              if (files.isEmpty) Left(Set.empty[String])
+              else Right(graft.layout.StagedRewrite.readFiles(
+                  state.sparkSession, d, files.map(_.path),
+                  manifest.hivePartitions.nonEmpty, Some(state.schema))
+                .select(col("__h")))
+            case None => Right(state.select(col("__h")))
+          }
+        case _ => Right(state.select(col("__h")))
+      }
       val matched =
         if (hashRows.isEmpty) Set.empty[String]
-        else state.select(col("__h"))
-          .filter(org.apache.spark.sql.graftbridge.Bridge.inSetString(
-            col("__h"), hashRows.map(_.getString(0))))
-          .collect().map(_.getString(0)).toSet
+        else hProbe match {
+          case Left(none) => none
+          case Right(stateH) => stateH
+            .filter(org.apache.spark.sql.graftbridge.Bridge.inSetString(
+              col("__h"), hashRows.map(_.getString(0))))
+            .collect().map(_.getString(0)).toSet
+        }
       val keepIds = hashRows.collect {
         case r if !matched(r.getString(0)) => r.getLong(1)
       }.toSeq
@@ -181,7 +216,8 @@ object IncrementalCuration {
     * store (the pre-postings path; still the path of states below
     * [[graft.cli.Curate.PostingsMinDocs]]).
     */
-  def edgesDerived(state: DataFrame, prep: BatchPrep): DataFrame = {
+  def edgesDerived(state: DataFrame, prep: BatchPrep,
+      docsDir: Option[String] = None): DataFrame = {
     // trackLazy (round-10 ADVICE): each capped band join's census is an
     // eager aggregate over these frames — lazily persisted, the census
     // doubles as the materializing action and the band join reads the
@@ -217,7 +253,7 @@ object IncrementalCuration {
       DedupQueries.minhashCandidates(sigAll, Some("__new"),
         DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot))
     simEdges.unionAll(
-      DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand)))
+      DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand, docsDir)))
   }
 
   /** The (doc_id, hs) frame [[DedupQueries.verifiedBySets]] joins each
@@ -235,21 +271,40 @@ object IncrementalCuration {
     *    sides; uncached, each side re-scans the hs column.
     */
   private def verifySets(state: DataFrame, prep: BatchPrep,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame, docsDir: Option[String] = None): DataFrame = {
     val tv0 = System.nanoTime()
     val idRows = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id"))
       .distinct().limit(CandIdLimit + 1).collect()
     System.err.println(f"[curate.add]   edges/cand_ids ${(System.nanoTime() - tv0) / 1e9}%.2fs")
-    val sets0 = state.select(col("doc_id"), col("hs"))
+    val overLimit = idRows.length > CandIdLimit
+    val ids = if (overLimit) Array.empty[Long] else idRows.map(_.getLong(0))
+    // candidate-file prune (round-15: the 50-batch soak measured this
+    // lookup growing O(state) — an InSet over ids that span the id
+    // domain degrades to a min/max range no row group can fail, so the
+    // scan decompressed the WHOLE hs column every fold). The docs
+    // store's doc_id zones are tight (linear build layout + id-monotone
+    // appends), so NumIn keeps O(candidate) files; batch-side ids
+    // exceed every zone and prune to nothing, their rows come from
+    // prep.rows below.
+    val stateSets = docsDir match {
+      case Some(d) if !overLimit =>
+        val scan = graft.layout.PrunedScan.read(state.sparkSession, d,
+          Seq(graft.layout.NumIn("doc_id", ids.map(_.toDouble).toSeq)),
+          schema = Some(state.schema))
+        System.err.println(s"[curate.add]   verify_docs_prune " +
+          s"${scan.filesKept}/${scan.filesTotal} files")
+        scan.df.select(col("doc_id"), col("hs"))
+      case _ => state.select(col("doc_id"), col("hs"))
+    }
+    val sets0 = stateSets
       .unionByName(prep.rows.select(col("doc_id"), col("hs")))
     val sets =
-      if (idRows.length > CandIdLimit) sets0
+      if (overLimit) sets0
       else sets0.filter(org.apache.spark.sql.graftbridge.Bridge.inSetLong(
-        col("doc_id"), idRows.map(_.getLong(0))))
+        col("doc_id"), ids))
     System.err.println(s"[curate.add] verify_sets candidate_ids=" +
-      (if (idRows.length > CandIdLimit) "over_limit(full scan)"
-       else idRows.length.toString))
+      (if (overLimit) "over_limit(full scan)" else ids.length.toString))
     Materialize.trackLazy(sets)
   }
 
@@ -537,7 +592,8 @@ object IncrementalCuration {
     */
   def componentsDeltaFast(spark: org.apache.spark.sql.SparkSession,
       state: DataFrame, stateComps: DataFrame, prep: BatchPrep,
-      postingsDir: Option[String]): Option[DeltaResult] = {
+      postingsDir: Option[String],
+      docsDir: Option[String] = None): Option[DeltaResult] = {
     import org.apache.spark.sql.graftbridge.Bridge.inSetLong
     var tl = System.nanoTime()
     def lap(s: String): Unit = {
@@ -658,7 +714,22 @@ object IncrementalCuration {
       else {
         val candDf = spark.createDataFrame(mhPairs.toSeq).toDF("da", "db")
         val ids = mhPairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-        val sets0 = state.select(col("doc_id"), col("hs"))
+        // candidate-file prune (round-15 soak: this lookup grew
+        // 0.5 s -> 3.2 s over 50 sf1 folds — scattered ids defeat
+        // parquet's In->range pushdown, so the un-pruned scan
+        // decompressed the whole hs column of the growing store every
+        // fold). Tight doc_id zones keep O(candidate) files; batch ids
+        // prune to nothing and come from prep.rows.
+        val stateSets = docsDir match {
+          case Some(d) if ids.size <= CandIdLimit =>
+            val scan = graft.layout.PrunedScan.read(spark, d,
+              Seq(graft.layout.NumIn("doc_id", ids.iterator.map(_.toDouble).toSeq)),
+              schema = Some(state.schema))
+            lap(s"verify_docs_prune (${scan.filesKept}/${scan.filesTotal} files)")
+            scan.df.select(col("doc_id"), col("hs"))
+          case _ => state.select(col("doc_id"), col("hs"))
+        }
+        val sets0 = stateSets
           .unionByName(prep.rows.select(col("doc_id"), col("hs")))
         val sets =
           if (ids.size > CandIdLimit) sets0
@@ -839,7 +910,8 @@ object IncrementalCuration {
     * notes above).
     */
   def edgesFromPostings(spark: org.apache.spark.sql.SparkSession,
-      state: DataFrame, prep: BatchPrep, postingsDir: String): DataFrame = {
+      state: DataFrame, prep: BatchPrep, postingsDir: String,
+      docsDir: Option[String] = None): DataFrame = {
     val tp0 = System.nanoTime()
     val batchRows = postingsAll(prep.rows).withColumn("__new", lit(true))
     // one batch-sized job collects the touched bucket keys (both
@@ -884,7 +956,7 @@ object IncrementalCuration {
       DedupQueries.minhashCandidatesRows(mhAll, Some("__new"),
         DedupQueries.DegenerateBucketCap, Some(c.mhMax), c.mhHot))
     simEdges.unionAll(
-      DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand)))
+      DedupQueries.verifiedBySets(cand, verifySets(state, prep, cand, docsDir)))
   }
 
   /** Fold a new batch into the state (frame-level composition of

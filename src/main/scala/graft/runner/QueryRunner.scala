@@ -90,12 +90,19 @@ object QueryRunner {
     if (listener.isDefined)
       org.apache.spark.graftbridge.SparkBridge.drainListenerBus(spark.sparkContext)
     val g = listener.map(_.snapshot(name))
+    // Byte-source fallback chain mirroring the reference's metric merge
+    // (run_queries.py:650-700): exact task metrics → plan filesSize →
+    // the M2 inputFiles upper bound (sources whose scan node carries no
+    // size metric, e.g. cached or non-file relations over files).
+    val bytes = g.map(_.bytesRead).filter(_ > 0)
+      .orElse(Some(planBytes).filter(_ > 0))
+      .getOrElse(ByteProbes.inputFileBytes(frame))
     QueryMetrics(
       name = name,
       rows = rows,
       wallSec = wall,
       filesScanned = files,
-      bytesScanned = g.map(_.bytesRead).getOrElse(planBytes),
+      bytesScanned = bytes,
       recordsRead = g.map(_.recordsRead).getOrElse(0L),
       executorRunTimeMs = g.map(_.executorRunTimeMs).getOrElse(0L),
       executorCpuTimeNs = g.map(_.executorCpuTimeNs).getOrElse(0L))

@@ -257,7 +257,7 @@ object Upserter {
     spark.catalog.refreshByPath(dir)
     // index maintenance AFTER the commit: a crash in between leaves
     // the new files unindexed, which the lookup treats as affected
-    KeyIndex.update(spark, dir, affected.map(_.path), newEntries)
+    KeyIndex.updateAll(spark, dir, affected.map(_.path), newEntries)
     if (!autoRecluster) UpsertResult(updated, reclustered = false)
     else Compactor.maybeRecluster(spark, dir,
         targetFileBytes = targetFileBytes) match {

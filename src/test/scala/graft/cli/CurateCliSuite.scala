@@ -275,4 +275,53 @@ class CurateCliSuite extends SparkTestBase {
       } finally props.foreach { case (k, _) => sys.props.remove(k) }
     }
   }
+
+  test("state/docs is zone-mapped with a __h bloom sidecar; legacy states fold identically") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val m = docs.agg(expr("percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val b1 = tmpDir("curate_zb1"); val b2 = tmpDir("curate_zb2")
+    docs.filter(col("doc_id") <= m).write.parquet(s"$b1/documents.parquet")
+    docs.filter(col("doc_id") > m).write.parquet(s"$b2/documents.parquet")
+
+    val outNew = tmpDir("curate_zoned")
+    Curate.run(spark, b1, outNew, 100L)
+    val sd = s"$outNew/state/docs"
+    // round-15 state format: doc_id zone manifest + __h bloom sidecar
+    // (the two soak-measured O(state) fold lookups become file-scoped)
+    assert(graft.layout.ZoneMap.exists(sd), "state/docs must carry a zone manifest")
+    val hIdx = graft.layout.KeyIndex.indexName(Seq("__h"))
+    assert(graft.layout.KeyIndex.exists(sd, hIdx), "state/docs must carry the __h bloom sidecar")
+
+    // legacy twin: an IDENTICAL full build (deterministic) with the
+    // manifest + sidecars stripped -> pre-r15 on-disk shape. (A file
+    // copy of outNew would NOT work: manifests store absolute paths,
+    // so a copied dir's reconcile sees every data file as an orphan.)
+    val outOld = tmpDir("curate_legacy")
+    Curate.run(spark, b1, outOld, 100L)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$outOld/state/docs", "_graft_manifest.json"))
+    graft.layout.KeyIndex.sidecarNames(s"$outOld/state/docs")
+      .foreach(n => rm(new java.io.File(s"$outOld/state/docs/$n")))
+    assert(!graft.layout.ZoneMap.exists(s"$outOld/state/docs"))
+
+    // the same fold through both shapes: byte-identical corpora, and the
+    // zoned state's docs append keeps the manifest file-complete
+    Curate.runAdd(spark, b2, outNew, 100L)
+    Curate.runAdd(spark, b2, outOld, 100L)
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    assert(corpus(outNew) == corpus(outOld), "zoned and legacy folds must agree")
+    val mf = graft.layout.ZoneMap.read(sd)
+    val live = new java.io.File(sd).listFiles
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(mf.files.length == live,
+      s"manifest (${mf.files.length}) out of sync with dir ($live files)")
+    // and the sidecar advanced with the append (no torn generation)
+    assert(graft.layout.KeyIndex.exists(sd, hIdx))
+  }
 }

@@ -302,4 +302,55 @@ class KeyIndexSuite extends SparkTestBase {
       .select("payload").as[String].head() == "u42")
     assert(spark.read.parquet(dir).count() == 20000)
   }
+
+  test("secondary index on a non-key column scopes lookups and tracks mutations") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_sec")
+    // linear on the record key k; h is a content hash (md5-style) —
+    // random, so NEITHER the layout nor any zone can scope an h lookup
+    val rows = (1 to 20000).map(k => (k.toLong, s"p$k", 1L))
+    LayoutWriter.write(
+      rows.toDF("k", "payload", "version")
+        .withColumn("h", md5(col("payload"))),
+      dir, LayoutSpec("linear", Seq("k"), numFiles = Some(16),
+        recordKey = Some("k"), precombineCol = Some("version")))
+    KeyIndex.build(spark, dir, Seq("h"))
+    val secName = KeyIndex.indexName(Seq("h"))
+    assert(KeyIndex.exists(dir, secName))
+    assert(!KeyIndex.exists(dir)) // no primary was built
+    assert(KeyIndex.indexColsOf(dir, secName).contains(Seq("h")))
+
+    val manifest = ZoneMap.read(dir)
+    def hashesOf(vals: Seq[String]): Seq[Long] =
+      vals.toDF("h").select(xxhash64(col("h"))).as[Long].collect().toSeq
+
+    // a present hash scopes to the one file holding it (+= fpp noise)
+    val present = spark.read.parquet(dir).filter($"k" === 1234L)
+      .select("h").as[String].head()
+    val hit = KeyIndex.affectedPaths(spark, dir, hashesOf(Seq(present)),
+      manifest, Seq("h")).get
+    assert(hit.nonEmpty && hit.size <= 3,
+      s"one present hash should scope to ~1 of ${manifest.files.length} files, got ${hit.size}")
+    // an absent hash prunes everything (modulo fpp)
+    val miss = KeyIndex.affectedPaths(spark, dir,
+      hashesOf(Seq("not-a-real-hash")), manifest, Seq("h")).get
+    assert(miss.size <= 1, s"absent hash matched ${miss.size} files")
+
+    // a keyed mutation through KeyedDelta keeps the SECONDARY current:
+    // the dropped key's file is rewritten; its replacement must be
+    // bloom-indexed so the surviving rows' hashes still resolve
+    val victimH = spark.read.parquet(dir).filter($"k" === 2L)
+      .select("h").as[String].head()
+    val keeperH = spark.read.parquet(dir).filter($"k" === 3L)
+      .select("h").as[String].head() // same file as k=2, survives
+    KeyedDelta(spark, dir, dropKeys = Seq(2L), addRows = None)
+    val m2 = ZoneMap.read(dir)
+    val after = KeyIndex.affectedPaths(spark, dir, hashesOf(Seq(keeperH)),
+      m2, Seq("h")).get
+    val live = m2.files.map(f => KeyIndex.norm(f.path)).toSet
+    assert(after.nonEmpty && after.forall(live.contains),
+      "surviving hash must resolve to a LIVE file after the rewrite")
+    assert(spark.read.parquet(dir).count() == 19999)
+  }
 }

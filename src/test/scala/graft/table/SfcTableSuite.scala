@@ -42,7 +42,10 @@ class SfcTableSuite extends SparkTestBase {
     assert(a.toSeq == b.toSeq, "pruned SQL result must match full scan")
     assert(viaSfc.filesScanned < viaPlain.filesScanned,
       s"expected automatic skipping: sfc=${viaSfc.filesScanned} plain=${viaPlain.filesScanned}")
-    assert(viaPlain.filesScanned == 16)
+    // curve cut snapping can produce one fewer file than requested
+    // (RangePartitioner sample boundaries vary with JVM history) — the
+    // manifest is the ground truth for "the full scan read everything"
+    assert(viaPlain.filesScanned == graft.layout.ZoneMap.read(dir).files.length)
   }
 
   test("joinPruned skips fact files from the dim join-key values, result identical") {
@@ -98,14 +101,15 @@ class SfcTableSuite extends SparkTestBase {
 
   test("DataFrame-API predicates prune too; unknown predicates keep all files") {
     val t = SfcTable.open(spark, dir)
+    val nFiles = graft.layout.ZoneMap.read(dir).files.length
     val m = QueryRunner.run(spark,
       t.filter(col("x") === 500), "eq_pred", action = "collect")
-    assert(m.filesScanned < 16, s"point predicate should prune: ${m.filesScanned}")
+    assert(m.filesScanned < nFiles, s"point predicate should prune: ${m.filesScanned}")
 
     // a predicate the translator cannot understand must not prune
     val all = QueryRunner.run(spark,
       t.filter(expr("pmod(x, 7) = 3")), "opaque_pred", action = "collect")
-    assert(all.filesScanned == 16, s"opaque predicate pruned: ${all.filesScanned}")
+    assert(all.filesScanned == nFiles, s"opaque predicate pruned: ${all.filesScanned}")
     assert(all.rows > 0)
   }
 
