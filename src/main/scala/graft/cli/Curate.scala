@@ -309,6 +309,14 @@ object Curate {
         stateDocs, batch, minChars,
         docsDir = if (docsZoned) Some(stateDocsDir) else None)
       lap("prepare_batch")
+      // fold-append sizing (round-15): micro-batches land as ONE sorted
+      // file per store; a batch too large for the exact-dedup fast path
+      // (no kept-count hint) keeps natural partitioning — compaction
+      // bin-packs either way. ~2M rows/file matches the build layout.
+      val appendFiles: Option[Int] =
+        prep.nHint.map(n => math.max(1, math.ceil(n / 2e6).toInt))
+      val postingsAppendFiles: Option[Int] =
+        prep.nHint.map(n => math.max(1, math.ceil(n * 8.0 / 262144).toInt))
       val postingsDir = s"$outDir/state/postings"
       val usePostings = graft.layout.ZoneMap.exists(postingsDir)
       val docsDir = s"$outDir/docs"
@@ -384,7 +392,7 @@ object Curate {
                 else summaryDelta(
                   spark, outDir, retired ++ addIds, addRows, corpusSchema)
               graft.layout.KeyedDelta(spark, docsDir, retired ++ addIds,
-                Some(addRows), corpusSchema, appendPartitions = Some(1))
+                Some(addRows), corpusSchema, appendPartitions = appendFiles)
               lap(s"corpus_delta (${retired.length} retired reps)")
               adjusted.map(writeCsvLines(outDir, _))
                 .getOrElse(writeSummary(spark, outDir))
@@ -404,7 +412,7 @@ object Curate {
             changed.map(_.docId) ++ retryIds,
             Some(batchLabels.select(col("doc_id"), col("component"))
               .unionByName(changedDf)),
-            Some(CompsSchema), appendPartitions = Some(1))
+            Some(CompsSchema), appendPartitions = appendFiles)
           lines
         case FullRelabel(labels) =>
           // degenerate merge storm beyond the delta caps: whole-mapping
@@ -454,7 +462,7 @@ object Curate {
               System.err.println(f"[curate.add]   fullrelabel/summary_delta " +
                 f"${(System.nanoTime() - tfr2) / 1e9}%.2fs")
               graft.layout.KeyedDelta(spark, docsDir, dropIds ++ addIds,
-                Some(addRows), corpusSchema, appendPartitions = Some(1))
+                Some(addRows), corpusSchema, appendPartitions = appendFiles)
               lap(s"corpus_delta (${dropIds.length} retired reps, full relabel)")
               adjusted.map(writeCsvLines(outDir, _))
                 .getOrElse(writeSummary(spark, outDir))
@@ -491,7 +499,7 @@ object Curate {
         graft.layout.KeyedDelta(spark, postingsDir, retryIds,
           Some(graft.queries.IncrementalCuration.postingsAll(prep.rows)),
           Some(graft.queries.IncrementalCuration.PostingsSchema),
-          appendPartitions = Some(1))
+          appendPartitions = postingsAppendFiles)
       }
       if (failAfterPostingsAppend)
         throw new IllegalStateException(
@@ -503,7 +511,7 @@ object Curate {
         // KeyedDelta also keeps the __h bloom sidecar current (updateAll).
         graft.layout.KeyedDelta(spark, stateDocsDir, retryIds,
           Some(prep.rows.select(stateDocs.columns.map(col).toSeq: _*)),
-          Some(stateDocs.schema), appendPartitions = Some(1))
+          Some(stateDocs.schema), appendPartitions = appendFiles)
       } else {
         prep.rows.write.mode("append").parquet(stateDocsDir)
       }

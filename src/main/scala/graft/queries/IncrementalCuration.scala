@@ -91,7 +91,11 @@ object IncrementalCuration {
     * a runner-tracked cache, so persisting it (the CLI's append-only
     * state write) never re-reads the stored state mid-mutation.
     */
-  case class BatchPrep(rows: DataFrame)
+  /** `nHint`: exact kept-row count when the bounded exact-dedup branch
+    * computed it for free (keepIds.length); None for over-limit batches
+    * — callers sizing appends fall back to natural partitioning there.
+    */
+  case class BatchPrep(rows: DataFrame, nHint: Option[Long] = None)
 
   /** Quality-gate, exact-dedup (batch-internal min id + drop texts the
     * state already has), and signature computation for a new batch —
@@ -124,6 +128,7 @@ object IncrementalCuration {
     val hashRows = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("__h"), col("doc_id"), xxhash64(col("__h")).as("__hh"))
       .limit(BatchHashLimit + 1).collect()
+    var nKeptHint: Option[Long] = None
     val bKept = if (hashRows.length > BatchHashLimit) {
       val keepIds = bh.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       // no distinct on the state side: state docs are exact-deduped by
@@ -173,6 +178,7 @@ object IncrementalCuration {
       val keepIds = hashRows.collect {
         case r if !matched(r.getString(0)) => r.getLong(1)
       }.toSeq
+      nKeptHint = Some(keepIds.length.toLong)
       Materialize.trackLazy(
         if (keepIds.isEmpty) bh.limit(0)
         else bh.filter(org.apache.spark.sql.graftbridge.Bridge.inSetLong(
@@ -189,7 +195,7 @@ object IncrementalCuration {
     // signatures + sorted shingle sets in ONE aggregation (no glue
     // join, no second groupBy pipeline — round-11 VERDICT "Next #4")
     val sigHsB = DedupQueries.sigAndSetsOf(hashedB)
-    BatchPrep(
+    BatchPrep(nHint = nKeptHint, rows =
       // sig/hs LEFT for the same reason as initState: shingle-less docs
       // stay in the state with null signatures.
       // ONE eager count materializes the cache (round-10 VERDICT
