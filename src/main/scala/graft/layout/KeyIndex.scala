@@ -114,7 +114,15 @@ object KeyIndex {
     * (round-14 VERDICT "What's wrong #3" + ADVICE).
     */
   private case class Meta(version: Int, keys: Seq[String], shards: Int,
-      stale: Long = 0L, indexedGen: Long = -1L)
+      stale: Long = 0L, indexedGen: Long = -1L,
+      // canonical URI of the table dir at build/update time: sidecar
+      // rows store ABSOLUTE paths, so on a moved table they would
+      // intersect an (already rebased) live manifest as the empty set
+      // while the generation math still claimed every file indexed —
+      // silently hiding affected files. A root mismatch makes lookups
+      // return None (fail-safe: no index) and update() rebuild in place
+      // (round-15, alongside ZoneMap root rebasing).
+      root: Option[String] = None)
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
   private val MetaName = "_meta.json"
 
@@ -166,9 +174,18 @@ object KeyIndex {
     val p = path(dir, name).resolve(MetaName)
     java.nio.file.Files.createDirectories(path(dir, name))
     java.nio.file.Files.write(p,
-      Serialization.write(Meta(3, keys, Shards, stale, indexedGen))
+      Serialization.write(Meta(3, keys, Shards, stale, indexedGen,
+          root = Some(ZoneMap.canonical(dir))))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** The sidecar is usable from `dir` only if it was built there —
+    * see [[Meta.root]]. Metas written before the root stamp pass (they
+    * predate the relocation handling; their tables also predate rooted
+    * manifests, so a move already fails loudly at reconcile).
+    */
+  private def rootOk(dir: String, m: Meta): Boolean =
+    m.root.forall(_ == ZoneMap.canonical(dir))
 
   private def readMeta(dir: String, name: String = DirName): Option[Meta] = {
     val p = path(dir, name).resolve(MetaName)
@@ -279,8 +296,8 @@ object KeyIndex {
       indexCols: Seq[String] = Nil): Option[Set[String]] = {
     val name = indexName(indexCols)
     val meta = readMeta(dir, name) match {
-      case Some(m) if m.version == 3 => m
-      case _ => return None
+      case Some(m) if m.version == 3 && rootOk(dir, m) => m
+      case _ => return None // no/legacy/relocated sidecar: fail-safe
     }
     val dirs = shardDirs(dir, name)
     if (dirs.isEmpty) return None
@@ -329,9 +346,14 @@ object KeyIndex {
     val keys = if (name == DirName) manifest.keyCols else metaKeys
     if (keys.isEmpty) { drop(dir, name); return UpdateStats(0, 0L, 0, 0) }
     val meta = readMeta(dir, name) match {
-      case Some(m) if m.version == 3 => m
+      case Some(m) if m.version == 3 && rootOk(dir, m) => m
+      case Some(m) if m.version == 3 && !rootOk(dir, m) && name != DirName =>
+        // relocated secondary: its columns are known — rebuild in place
+        System.err.println(s"[graft] KeyIndex: rebuilding relocated sidecar $name at $dir")
+        build(spark, dir, m.keys)
+        return UpdateStats(Shards, 0L, removedPaths.length, added.length, gc = true)
       case _ =>
-        // legacy/torn sidecar (v1/v2 or missing meta): one-time in-place
+        // legacy/torn/relocated sidecar: one-time in-place
         // upgrade (full rebuild over the already-committed manifest).
         // A meta-less SECONDARY is unrecoverable (its columns lived only
         // in the meta) — drop it; the owner rebuilds explicitly.

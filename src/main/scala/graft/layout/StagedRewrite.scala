@@ -82,7 +82,12 @@ object StagedRewrite {
     // by filesystem path component
     val referenced = manifest.files
       .map(f => new java.net.URI(f.path).getPath).toSet
-    var deleted = 0
+    // collect candidates first: if NOTHING in this dir is referenced
+    // while the manifest references files elsewhere, this is a moved
+    // legacy (root-less) table, not crash debris — deleting would wipe
+    // the data (round-15; rooted manifests rebase on read instead)
+    val candidates = scala.collection.mutable.ArrayBuffer.empty[Path]
+    var anyReferenced = false
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
       if (s.isDirectory) {
         // hidden (_/. prefixed) dirs are metadata, not data — the
@@ -90,12 +95,20 @@ object StagedRewrite {
         val n = s.getPath.getName
         if (!n.startsWith("_") && !n.startsWith(".")) walk(s.getPath)
       }
-      else if (s.getPath.getName.startsWith("part-") &&
-          !referenced.contains(s.getPath.toUri.getPath)) {
-        fs.delete(s.getPath, false); deleted += 1
+      else if (s.getPath.getName.startsWith("part-")) {
+        if (referenced.contains(s.getPath.toUri.getPath)) anyReferenced = true
+        else candidates += s.getPath
       }
     }
     walk(new Path(dir))
-    if (deleted > 0) spark.catalog.refreshByPath(dir)
+    if (referenced.nonEmpty && candidates.nonEmpty && !anyReferenced)
+      throw new IllegalStateException(
+        s"$dir: the manifest references no file present here but the dir " +
+          s"holds ${candidates.length} data files — a moved/copied table " +
+          "written before manifests carried a root stamp. Refusing to " +
+          "reconcile (it would delete the data); rewrite the manifest " +
+          "paths or rebuild the table.")
+    candidates.foreach(p => fs.delete(p, false))
+    if (candidates.nonEmpty) spark.catalog.refreshByPath(dir)
   }
 }

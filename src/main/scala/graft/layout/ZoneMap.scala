@@ -69,7 +69,17 @@ case class TableManifest(
     commitsSinceCluster: Option[Int] = None,
     // monotone commit counter, bumped by every [[ZoneMap.write]];
     // [[FileEntry.gen]] values come from it
-    generation: Option[Long] = None) {
+    generation: Option[Long] = None,
+    // canonical URI of the dir this manifest was written into. File
+    // entry paths are absolute, so a moved/copied table dir would
+    // otherwise read a manifest referencing the OLD location — readers
+    // would scan stale files and reconcile would purge the new dir's
+    // data as orphans (round-15; found writing the legacy-fold parity
+    // test). [[ZoneMap.read]] compares root to the dir it is reading
+    // from and rebases entry paths in memory; the next manifest commit
+    // persists the rebase. None on pre-r15 manifests (reconcile guards
+    // those against relocation wipes instead).
+    root: Option[String] = None) {
 
   def hivePartitions: Seq[String] = partitionCols.getOrElse(Nil)
 
@@ -309,6 +319,7 @@ object ZoneMap {
   def write(dir: String, m: TableManifest): TableManifest = {
     val nextGen = m.generation.getOrElse(-1L) + 1
     val stamped = m.copy(
+      root = Some(canonical(dir)),
       generation = Some(nextGen),
       files = m.files.map(f =>
         if (f.gen.isEmpty) f.copy(gen = Some(nextGen)) else f))
@@ -327,7 +338,37 @@ object ZoneMap {
   def read(dir: String): TableManifest = {
     val json = new String(
       Files.readAllBytes(Paths.get(dir, ManifestName)), StandardCharsets.UTF_8)
-    Serialization.read[TableManifest](json)
+    val m = Serialization.read[TableManifest](json)
+    m.root match {
+      case Some(r) if r != canonical(dir) =>
+        // the table dir was moved/copied: rebase entry paths onto the
+        // dir actually being read so scans/prunes/mutations all see the
+        // files HERE (in memory only — the next commit persists it).
+        // Key-index sidecars self-heal separately: their meta carries
+        // the same root stamp and a mismatch makes lookups fail-safe to
+        // "no index" until the next mutation rebuilds (KeyIndex.update).
+        val here = canonical(dir)
+        System.err.println(
+          s"[graft] ZoneMap: manifest written at $r read from $here — rebasing")
+        m.copy(root = Some(here), files = m.files.map { f =>
+          val c = canonical(f.path)
+          if (c == r || c.startsWith(r + "/")) f.copy(path = here + c.stripPrefix(r))
+          else f
+        })
+      case _ => m
+    }
+  }
+
+  /** Canonical URI of a dir/file path: scheme defaulted to `file`,
+    * authority preserved, no trailing slash — the form Spark's listings
+    * (and so the manifest's entry paths) use, making prefix comparisons
+    * and relocation checks exact.
+    */
+  def canonical(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).map("//" + _).getOrElse("")
+    scheme + ":" + auth + u.getPath.stripSuffix("/")
   }
 
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, ManifestName))

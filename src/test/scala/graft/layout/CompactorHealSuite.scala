@@ -30,18 +30,22 @@ class CompactorHealSuite extends SparkTestBase {
       java.nio.file.Paths.get(dir + ".compact_old")))
   }
 
-  test("crash window (b): uncommitted manifest after the swap — heal rolls back wholesale") {
+  test("crash window (b): manifest whose files are missing — heal rolls back wholesale") {
     val dir = tmpDir("heal_b") + "/t"
     mkTable(dir)
-    // simulate: old store renamed to backup, a half-swapped dir whose
-    // manifest references files that do not exist (the tmp-written one)
+    // With rooted manifests the classic half-swap self-heals by rebase
+    // (the tmp-written manifest rebases onto the renamed dir and is
+    // then CORRECT — a roll-forward handled as window (c)). The
+    // remaining rollback shape is a dir whose manifest references
+    // files that do not exist here even after rebase, with the
+    // pre-compact store intact under .compact_old.
     java.nio.file.Files.move(
       java.nio.file.Paths.get(dir),
       java.nio.file.Paths.get(dir + ".compact_old"))
-    val m = ZoneMap.read(dir + ".compact_old")
+    val m = ZoneMap.read(dir + ".compact_old") // rebased to the backup
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     ZoneMap.write(dir, m.copy(files = m.files.map(f =>
-      f.copy(path = f.path.replace("/t/", "/t.compact_tmp/")))))
+      f.copy(path = f.path.replace(".compact_old", "") + ".missing"))))
     Compactor.heal(dir)
     assert(rows(dir) == 20000)
     assert(ZoneMap.read(dir).files.forall(f => java.nio.file.Files.exists(
