@@ -55,13 +55,20 @@ object Curate {
   val StoreCompactFactor = 4
   val StoreTargetFileBytes: Long = 32L * 1024 * 1024
 
+  /** Trigger floor: compact no earlier than this many files (test hook:
+    * `-Dgraft.curate.compactFloor=N` lets suites exercise the trigger
+    * without 16 folds of setup).
+    */
+  private def compactFloor: Int =
+    sys.props.get("graft.curate.compactFloor").map(_.toInt).getOrElse(16)
+
   private def maybeCompactStore(spark: SparkSession, dir: String): Unit = {
     if (!graft.layout.ZoneMap.exists(dir)) return
     val m = graft.layout.ZoneMap.read(dir)
     val bytes = m.files.flatMap(_.bytes).sum
     val ideal = math.max(1,
       math.ceil(bytes.toDouble / StoreTargetFileBytes).toInt)
-    if (m.files.length >= math.max(16, StoreCompactFactor * ideal)) {
+    if (m.files.length >= math.max(compactFloor, StoreCompactFactor * ideal)) {
       val t = System.nanoTime()
       graft.layout.Compactor.compact(spark, dir, StoreTargetFileBytes)
       System.err.println(f"[curate.add]   store_compact $dir: " +

@@ -324,4 +324,49 @@ class CurateCliSuite extends SparkTestBase {
     // and the sidecar advanced with the append (no torn generation)
     assert(graft.layout.KeyIndex.exists(sd, hIdx))
   }
+
+  test("geometric store compaction fires on multi-fold append debt, folds stay exact") {
+    // round-15: folds append one file per store per batch; the postings/
+    // docs/components stores must re-compact once the debt exceeds the
+    // trigger and folds must remain rebuild-identical through it. The
+    // compactFloor hook stands in for 16 folds of setup.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val qs = docs.stat.approxQuantile("doc_id",
+      Array(0.5, 0.625, 0.75, 0.875), 0.001).map(_.toLong)
+    val parts = (Long.MinValue +: qs.toSeq) :+ Long.MaxValue
+    val dirs = parts.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      val d = tmpDir(s"curate_gc$i")
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }.toSeq
+
+    val outFull = tmpDir("curate_gcfull")
+    Curate.run(spark, sf, outFull, 100L)
+    val outInc = tmpDir("curate_gcinc")
+    sys.props("graft.curate.compactFloor") = "3"
+    try {
+      Curate.run(spark, dirs.head, outInc, 100L, forcePostings = true)
+      dirs.tail.foreach(d => Curate.runAdd(spark, d, outInc, 100L))
+    } finally sys.props.remove("graft.curate.compactFloor")
+
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    assert(corpus(outInc) == corpus(outFull), "folds through compactions != rebuild")
+    // compaction actually fired: 4 folds of append debt cannot remain
+    // (floor 3) and every store is back under it with tight manifests
+    for (store <- Seq("state/docs", "state/postings", "state/components")) {
+      val m = graft.layout.ZoneMap.read(s"$outInc/$store")
+      assert(m.files.length <= 4,
+        s"$store holds ${m.files.length} files — compaction never fired")
+      assert(m.files.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(f.path).toUri.getPath))))
+    }
+    // the __h bloom sidecar survived the rebuilds and still scopes
+    val sd = s"$outInc/state/docs"
+    assert(graft.layout.KeyIndex.exists(sd,
+      graft.layout.KeyIndex.indexName(Seq("__h"))))
+  }
 }
