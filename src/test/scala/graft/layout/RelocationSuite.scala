@@ -106,4 +106,38 @@ class RelocationSuite extends SparkTestBase {
     assert(ex.getMessage.contains("Refusing to reconcile"))
     assert(spark.read.parquet(dst).count() == 5000, "data must be intact")
   }
+
+  test("moved curated corpus: folds keep working and match the rebuild") {
+    // end-to-end: outDir holds FOUR rooted stores (corpus docs + three
+    // state stores) plus the __h sidecar; moving the whole tree must
+    // leave folding intact (every manifest rebases, the sidecar
+    // self-heals) and rebuild-identical.
+    val spark2 = spark
+    import spark2.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val m = docs.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(doc_id, 0.5)")).collect()(0).getLong(0)
+    val base = tmpDir("reloc_corpus")
+    val b1 = s"$base/b1"; val b2 = s"$base/b2"
+    docs.filter($"doc_id" <= m).write.parquet(s"$b1/documents.parquet")
+    docs.filter($"doc_id" > m).write.parquet(s"$b2/documents.parquet")
+
+    val outFull = s"$base/full"
+    graft.cli.Curate.run(spark, sf, outFull, 100L)
+    val outSrc = s"$base/inc"
+    graft.cli.Curate.run(spark, b1, outSrc, 100L)
+    val outMoved = s"$base/inc_moved"
+    move(outSrc, outMoved)
+
+    graft.cli.Curate.runAdd(spark, b2, outMoved, 100L)
+    def corpus(dir: String) = spark.read.parquet(s"$dir/docs")
+      .select("doc_id", "lang", "split", "n_tok")
+      .collect().map(_.toSeq.toVector).sortBy(_.head.toString.toLong).toSeq
+    assert(corpus(outMoved) == corpus(outFull),
+      "fold into a moved corpus must equal the rebuild")
+    // the fold's writes re-rooted the mutated manifests at the new home
+    val mf = ZoneMap.read(s"$outMoved/docs")
+    assert(mf.root.contains(ZoneMap.canonical(s"$outMoved/docs")))
+  }
 }
