@@ -353,4 +353,33 @@ class KeyIndexSuite extends SparkTestBase {
       "surviving hash must resolve to a LIVE file after the rewrite")
     assert(spark.read.parquet(dir).count() == 19999)
   }
+
+  test("secondary index tracks a keyed COW upsert (updateAll path)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_sec_upsert")
+    writeOrthogonal(dir)
+    KeyIndex.build(spark, dir)            // primary (the COW needs it)
+    KeyIndex.build(spark, dir, Seq("payload")) // secondary on a non-key col
+    val secName = KeyIndex.indexName(Seq("payload"))
+
+    val batch = Seq((7L, 0.0, 0.0, "upd7", 2L))
+      .toDF("k", "a", "b", "payload", "version")
+    Upserter.upsert(spark, dir, batch, autoRecluster = false)
+
+    // the rewrite's replacement files must be bloom-indexed in BOTH
+    // sidecars: the new payload value resolves to a live file
+    val m = ZoneMap.read(dir)
+    val live = m.files.map(f => KeyIndex.norm(f.path)).toSet
+    val h = Seq("upd7").toDF("payload")
+      .select(xxhash64(col("payload"))).as[Long].head()
+    val hit = KeyIndex.affectedPaths(spark, dir, Seq(h), m, Seq("payload")).get
+    assert(hit.nonEmpty && hit.forall(live.contains),
+      s"upserted payload must resolve to live files via the secondary: $hit")
+    // and a value that never existed stays pruned (fpp noise aside)
+    val miss = KeyIndex.affectedPaths(spark, dir,
+      Seq(Seq("nope").toDF("payload")
+        .select(xxhash64(col("payload"))).as[Long].head()), m, Seq("payload")).get
+    assert(miss.size <= 2, s"absent payload matched ${miss.size} files")
+  }
 }
