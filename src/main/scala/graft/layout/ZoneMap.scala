@@ -368,7 +368,14 @@ object ZoneMap {
     val u = new org.apache.hadoop.fs.Path(p).toUri
     val scheme = Option(u.getScheme).getOrElse("file")
     val auth = Option(u.getAuthority).map("//" + _).getOrElse("")
-    scheme + ":" + auth + u.getPath.stripSuffix("/")
+    // a relative local dir must canonicalize like its absolute twin, or
+    // a caller opening "x/t" vs the stamped absolute root would
+    // spuriously "rebase" onto relative URIs
+    val path =
+      if (u.getScheme == null && !u.getPath.startsWith("/"))
+        new java.io.File(u.getPath).getAbsolutePath
+      else u.getPath
+    scheme + ":" + auth + path.stripSuffix("/")
   }
 
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, ManifestName))
