@@ -67,6 +67,8 @@ object Bench {
       case Some(re) => allNames.filter(n => re.r.findFirstIn(n).isDefined)
       case None => allNames.filterNot(baselineQueries)
     }
+    // drift calibration (round-15 VERDICT Next #1): fixed probes first...
+    val calFirst = graft.runner.Calibration.measure(spark, sfDir)
     var leakedCaches = 0
     // task_gc and driver_gc are recorded SEPARATELY (round-9 ADVICE): in
     // local mode every concurrent task observes the same JVM pause, so
@@ -142,6 +144,11 @@ object Bench {
     // two-run detail (cross-query pollution visibility, round-3 VERDICT
     // #7) plus the per-run spill/GC/cache diagnostics go to
     // BENCH_RUNS.json beside the repo instead.
+    // ...and last, so drift WITHIN the sweep is visible too. The drift
+    // factor is the mean cpu ratio (the r15 signature was CPU-side infra
+    // inflation); the normalized total sits beside the raw one.
+    val calLast = graft.runner.Calibration.measure(spark, sfDir)
+    val drift = (calFirst.cpuRatio + calLast.cpuRatio) / 2.0
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -160,14 +167,22 @@ object Bench {
         "\"deser_ms\":[" + rs.map(_.deserMs).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // only a FULL sweep records the committed two-run detail — a filtered
-    // dev run writes a sibling dev file instead of clobbering the sweep
-    // artifact beside the repo
-    val runsFile = if (arg.isEmpty) "BENCH_RUNS.json" else "BENCH_RUNS_DEV.json"
+    // only a FULL sweep AT THE DRIVER'S SF records the committed two-run
+    // detail — a filtered or small-sf dev run writes a sibling dev file
+    // instead of clobbering the sweep artifact beside the repo (an
+    // unfiltered sf0.01 iteration run clobbered it in r16)
+    val runsFile =
+      if (arg.isEmpty && sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+        "BENCH_RUNS.json"
+      else "BENCH_RUNS_DEV.json"
+    val calJson = s"""{"first":${calFirst.json},"last":${calLast.json},""" +
+      s""""cpu_ref_sec":${graft.runner.Calibration.CpuRefSec},""" +
+      s""""scan_ref_sec":${graft.runner.Calibration.ScanRefSec},""" +
+      s""""drift":${f3(drift)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(runsFile),
-      s"""{"sf":"$sfDir","cache_budget_mb":${graft.runner.Materialize.budgetBytes / 1048576L},"excluded_baselines":${baselineQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs":$runs}""" + "\n")
+      s"""{"sf":"$sfDir","cache_budget_mb":${graft.runner.Materialize.budgetBytes / 1048576L},"calibration":$calJson,"excluded_baselines":${baselineQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs":$runs}""" + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","leaked_caches":$leakedCaches,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","drift":${f3(drift)},"total_normalized":${f3(total / math.max(drift, 1e-9))},"leaked_caches":$leakedCaches,"queries":$qs}""")
     if (eventLogGate) {
       org.apache.spark.graftbridge.SparkBridge.drainListenerBus(spark.sparkContext)
       val live = names.map(n => n -> gateListener.snapshot(n)).toMap

@@ -29,23 +29,27 @@ object Compactor {
     * cleanup. Call before relying on a store a compaction may have
     * touched (the fold path does, every add).
     */
-  def heal(dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val d = Paths.get(dir)
-    val old = Paths.get(dir.stripSuffix("/") + ".compact_old")
-    if (!Files.exists(old)) return
-    def rm(p: java.nio.file.Path): Unit = {
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rec)); f.delete()
-      }
-      rec(p.toFile)
-    }
-    if (!Files.exists(d)) { Files.move(old, d); return } // (a)
+  def heal(dir: String): Unit =
+    heal(dir, new org.apache.hadoop.conf.Configuration())
+
+  /** Same Hadoop FileSystem API as [[compact]]'s swap — a crashed swap
+    * on a non-`file:` scheme (hdfs://, s3a://) must roll back too; the
+    * old java.nio implementation silently no-op'd there (r15 ADVICE).
+    * Manifest liveness still goes through ZoneMap (local-fs JSON IO),
+    * so on remote schemes only the rename/delete legs are exercised —
+    * consistent with the rest of the layout store.
+    */
+  def heal(dir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val old = new Path(dir.stripSuffix("/") + ".compact_old")
+    if (!fs.exists(old)) return
+    if (!fs.exists(d)) { fs.rename(old, d); return } // (a)
     val committed = ZoneMap.exists(dir) && ZoneMap.read(dir).files.forall { f =>
-      Files.exists(Paths.get(new Path(f.path).toUri.getPath))
+      fs.exists(new Path(new java.net.URI(f.path)))
     }
-    if (committed) rm(old) // (c)
-    else { rm(d); Files.move(old, d) } // (b)
+    if (committed) fs.delete(old, true) // (c)
+    else { fs.delete(d, true); fs.rename(old, d) } // (b)
   }
 
   /** Rows-weighted expected fraction of the table's ROWS a point query
@@ -152,7 +156,8 @@ object Compactor {
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = DefaultTargetFileBytes): TableManifest = {
-    heal(dir) // a previous compact's crash leftovers, before re-reading
+    // a previous compact's crash leftovers, before re-reading
+    heal(dir, spark.sparkContext.hadoopConfiguration)
     val manifest = ZoneMap.read(dir)
     // compact reads the whole dir, so orphans from a crashed prior
     // mutation would be folded into the rewrite as duplicate rows —
@@ -199,14 +204,15 @@ object Compactor {
     }
     val fixed = tmpManifest.copy(
       files = tmpManifest.files.map(f => f.copy(path = rebase(f.path))))
-    ZoneMap.write(dir, fixed)
+    // propagate the stamped manifest (generation/gen/root), not `fixed`
+    val committed = ZoneMap.write(dir, fixed)
     // key-index sidecars rode into the .compact_old dir and died with
     // it — rebuild each (primary over the record key, secondaries over
     // their meta columns) so an auto-recluster (maybeRecluster) never
     // silently downgrades later keyed upserts back to table-wide COW.
     // One extra shuffle per index, only when the table had one.
     sidecars.foreach { case (_, cols) => KeyIndex.build(spark, dir, cols) }
-    fixed
+    committed
   }
 
   /** Scoped compaction — the reference's L6 (`OPTIMIZE ... WHERE`,
@@ -259,12 +265,12 @@ object Compactor {
     // commit order matches KeyedDelta/Upserter (round-11 ADVICE):
     // manifest first, superseded files after — never a manifest that
     // references deleted files
-    ZoneMap.write(dir, updated)
+    val committed = ZoneMap.write(dir, updated)
     StagedRewrite.deleteFiles(fs, affected)
     spark.catalog.refreshByPath(dir)
     // scoped rewrites keep every key-index sidecar current (whole-table
     // [[compact]] rebuilds them over the swapped dir instead)
     KeyIndex.updateAll(spark, dir, affected.map(_.path), newEntries)
-    updated
+    committed
   }
 }

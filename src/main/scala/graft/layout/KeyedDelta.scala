@@ -106,7 +106,10 @@ object KeyedDelta {
     // rename leaves the old manifest pointing at intact old files; a
     // crash after it leaves orphan old files a manifest-driven reader
     // never sees. The manifest never references a deleted file.
-    ZoneMap.write(dir, updated)
+    // ZoneMap.write stamps the commit generation; propagate ITS result
+    // so a caller passing the manifest to KeyIndex.affectedPaths sees
+    // the stamped gens, not gen=None files read as 0 (r15 ADVICE).
+    val committed = ZoneMap.write(dir, updated)
     StagedRewrite.deleteFiles(fs, affected)
     // manual file moves bypass Spark's write-path invalidation — stale
     // listings would read deleted part files on the next dir-level scan
@@ -114,6 +117,6 @@ object KeyedDelta {
     // every key-index sidecar (primary + any named secondaries) must
     // track the rewrite — stale blooms would be unsound to consult
     KeyIndex.updateAll(spark, dir, affected.map(_.path), newEntries)
-    updated
+    committed
   }
 }

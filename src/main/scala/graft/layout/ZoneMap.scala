@@ -317,7 +317,12 @@ object ZoneMap {
     * should propagate it, not `m`.
     */
   def write(dir: String, m: TableManifest): TableManifest = {
-    val nextGen = m.generation.getOrElse(-1L) + 1
+    // generations start at 1, NOT 0: KeyIndex.build on a never-stamped
+    // manifest records indexedGen = generation.getOrElse(0) = 0, so a
+    // first commit at gen 0 that crashed before KeyIndex.update would
+    // satisfy gen <= indexedGen and be silently treated as indexed —
+    // the exact unsoundness indexedGen exists to prevent (r15 ADVICE).
+    val nextGen = m.generation.getOrElse(0L) + 1
     val stamped = m.copy(
       root = Some(canonical(dir)),
       generation = Some(nextGen),

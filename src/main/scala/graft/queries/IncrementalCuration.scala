@@ -150,8 +150,14 @@ object IncrementalCuration {
         case Some(d) if hashRows.nonEmpty && graft.layout.KeyIndex.exists(
             d, graft.layout.KeyIndex.indexName(Seq("__h"))) =>
           val manifest = graft.layout.ZoneMap.read(d)
+          // null text → md5 null → xxhash64 null: getLong would NPE on
+          // the null-__h group's row. Skip it in the probe array only —
+          // the group still flows through matched/keepIds below
+          // (getString(0)=null, Set.contains(null) is fine), preserving
+          // the pre-r15 null-text semantics (r15 ADVICE).
           graft.layout.KeyIndex.affectedPaths(state.sparkSession, d,
-              hashRows.map(_.getLong(2)).toSeq, manifest, Seq("__h")) match {
+              hashRows.iterator.filterNot(_.isNullAt(2))
+                .map(_.getLong(2)).toSeq, manifest, Seq("__h")) match {
             case Some(paths) =>
               val files = manifest.files.filter(f =>
                 paths.contains(graft.layout.KeyIndex.norm(f.path)))

@@ -382,4 +382,76 @@ class KeyIndexSuite extends SparkTestBase {
         .select(xxhash64(col("payload"))).as[Long].head()), m, Seq("payload")).get
     assert(miss.size <= 2, s"absent payload matched ${miss.size} files")
   }
+
+  test("legacy (generation-less) manifest: a first stamped commit that crashes " +
+      "before the index update still flags its files") {
+    val dir = tmpDir("graft_keyidx_gen0")
+    writeOrthogonal(dir)
+    // strip the stamps: the pre-r15 manifest shape (generation = None,
+    // per-file gen = None), written raw so ZoneMap.write can't re-stamp
+    val m = ZoneMap.read(dir)
+    val legacy = m.copy(generation = None, root = None,
+      files = m.files.map(_.copy(gen = None)))
+    implicit val fmts: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ZoneMap.ManifestName),
+      org.json4s.jackson.Serialization.writePretty(legacy)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // index the legacy table: indexedGen records 0 (no generation yet)
+    KeyIndex.build(spark, dir)
+    // first stamped commit adds a file, then CRASH before KeyIndex.update.
+    // Generations start at 1 precisely so this commit cannot collide with
+    // the legacy sidecar's indexedGen of 0 (r15 ADVICE: a gen-0 first
+    // commit read as indexed would silently skip these files).
+    val src = new java.io.File(new java.net.URI(m.files.head.path))
+    val crashed = new java.io.File(src.getParentFile, "part-crashed-gen0.parquet")
+    java.nio.file.Files.copy(src.toPath, crashed.toPath)
+    val before = ZoneMap.read(dir)
+    val committed = ZoneMap.write(dir, before.copy(files =
+      before.files :+ m.files.head.copy(
+        path = crashed.toURI.toString, gen = None)))
+    assert(committed.generation.exists(_ > 0L),
+      s"first stamped commit must postdate the legacy indexedGen of 0: " +
+        s"${committed.generation}")
+    val h = hashOf(987654321L) // in no file: blooms all negative
+    val paths = KeyIndex.affectedPaths(spark, dir, Seq(h), committed).get
+    assert(paths.contains(KeyIndex.norm(crashed.toURI.toString)),
+      s"crash-window file on a legacy table must be affected: $paths")
+  }
+
+  test("per-shard union blooms: a scattered small batch reads fewer shard dirs, " +
+      "never missing a truly-affected file") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_keyidx_union")
+    writeOrthogonal(dir)
+    KeyIndex.build(spark, dir)
+    val manifest = ZoneMap.read(dir)
+    val keys = Seq(3L, 1999L, 4242L, 7777L, 9000L,
+      11111L, 13000L, 15555L, 17000L, 19997L)
+    val hashes = keys.map(hashOf)
+    val skipped = KeyIndex.affectedPaths(spark, dir, hashes, manifest).get
+    val shardsSkipped = KeyIndex.lastShardsRead
+    assert(shardsSkipped < KeyIndex.Shards,
+      s"10 scattered keys must not read all ${KeyIndex.Shards} shards " +
+        s"(read $shardsSkipped)")
+    // ground truth: the files that actually hold the keys must ALL be in
+    // the skipped lookup's result (shard skipping is FP-dropping only)
+    val truth = spark.read.parquet(dir)
+      .filter(col("k").isin(keys: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+      .map(KeyIndex.norm).toSet
+    assert(truth.subsetOf(skipped),
+      s"union skipping dropped truly-affected files: ${truth -- skipped}")
+    // without the unions file the lookup reads every shard and can only
+    // ADD per-file-bloom false positives
+    java.nio.file.Files.delete(KeyIndex.path(dir).resolve("_unions.bin"))
+    val full = KeyIndex.affectedPaths(spark, dir, hashes, manifest).get
+    assert(KeyIndex.lastShardsRead >= shardsSkipped)
+    assert(skipped.subsetOf(full),
+      s"skipped lookup returned files the full lookup did not: " +
+        s"${skipped -- full}")
+    assert(truth.subsetOf(full))
+  }
 }

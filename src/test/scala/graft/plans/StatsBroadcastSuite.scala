@@ -155,4 +155,79 @@ class StatsBroadcastSuite extends SparkTestBase {
         s"guard-stamped side must never broadcast:\n$after")
     }
   }
+
+  test("memoized estimate: two joins over the same relation+filters walk the " +
+      "manifest ONCE per apply") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      "spark.graft.broadcastBudget" -> (10L * 1024 * 1024).toString) {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("f_orderkey"), col("l_quantity"))
+      // the SAME DataFrame referenced twice: a 3-way self-join shape, the
+      // J-joins-over-one-zone-mapped-relation pattern of r15's finding
+      val dim = SfcTable.open(spark, layoutDir)
+        .filter(col("l_orderkey") <= 50)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val dim2 = dim.select(col("l_orderkey").as("o2"),
+        col("l_extendedprice").as("e2"))
+      val j = fact.join(dim, col("f_orderkey") === col("l_orderkey"))
+        .join(dim2, col("f_orderkey") === col("o2"))
+      // count during the REAL optimizer run (the rule sits post-folding,
+      // pre-CBO; applying it to the analyzed plan would see an unfolded
+      // cast literal and translate nothing)
+      StatsBroadcastHint.manifestPasses.set(0L)
+      j.queryExecution.optimizedPlan
+      assert(StatsBroadcastHint.manifestPasses.get == 1L,
+        s"expected 1 manifest pass for 2 identical sides, got " +
+          s"${StatsBroadcastHint.manifestPasses.get}")
+    }
+  }
+
+  test("file-count cap: above spark.graft.statsHintMaxFiles the walk is " +
+      "skipped and Spark's sizing stands") {
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1024",
+      "spark.graft.broadcastBudget" -> (10L * 1024 * 1024).toString,
+      StatsBroadcastHint.FileCapKey -> "4", // layoutDir has 8 files
+      "spark.sql.adaptive.enabled" -> "false") {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").as("f_orderkey"), col("l_quantity"))
+      val dim = SfcTable.open(spark, layoutDir)
+        .filter(col("l_orderkey") <= 50)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      StatsBroadcastHint.manifestPasses.set(0L)
+      val plan = fact.join(dim, col("f_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"capped estimate must not promote:\n$plan")
+      assert(StatsBroadcastHint.manifestPasses.get == 0L,
+        "above the cap the per-file walk must not run")
+    }
+  }
+
+  test("200k-file manifest: the default cap short-circuits planning") {
+    // inflate a real layout table's manifest to production file counts;
+    // the default statsHintMaxFiles (100k) must skip the per-file walk
+    val dir = tmpDir("graft_sbh_big")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    LayoutWriter.write(li, dir,
+      LayoutSpec("linear", Seq("l_orderkey"), numFiles = Some(4)))
+    val m = graft.layout.ZoneMap.read(dir)
+    val fake = (1 to 200000).map(i => m.files.head.copy(
+      path = s"file:///graft/fake/sbh-part-$i.parquet"))
+    graft.layout.ZoneMap.write(dir, m.copy(files = m.files ++ fake))
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("f_orderkey"), col("l_quantity"))
+    val dim = SfcTable.open(spark, dir)
+      .filter(col("l_orderkey") <= 50)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val j = fact.join(dim, col("f_orderkey") === col("l_orderkey"))
+    StatsBroadcastHint.manifestPasses.set(0L)
+    val t0 = System.nanoTime()
+    j.queryExecution.optimizedPlan
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(StatsBroadcastHint.manifestPasses.get == 0L,
+      "200k files exceed the default cap: the walk must not run")
+    assert(ms < 5000, s"capped planning took ${ms} ms")
+  }
 }
