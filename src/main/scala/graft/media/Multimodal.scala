@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the decode / feature-extract /
   * frame-sample plumbing a training-data pipeline runs over them.
   *
-  * Image and audio decode are REAL: the JDK bundles ImageIO
-  * (PNG/BMP/JPEG) and javax.sound (PCM WAV) codecs, and
-  * [[decodeImages]]/[[decodeWavs]] run them on the executors. Only
-  * video has no JDK codec; [[decodeStub]] is its deterministic
-  * stand-in so the Spark-side contract (schema, batch shape,
-  * partition behavior, per-partition amortized setup) stays testable.
-  * Swap it for a JNI/codec call in production; nothing else changes.
+  * Image, audio AND video decode are REAL: the JDK bundles ImageIO
+  * (PNG/BMP/JPEG) and javax.sound (PCM WAV) codecs, and MJPEG-in-AVI
+  * video needs only RIFF chunk walking on top of the JPEG reader
+  * ([[Mjpeg]]) — [[decodeImages]]/[[decodeWavs]]/[[decodeVideos]] run
+  * them on the executors. [[decodeStub]] remains as the documented
+  * deterministic stand-in SHAPE for formats with no JVM codec at all
+  * (e.g. H.264): swap it for a JNI/codec call in production; nothing
+  * else changes.
   *
   * Scale design: decoding is mapPartitions (per-partition codec init
   * amortized across rows, the Scala analogue of a batched pandas UDF);
@@ -222,6 +223,89 @@ object Multimodal {
         } catch {
           case scala.util.control.NonFatal(_) =>
             AudioFeatures(r.media_id, 0, 0, 0, 0, decodeOk = false)
+        }
+      }
+    }
+  }
+
+  case class VideoRow(media_id: Long, bytes: Array[Byte])
+  case class VideoFeatures(
+      media_id: Long, width: Int, height: Int, nFrames: Int, fps: Double,
+      mean_r: Double, mean_g: Double, mean_b: Double, decodeOk: Boolean)
+
+  /** Deterministic REAL video corpus: MJPEG-in-AVI — a public container
+    * format whose frames are plain JPEGs, i.e. the one video format the
+    * bare JDK can fully decode (RIFF framing is ~100 lines of chunk
+    * walking; the per-frame codec is ImageIO's bundled JPEG reader).
+    * Clip i has 4+(i%3) frames of 32x24 SOLID color
+    * (r,g,b) = ((i*7+k*13)%256, (i*11+k*17)%256, (i*3+k*29)%256) for
+    * frame k: JPEG is lossy, but a solid frame round-trips within ~2
+    * intensity units (constant-block DCT is exact up to rounding), so
+    * decoded per-channel means are closed-form predictable to a small
+    * tolerance — a REAL decode path an oracle can still pin.
+    */
+  def syntheticMjpegAvis(spark: SparkSession, n: Int): Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val frames = (0 until 4 + (i % 3).toInt).map { k =>
+        val img = new java.awt.image.BufferedImage(
+          32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((((i * 7 + k * 13) % 256).toInt << 16) |
+          (((i * 11 + k * 17) % 256).toInt << 8) |
+          ((i * 3 + k * 29) % 256).toInt)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(rgb)); g2.fillRect(0, 0, 32, 24)
+        g2.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        out.toByteArray
+      }
+      VideoRow(i, Mjpeg.writeAvi(frames, width = 32, height = 24, fps = 10))
+    }
+  }
+
+  /** REAL video decode: walk the AVI RIFF tree (hdrl for the frame rate,
+    * movi for the `..dc`/`..db` frame chunks), decode each MJPEG frame
+    * with ImageIO, pool per-channel means across frames. Same
+    * mapPartitions shape as image/audio; malformed payloads yield
+    * decodeOk=false. This retires the last decode stub — image, audio
+    * AND video now run real codecs on the executors ([[decodeStub]]
+    * remains only as the documented stand-in shape for formats with no
+    * JVM codec at all, e.g. H.264).
+    */
+  def decodeVideos(videos: Dataset[VideoRow]): Dataset[VideoFeatures] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val avi = Mjpeg.readAvi(r.bytes)
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          var w = 0; var h = 0
+          avi.frames.foreach { jb =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jb))
+            w = img.getWidth; h = img.getHeight
+            var fr = 0L; var fg = 0L; var fb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                fr += (p >> 16) & 0xFF; fg += (p >> 8) & 0xFF; fb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val np = w.toLong * h
+            sr += fr.toDouble / np; sg += fg.toDouble / np; sb += fb.toDouble / np
+          }
+          val nf = avi.frames.length
+          if (nf == 0) VideoFeatures(r.media_id, 0, 0, 0, 0, 0, 0, 0, decodeOk = false)
+          else VideoFeatures(r.media_id, w, h, nf, avi.fps,
+            sr / nf, sg / nf, sb / nf, decodeOk = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            VideoFeatures(r.media_id, 0, 0, 0, 0, 0, 0, 0, decodeOk = false)
         }
       }
     }

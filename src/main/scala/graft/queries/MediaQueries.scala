@@ -76,6 +76,22 @@ object MediaQueries {
         .orderBy(col("n_samples"))
     }),
 
+    // REAL video decode (round-16: the last stub retired): MJPEG-in-AVI
+    // clips are RIFF-parsed and every frame JPEG-decoded by ImageIO on
+    // the executors. JPEG is lossy, so the oracle pins the EXACT decode
+    // outputs — frame count, dimensions, fps, decode success; the
+    // near-exact solid-color channel-mean checks (±3 intensity units)
+    // live in MultimodalSuite.
+    "q52e_video_decode" -> ((s, _) => {
+      val feats = Multimodal.decodeVideos(Multimodal.syntheticMjpegAvis(s, 200)).toDF()
+      feats.groupBy(col("nFrames").as("n_frames"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("decodeOk") && col("width") === 32 &&
+            col("height") === 24 && abs(col("fps") - 10.0) < lit(0.001),
+            1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("n_frames"))
+    }),
+
     // The oracle-checked sibling: metadata + frame-sampling + resize-plan
     // aggregation per kind — every non-stub stage of the multimodal
     // pipeline, verified exactly (the synthetic corpus metadata is pure
@@ -159,6 +175,10 @@ object MediaQueries {
         |  round(CAST(sum(CAST(mean_g AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS avg_g,
         |  round(CAST(sum(CAST(mean_b AS DECIMAL(16,6))) AS DOUBLE) / count(*), 6) AS avg_b
         |FROM m GROUP BY width ORDER BY width""".stripMargin,
+    "q52e_video_decode" ->
+      """SELECT CAST(4 + (i % 3) AS INT) AS n_frames,
+        |  count(*) AS n, count(*) AS n_ok
+        |FROM range(200) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52b_media_meta" ->
       """WITH m AS (
         |  SELECT i AS media_id,

@@ -22,8 +22,18 @@ import graft.layout.LayoutWriter.LayoutSpec
   * [[Compactor.compact]] re-runs the recorded layout sort and the
   * probe shows pruning restored.
   *
-  * Usage: runMain graft.tools.LayoutDecay [sfDir] [workDir] [batches] [mode] [keysPerBatch]
+  * Usage: runMain graft.tools.LayoutDecay [sfDir] [workDir] [batches] [mode] [keysPerBatch] [source]
   * Writes workDir/layout_decay.csv (copy to results/rq7_layout/).
+  *
+  * `source` (round-16): `tpch` (default) is the protocol above;
+  * `amazon:<rows>` swaps the base for [[AmazonGen]]'s reviews table
+  * with the reference's own keyed config — COMPOSITE STRING record key
+  * (user_id, asin), precombine record_timestamp, zorder layout over
+  * the STRING pair (asin, parent_asin) — so the decay run exercises
+  * the L15/L16 machinery (sorted COW + bloom KeyIndex) on string keys
+  * end-to-end. The probe is a fixed asin IN-list (StrIn zone pruning,
+  * the amazon Q3 point family); batches sample existing (user_id,
+  * asin) keys and bump helpful_vote with a later precombine timestamp.
   *
   * `keysPerBatch` (round-14, optional): switch from the bulk-smear
   * protocol (~2.5% of rows per batch — every file touched, nothing can
@@ -72,36 +82,74 @@ object LayoutDecay {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
     val table = s"$work/table"
 
-    // l_linenumber is 1..7, so *8 folds the composite key into one
-    // column; the driver's synthetic lineitem carries DUPLICATE
-    // (orderkey, linenumber) pairs (sf0.1: 600k rows, 457k distinct),
-    // so the keyed base table dedups once up front — an upsert
-    // experiment needs a well-defined record key, exactly as Hudi's
-    // first commit on such data would collapse them
-    val li = graft.Tables.load(spark, sfDir, "lineitem")
-      .withColumn("lkey", col("l_orderkey") * 8 + col("l_linenumber"))
-      .dropDuplicates("lkey")
     val keysPerBatch = args.lift(4).map(_.toInt)
-    LayoutWriter.write(li, table, LayoutSpec(
-      "zorder", Seq("l_quantity", "l_extendedprice"),
-      numFiles = Some(52), recordKey = Some("lkey")))
-    keysPerBatch.foreach(_ => KeyIndex.build(spark, table))
+    val source = args.lift(5).getOrElse("tpch")
 
-    // fixed S1-band probe (~2.2% per dimension, the rq1 protocol's
-    // finest band): zone pruning quality is (files, bytes) kept
-    val probePreds = Seq(
-      NumBetween("l_quantity", 24.0, 25.0),
-      NumBetween("l_extendedprice", 30000.0, 32000.0))
+    // (base rows, layout spec, zone probe, row-level probe filter,
+    // batch maker) per source — the decay loop below is shared
+    val (li, probePreds, probeFilter, mkBatch) =
+      if (source.startsWith("amazon")) {
+        val rows = source.split(":").lift(1).map(_.toLong).getOrElse(8000000L)
+        val nUsers = math.max(1000L, rows / 16)
+        val nAsins = math.max(500L, rows / 80)
+        // a user can review the same product once: the composite record
+        // key must be unique in the base, as Hudi's first commit would
+        // enforce via precombine
+        val base = AmazonGen.reviews(spark, rows, nUsers, nAsins)
+          .dropDuplicates("user_id", "asin")
+        LayoutWriter.write(base, table, LayoutSpec(
+          "zorder", Seq("asin", "parent_asin"), numFiles = Some(52),
+          recordKeys = Seq("user_id", "asin"),
+          precombineCol = Some("record_timestamp")),
+          extraStatsCols = Seq("record_timestamp", "rating", "helpful_vote"))
+        // fixed asin IN probe (the amazon Q3 point family): StrIn zone
+        // pruning over the string layout
+        val probeAsins = AmazonGen.sampleCodes(
+          spark, nAsins, 8, 21, "B0", 8, seed = 4242)
+        val mk = (df: org.apache.spark.sql.DataFrame, i: Int) =>
+          df.orderBy(xxhash64(col("user_id"), col("asin"), lit(i)))
+            .limit(keysPerBatch.getOrElse((rows / 40).toInt))
+            .withColumn("helpful_vote", col("helpful_vote") + 1)
+            // strictly later precombine so the update wins the dedup
+            .withColumn("record_timestamp",
+              col("record_timestamp") + expr(s"INTERVAL ${i + 1} SECONDS"))
+        (base, Seq(StrIn("asin", probeAsins)),
+          col("asin").isin(probeAsins: _*), mk)
+      } else {
+        // l_linenumber is 1..7, so *8 folds the composite key into one
+        // column; the driver's synthetic lineitem carries DUPLICATE
+        // (orderkey, linenumber) pairs (sf0.1: 600k rows, 457k distinct),
+        // so the keyed base table dedups once up front — an upsert
+        // experiment needs a well-defined record key, exactly as Hudi's
+        // first commit on such data would collapse them
+        val base = graft.Tables.load(spark, sfDir, "lineitem")
+          .withColumn("lkey", col("l_orderkey") * 8 + col("l_linenumber"))
+          .dropDuplicates("lkey")
+        LayoutWriter.write(base, table, LayoutSpec(
+          "zorder", Seq("l_quantity", "l_extendedprice"),
+          numFiles = Some(52), recordKey = Some("lkey")))
+        val mk = (df: org.apache.spark.sql.DataFrame, i: Int) =>
+          (keysPerBatch match {
+            case Some(n) => df.orderBy(xxhash64(col("lkey"), lit(i))).limit(n)
+            case None => df.filter(col("lkey") % 4 === 0 &&
+              pmod(xxhash64(col("lkey")), lit(nBatches)) === i)
+          }).withColumn("l_extendedprice", col("l_extendedprice") * 1.001)
+        // fixed S1-band probe (~2.2% per dimension, the rq1 protocol's
+        // finest band): zone pruning quality is (files, bytes) kept
+        (base,
+          Seq(NumBetween("l_quantity", 24.0, 25.0),
+            NumBetween("l_extendedprice", 30000.0, 32000.0)),
+          col("l_quantity").between(24.0, 25.0) &&
+            col("l_extendedprice").between(30000.0, 32000.0), mk)
+      }
+    keysPerBatch.foreach(_ => KeyIndex.build(spark, table))
     val csv = new scala.collection.mutable.ArrayBuffer[String]
     csv += "phase,batch,files_kept,files_total,bytes_kept_mb,bytes_total_mb,probe_rows,probe_sec,mutate_sec,health,reclustered"
     var lastReclustered = false
     def probe(phase: String, batch: Int, mutateSec: Double): Unit = {
       val t0 = System.nanoTime()
       val scan = PrunedScan.read(spark, table, probePreds)
-      val rows = scan.df
-        .filter(col("l_quantity").between(24.0, 25.0) &&
-          col("l_extendedprice").between(30000.0, 32000.0))
-        .count()
+      val rows = scan.df.filter(probeFilter).count()
       val sec = (System.nanoTime() - t0) / 1e9
       val health = Compactor.clusteringHealth(ZoneMap.read(table))
         .map(h => f"$h%.3f").getOrElse("")
@@ -115,11 +163,7 @@ object LayoutDecay {
     // the reference's SF4-source-into-SF16-base ratio; the price bump
     // keeps values inside the probe's domain (updates, not drift)
     for (i <- 0 until nBatches) {
-      val batch0 = (keysPerBatch match {
-        case Some(n) => li.orderBy(xxhash64(col("lkey"), lit(i))).limit(n)
-        case None => li.filter(col("lkey") % 4 === 0 &&
-          pmod(xxhash64(col("lkey")), lit(nBatches)) === i)
-      }).withColumn("l_extendedprice", col("l_extendedprice") * 1.001)
+      val batch0 = mkBatch(li, i)
       // small batches MATERIALIZE before the timer: the sampler re-runs
       // li's dropDuplicates shuffle (~the whole table) lazily inside the
       // upsert otherwise, drowning the actual O(touched-files) mutate

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line: per-batch stream seconds (from the query's
   * own progress events), per-batch direct-fold seconds, totals,
   * overhead, and the corpora-identical check.
+  *
+  * SPARK_GRAFT_EVENTLOG=1 (round-16, VERDICT r15 stretch #7): writes a
+  * compressed Spark event log for the whole soak and, after the session
+  * closes, asserts the post-hoc parser (M5) equals the live listener
+  * (M4) for every direct-fold job group — M4/M5 parity under a
+  * long-lived session with upserts, sidecar maintenance and compaction
+  * churn, not just the bench's per-query smoke. (Streaming micro-batch
+  * jobs run on the stream's own thread with engine-assigned group ids,
+  * so the per-fold gate covers the direct passes.)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -24,8 +33,17 @@ object StreamBench {
     val work = args.lift(1).getOrElse("/tmp/graft_streambench")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.runner.Sessions
+    val eventLogGate = sys.env.get("SPARK_GRAFT_EVENTLOG").contains("1")
+    val eventLogDir =
+      if (eventLogGate)
+        Some(java.nio.file.Files.createTempDirectory("graft_soak_elog_"))
+      else None
+    val builder0 = graft.runner.Sessions
       .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus)
+    val spark = eventLogDir.fold(builder0)(d => builder0
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", d.toUri.toString)
+      .config("spark.eventLog.compress", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def rmrf(p: String): Unit = {
@@ -100,12 +118,19 @@ object StreamBench {
     val streamWall = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(listener)
 
-    // ---- direct-fold pass over the identical batches
+    // ---- direct-fold pass over the identical batches, each fold its
+    // own job group so the eventlog gate can pin parser==listener per fold
+    val gateListener = new graft.runner.MetricsListener
+    if (eventLogGate) spark.sparkContext.addSparkListener(gateListener)
     System.gc()
-    val directSecs = batchDirs.map { d =>
+    val directSecs = batchDirs.zipWithIndex.map { case (d, i) =>
+      if (eventLogGate)
+        spark.sparkContext.setJobGroup(f"fold_$i%03d", s"direct fold $i", false)
       val t = System.nanoTime()
       graft.cli.Curate.runAdd(spark, d, s"$work/inc_direct", 100L)
-      (System.nanoTime() - t) / 1e9
+      val sec = (System.nanoTime() - t) / 1e9
+      if (eventLogGate) spark.sparkContext.clearJobGroup()
+      sec
     }
 
     // fold == fold: both states hold the identical curated corpus
@@ -119,13 +144,34 @@ object StreamBench {
     def arr(xs: Seq[Double]) = xs.map(f3).mkString("[", ",", "]")
     val sTot = streamSecs.sum
     val dTot = directSecs.sum
+    // the eventlog gate needs the log finalized: snapshot the live
+    // listener, stop the session, parse the log, compare per fold group
+    val gateJson =
+      if (!eventLogGate) ""
+      else {
+        org.apache.spark.graftbridge.SparkBridge
+          .drainListenerBus(spark.sparkContext)
+        val names = (0 until nBatches).map(i => f"fold_$i%03d")
+        val live = names.map(n => n -> gateListener.snapshot(n)).toMap
+        spark.stop()
+        val parsed = graft.runner.EventLogMetrics.parse(eventLogDir.get.toString)
+        val bad = names.filter { n =>
+          val l = live(n)
+          val p = parsed.getOrElse(n, graft.runner.EventLogMetrics.GroupMetrics())
+          !(l.bytesRead == p.bytesRead && l.recordsRead == p.recordsRead &&
+            l.executorRunTimeMs == p.executorRunTimeMs &&
+            l.executorCpuTimeNs == p.executorCpuTimeNs && l.tasks == p.tasks)
+        }
+        bad.foreach(n => System.err.println(s"[streambench] eventlog gate MISMATCH $n"))
+        s""","eventlog_gate_ok":${bad.isEmpty},"eventlog_groups":${names.size}"""
+      }
     println(s"""{"sf":"$sfDir","n_batches":$nBatches,""" +
       s""""stream_batch_sec":${arr(streamSecs.toSeq)},""" +
       s""""direct_fold_sec":${arr(directSecs)},""" +
       s""""stream_total_sec":${f3(sTot)},"stream_wall_sec":${f3(streamWall)},""" +
       s""""direct_total_sec":${f3(dTot)},""" +
       s""""overhead_pct":${f3(100.0 * (sTot - dTot) / dTot)},""" +
-      s""""outputs_identical":$same}""")
-    spark.stop()
+      s""""outputs_identical":$same$gateJson}""")
+    if (!eventLogGate) spark.stop()
   }
 }

@@ -135,4 +135,38 @@ class IncrementalCurationSuite extends SparkTestBase {
     graft.runner.Materialize.releaseAll()
     assert(ex.getMessage.contains("must exceed"))
   }
+
+  test("null-text batch rows don't break the bloom-scoped exact-dedup probe") {
+    // Regression (r15 ADVICE): text=null with populated n_chars passes
+    // the quality floor; md5(null) -> null __h group whose xxhash64 is
+    // null, and the bloom probe's Row.getLong on it threw NPE. The null
+    // group must be SKIPPED in the probe array only — it still flows
+    // through matched/keepIds (pre-r15 semantics: kept as unmatched).
+    import spark.implicits._
+    val mk = (id: Long, text: String) =>
+      (id, text, "en", "unit", Option(text).map(_.length.toLong).getOrElse(50L))
+    val corpus0 = Seq(
+      mk(1, Seq.tabulate(40)(i => s"alpha$i").mkString(" ")),
+      mk(2, Seq.tabulate(40)(i => s"beta$i").mkString(" "))).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val st = IncrementalCuration.initState(corpus0, minChars = 10)
+      .drop("component")
+    val dir = tmpDir("curation_nulltext")
+    // the store shape Curate.run writes: linear-on-doc_id + __h bloom
+    graft.layout.LayoutWriter.write(st, dir,
+      graft.layout.LayoutWriter.LayoutSpec("linear", Seq("doc_id"),
+        numFiles = Some(1), recordKey = Some("doc_id")))
+    graft.layout.KeyIndex.build(spark, dir, Seq("__h"))
+    val batch = Seq(
+      mk(100, Seq.tabulate(40)(i => s"gamma$i").mkString(" ")),
+      mk(101, null)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val prep = IncrementalCuration.prepareBatch(st, batch, minChars = 10,
+      docsDir = Some(dir))
+    // both batch groups (real text + the null group) stay in the keep
+    // set, and the tracked result materializes without throwing
+    assert(prep.nHint.contains(2L), s"keep-set hint: ${prep.nHint}")
+    val kept = prep.rows.select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(100L), s"real doc dropped: $kept")
+    graft.runner.Materialize.releaseAll()
+  }
 }

@@ -382,6 +382,49 @@ class SourcesStreamingSuite extends SparkTestBase {
     assert(!bad.decodeOk && bad.nSamples == 0)
   }
 
+  test("real MJPEG-AVI video decode: RIFF walker + ImageIO frames match " +
+      "the closed-form clip colors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val feats = Multimodal.decodeVideos(Multimodal.syntheticMjpegAvis(spark, 30))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 30 && feats.forall(_.decodeOk))
+    feats.foreach { f =>
+      val i = f.media_id
+      val nf = 4 + (i % 3).toInt
+      assert(f.nFrames == nf && f.width == 32 && f.height == 24,
+        s"vid $i shape (${f.nFrames}, ${f.width}x${f.height})")
+      assert(math.abs(f.fps - 10.0) < 1e-9, s"vid $i fps ${f.fps}")
+      // solid-color JPEG frames round-trip within ~2 intensity units
+      // (constant-block DCT is exact up to rounding/chroma subsampling)
+      val expR = (0 until nf).map(k => (i * 7 + k * 13) % 256).sum.toDouble / nf
+      val expG = (0 until nf).map(k => (i * 11 + k * 17) % 256).sum.toDouble / nf
+      val expB = (0 until nf).map(k => (i * 3 + k * 29) % 256).sum.toDouble / nf
+      assert(math.abs(f.mean_r - expR) < 3.0, s"vid $i mean_r ${f.mean_r} != $expR")
+      assert(math.abs(f.mean_g - expG) < 3.0, s"vid $i mean_g ${f.mean_g} != $expG")
+      assert(math.abs(f.mean_b - expB) < 3.0, s"vid $i mean_b ${f.mean_b} != $expB")
+    }
+    // the writer/reader round-trip is byte-faithful per frame
+    val jpegs = (0 until 3).map { k =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, k * 1000)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val avi = graft.media.Mjpeg.readAvi(
+      graft.media.Mjpeg.writeAvi(jpegs, 8, 8, fps = 25))
+    assert(avi.frames.length == 3 && avi.fps == 25.0 &&
+      avi.width == 8 && avi.height == 8)
+    assert(avi.frames.zip(jpegs).forall { case (a, b) => a.sameElements(b) })
+    // container-level garbage degrades to decodeOk=false
+    val bad = Multimodal.decodeVideos(
+      Seq(Multimodal.VideoRow(99L, Array[Byte](82, 73, 70, 70, 9, 9))).toDS())
+      .collect()(0)
+    assert(!bad.decodeOk && bad.nFrames == 0)
+  }
+
   test("streaming BM25 scoring equals the indexed batch scores, join-free") {
     val spark2 = spark
     import spark2.implicits._
