@@ -59,16 +59,29 @@ object Compactor {
     * column scores ~1/numFiles; a fully smeared one scores ~1. Rows
     * weighting matters: one giant unsorted file among many narrow ones
     * IS most of the damage, and a file-count average would hide it.
-    * None when `c` has no numeric zone stats (string layout columns) or
-    * the manifest has no rows. Files with missing/all-null stats for
-    * `c` count as full-width (they can never be pruned).
+    * STRING layout columns (round-16): widths come from the same 4-byte
+    * lexicographic prefix code the curve writers normalize strings
+    * through (LayoutWriter.stringPrefixCode) applied to the stored
+    * min/max strings — so the health metric sees exactly the domain the
+    * layout was clustered in, and the auto-recluster policy is no
+    * longer blind on string-keyed tables (the amazon decay run measured
+    * an empty health column while pruning decayed 34 -> 46 files kept).
+    * Deep-common-prefix pools collapse the code to width 0 and score
+    * 0.0 — consistent with the curves themselves carrying no signal
+    * there (results/rq1_amazon C1deep). None when the column has
+    * neither numeric nor string stats or the manifest has no rows.
+    * Files with missing/all-null stats for `c` count as full-width
+    * (they can never be pruned).
     */
   def scanFraction(manifest: TableManifest, c: String): Option[Double] = {
     val entries = manifest.files.filter(_.rows > 0)
     val spans = entries.map { f =>
       f.ranges.get(c) match {
         case Some(r) if !r.allNull =>
-          (f.rows, for { mn <- r.min; mx <- r.max } yield (mn, mx))
+          val num = for { mn <- r.min; mx <- r.max } yield (mn, mx)
+          def str = for { mn <- r.minStr; mx <- r.maxStr }
+            yield (strPrefixCode(mn), strPrefixCode(mx))
+          (f.rows, num.orElse(str))
         case _ => (f.rows, None)
       }
     }
@@ -96,6 +109,20 @@ object Compactor {
     * under [[DefaultDecayThreshold]] for real file counts, while COW
     * smear drives the metric toward 1 regardless of family.
     */
+  /** Driver-side twin of LayoutWriter's order-preserving 4-byte string
+    * prefix code (`ascii(substring(c, i, 1))` per byte): byte0*2^24 +
+    * byte1*2^16 + byte2*2^8 + byte3, missing chars read as 0.
+    */
+  private[layout] def strPrefixCode(s: String): Double = {
+    var v = 0.0
+    var i = 0
+    while (i < 4) {
+      v = v * 256 + (if (i < s.length) s.charAt(i).toInt & 0xFF else 0)
+      i += 1
+    }
+    v
+  }
+
   def clusteringHealth(manifest: TableManifest): Option[Double] = {
     val fs = manifest.layoutCols.flatMap(scanFraction(manifest, _))
     if (fs.isEmpty) None else Some(fs.max)

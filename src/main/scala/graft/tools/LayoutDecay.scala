@@ -143,6 +143,18 @@ object LayoutDecay {
             col("l_extendedprice").between(30000.0, 32000.0), mk)
       }
     keysPerBatch.foreach(_ => KeyIndex.build(spark, table))
+    // rewrite/compaction file sizing follows the BASE table: the fixed
+    // 48 MB (the sf16 lineitem ratio) over-merges a smaller table's
+    // sorted rewrites — 12 touched ~9 MB files bin-pack into 2, the
+    // file count halves in a few batches, and pruning granularity dies
+    // of CONSOLIDATION rather than clustering decay (observed on the
+    // amazon run before this derivation)
+    val targetBytes = {
+      val m0 = ZoneMap.read(table)
+      val total = m0.files.flatMap(_.bytes).sum
+      math.max(8L * 1024 * 1024,
+        if (m0.files.nonEmpty) total / m0.files.length else 48L * 1024 * 1024)
+    }
     val csv = new scala.collection.mutable.ArrayBuffer[String]
     csv += "phase,batch,files_kept,files_total,bytes_kept_mb,bytes_total_mb,probe_rows,probe_sec,mutate_sec,health,reclustered"
     var lastReclustered = false
@@ -181,7 +193,7 @@ object LayoutDecay {
       val res = graft.table.Upserter.upsertResult(spark, table, batch,
         sortRewrites = mode == "sorted" || mode == "sorted+policy",
         autoRecluster = mode == "policy" || mode == "sorted+policy",
-        targetFileBytes = 48L * 1024 * 1024)
+        targetFileBytes = targetBytes)
       lastReclustered = res.reclustered
       probe("upsert", i + 1, (System.nanoTime() - t0) / 1e9)
     }
@@ -189,7 +201,7 @@ object LayoutDecay {
     // repair: compaction re-runs the recorded layout sort (L5's
     // "never degrades clustering" contract) and pruning returns
     val t0 = System.nanoTime()
-    Compactor.compact(spark, table, targetFileBytes = 48L * 1024 * 1024)
+    Compactor.compact(spark, table, targetFileBytes = targetBytes)
     probe("compacted", nBatches + 1, (System.nanoTime() - t0) / 1e9)
 
     java.nio.file.Files.write(

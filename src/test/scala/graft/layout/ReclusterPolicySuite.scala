@@ -62,6 +62,41 @@ class ReclusterPolicySuite extends SparkTestBase {
     assert(smeared > 0.9, s"fully smeared table scored $smeared")
   }
 
+  test("clustering health sees STRING layout columns via the prefix code") {
+    // r16: the amazon decay run measured an EMPTY health column on a
+    // string-sorted table — scanFraction only read numeric zone stats,
+    // so the auto-recluster policy was blind exactly where the amazon
+    // matrix clusters (asin/user_id sorts)
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmpDir("graft_health_str")
+    // ids whose first 4 chars VARY (uniform leading digit) — a
+    // zero-padded "B0000001" pool is itself the deep-prefix case below
+    val base = (1 to 2400).map { i =>
+      (f"B${(i * 7919) % 100000}%05d", s"v$i", i.toLong, 1L)
+    }.toDF("asin", "payload", "k", "version")
+    LayoutWriter.write(base, dir,
+      LayoutSpec("linear", Seq("asin"), numFiles = Some(24),
+        recordKey = Some("k"), precombineCol = Some("version")))
+    val healthy = Compactor.clusteringHealth(ZoneMap.read(dir)).get
+    assert(healthy < 0.15, s"healthy string-sorted table scored $healthy")
+    val m0 = ZoneMap.read(dir)
+    spark.read.parquet(dir).repartition(6).write.mode("overwrite").parquet(dir)
+    ZoneMap.write(dir, m0.copy(files =
+      ZoneMap.collectStats(spark, dir, m0.statsCols)))
+    val smeared = Compactor.clusteringHealth(ZoneMap.read(dir)).get
+    assert(smeared > 0.9, s"smeared string table scored $smeared")
+    // deep-common-prefix pools carry no prefix-code signal: score 0,
+    // policy stays quiet (consistent with results/rq1_amazon C1deep)
+    val deep = (1 to 200).map(i => (f"B0000000${i % 10}%d", s"v$i", i.toLong, 1L))
+      .toDF("asin", "payload", "k", "version")
+    val dir2 = tmpDir("graft_health_deep")
+    LayoutWriter.write(deep, dir2,
+      LayoutSpec("linear", Seq("asin"), numFiles = Some(8),
+        recordKey = Some("k"), precombineCol = Some("version")))
+    assert(Compactor.clusteringHealth(ZoneMap.read(dir2)).contains(0.0))
+  }
+
   test("10 scattered upserts trigger exactly one auto-recluster and health never crosses the threshold") {
     val dir = tmpDir("graft_policy")
     writeBase(dir)
