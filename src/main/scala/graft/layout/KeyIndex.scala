@@ -221,17 +221,22 @@ object KeyIndex {
   // — all keys of all files the shard indexes — lets a lookup read ONLY
   // the shard dirs whose union might contain a batch hash.
   //
-  // Soundness invariant: whenever `_unions.bin` exists, each shard's
-  // union is a SUPERSET of the keys behind that shard's bloom rows.
-  // Writers keep it by ordering union writes BEFORE row appends (a
-  // crash inflates the union — false positives only) and by deleting
-  // the file when they cannot merge (parameter drift). Skipping a
+  // Soundness invariant: the unions file carries `unionsGen`, and each
+  // shard's union is a SUPERSET of the keys behind that shard's bloom
+  // rows FOR FILES OF gen <= unionsGen. Files newer than the stamp are
+  // not covered — lookups read their shards unconditionally (pure
+  // driver-side generation math over the manifest, the same mechanism
+  // indexedGen uses), so mutations pay ZERO union maintenance; an
+  // amortized refresh inside [[update]] re-covers the pending files
+  // once they accumulate (O(pending) scan, O(1) amortized per append —
+  // the first union design merged on every mutation and the 50-fold
+  // soak priced that extra Spark job into every fold). Skipping a
   // union-negative shard can therefore only drop per-file bloom FALSE
   // positives, never a file that truly holds a batch key. Stale keys
   // (superseded files) stay in the union until the next full [[build]]
   // — FP inflation only. Fixed parameters keep every union
-  // byte-compatible for mergeInPlace across builds and appends; a shard
-  // whose true key count outgrows [[UnionExpected]] saturates smoothly
+  // byte-compatible for mergeInPlace across refreshes; a shard whose
+  // true key count outgrows [[UnionExpected]] saturates smoothly
   // toward always-positive (no skip — exactly today's behavior).
   private val UnionsName = "_unions.bin"
   private val UnionsMagic = 0x47554E42 // "GUNB"
@@ -245,11 +250,13 @@ object KeyIndex {
     path(dir, name).resolve(UnionsName)
 
   private def writeUnions(dir: String, name: String,
-      unions: Map[Int, org.apache.spark.util.sketch.BloomFilter]): Unit = {
+      unions: Map[Int, org.apache.spark.util.sketch.BloomFilter],
+      unionsGen: Long): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(UnionsMagic); out.writeInt(1)
+    out.writeInt(UnionsMagic); out.writeInt(2)
     out.writeLong(UnionExpected); out.writeDouble(UnionFpp)
+    out.writeLong(unionsGen)
     out.writeInt(unions.size)
     unions.toSeq.sortBy(_._1).foreach { case (s, bf) =>
       val b = new java.io.ByteArrayOutputStream()
@@ -265,20 +272,22 @@ object KeyIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** None when absent/torn/parameter-mismatched — lookups then read all
-    * shards (today's behavior) and [[update]] deletes the file so the
+  /** (unionsGen, per-shard unions). None when absent/torn/
+    * parameter-mismatched — lookups then read all shards (the
+    * no-unions behavior) and [[update]] deletes the file so the
     * superset invariant can never silently break.
     */
-  private def readUnions(dir: String,
-      name: String): Option[Map[Int, org.apache.spark.util.sketch.BloomFilter]] = {
+  private def readUnions(dir: String, name: String)
+      : Option[(Long, Map[Int, org.apache.spark.util.sketch.BloomFilter])] = {
     val p = unionsFile(dir, name)
     if (!java.nio.file.Files.exists(p)) return None
     scala.util.Try {
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
         java.nio.file.Files.readAllBytes(p)))
-      require(in.readInt() == UnionsMagic && in.readInt() == 1 &&
+      require(in.readInt() == UnionsMagic && in.readInt() == 2 &&
         in.readLong() == UnionExpected && in.readDouble() == UnionFpp)
-      (0 until in.readInt()).map { _ =>
+      val gen = in.readLong()
+      gen -> (0 until in.readInt()).map { _ =>
         val s = in.readInt()
         val bytes = new Array[Byte](in.readInt())
         in.readFully(bytes)
@@ -359,7 +368,7 @@ object KeyIndex {
     if (java.nio.file.Files.exists(path(dir, name))) drop(dir, name)
     val gen = manifest.generation.getOrElse(0L)
     if (manifest.files.isEmpty) {
-      writeUnions(dir, name, Map.empty)
+      writeUnions(dir, name, Map.empty, unionsGen = gen)
       writeMeta(dir, keys, indexedGen = gen, name = name); return
     }
     bloomRows(spark, dir, keys, manifest.files,
@@ -370,7 +379,7 @@ object KeyIndex {
     // scan of the key columns only); before the meta so a crash leaves a
     // meta-less sidecar that lookups skip wholesale
     writeUnions(dir, name, unionBloomsOf(spark, dir, keys, manifest.files,
-      manifest.hivePartitions.nonEmpty))
+      manifest.hivePartitions.nonEmpty), unionsGen = gen)
     // meta AFTER the parquet write (overwrite clears the dir); a crash
     // in between leaves a meta-less sidecar, which lookups skip and the
     // next mutation's update() rebuilds. indexedGen = the manifest
@@ -414,13 +423,19 @@ object KeyIndex {
       .filter(_.gen.getOrElse(0L) > meta.indexedGen)
       .map(f => norm(f.path)).toSet
     // shard skipping: read only the shard dirs whose union bloom might
-    // contain a batch hash (see the union invariant above — skipping a
-    // union-negative shard can only drop per-file-bloom false positives)
+    // contain a batch hash, PLUS the shards holding files newer than
+    // the unions stamp (not yet covered — pure driver math; see the
+    // union invariant above: skipping a union-negative covered shard
+    // can only drop per-file-bloom false positives)
     val base = path(dir, name)
     val selected: Seq[String] = readUnions(dir, name) match {
-      case Some(um) =>
+      case Some((ugen, um)) =>
+        val uncovered = manifest.files
+          .filter(_.gen.getOrElse(0L) > ugen)
+          .map(f => shardOf(norm(f.path))).toSet
         (0 until meta.shards).iterator
-          .filter(s => um.get(s).exists(bf => hashes.exists(bf.mightContainLong)))
+          .filter(s => uncovered.contains(s) ||
+            um.get(s).exists(bf => hashes.exists(bf.mightContainLong)))
           .map(s => base.resolve(s"s=$s"))
           .filter(java.nio.file.Files.exists(_))
           .map(_.toString).toSeq
@@ -505,15 +520,21 @@ object KeyIndex {
         !addedPaths.contains(norm(f.path)))
     val toIndex = added ++ healed
     if (toIndex.nonEmpty) {
-      // union maintenance BEFORE the row append: a crash in between
-      // inflates the unions (false positives only — sound); the reverse
-      // order could leave rows whose keys a union-negative lookup would
-      // skip. An absent/torn/param-drifted unions file is deleted, not
-      // partially created — the superset invariant must hold whenever
-      // the file exists, and only a full [[build]] can establish it.
-      readUnions(dir, name) match {
-        case Some(stored) =>
-          val batch = unionBloomsOf(spark, dir, keys, toIndex,
+      bloomRows(spark, dir, keys, toIndex, manifest.hivePartitions.nonEmpty)
+        .write.mode("append").partitionBy("s").parquet(path(dir, name).toString)
+    }
+    // union maintenance is AMORTIZED, never per-mutation: files newer
+    // than the unions stamp are read unconditionally by lookups (their
+    // shardOf is driver math over the manifest), so appending rows here
+    // costs no union work and breaks no invariant. Once enough pending
+    // files accumulate, one O(pending) scan re-covers them and advances
+    // the stamp. A torn/param-drifted unions file is deleted (fail-safe
+    // to no-skip); only a full [[build]] re-establishes one.
+    readUnions(dir, name) match {
+      case Some((ugen, stored)) =>
+        val pending = manifest.files.filter(_.gen.getOrElse(0L) > ugen)
+        if (pending.length > math.max(Shards.toLong, manifest.files.length / 8L)) {
+          val batch = unionBloomsOf(spark, dir, keys, pending,
             manifest.hivePartitions.nonEmpty)
           val merged = (stored.keySet ++ batch.keySet).iterator.map { s =>
             s -> ((stored.get(s), batch.get(s)) match {
@@ -522,12 +543,10 @@ object KeyIndex {
               case (None, b) => b.getOrElse(newUnionBloom())
             })
           }.toMap
-          writeUnions(dir, name, merged)
-        case None =>
-          java.nio.file.Files.deleteIfExists(unionsFile(dir, name))
-      }
-      bloomRows(spark, dir, keys, toIndex, manifest.hivePartitions.nonEmpty)
-        .write.mode("append").partitionBy("s").parquet(path(dir, name).toString)
+          writeUnions(dir, name, merged, unionsGen = currentGen)
+        }
+      case None =>
+        java.nio.file.Files.deleteIfExists(unionsFile(dir, name))
     }
     val stale = meta.stale + removedPaths.length
     val stats =

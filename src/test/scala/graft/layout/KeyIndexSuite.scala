@@ -444,6 +444,34 @@ class KeyIndexSuite extends SparkTestBase {
       .map(KeyIndex.norm).toSet
     assert(truth.subsetOf(skipped),
       s"union skipping dropped truly-affected files: ${truth -- skipped}")
+    // files newer than the unions stamp are uncovered: their shard is
+    // read unconditionally (driver-side generation math), so a key that
+    // exists ONLY in a post-union file still resolves — while the
+    // union-negative covered shards stay skipped
+    val fresh = Seq((777777L, 1.0, 2.0, "fresh", 1L))
+      .toDF("k", "a", "b", "payload", "version")
+    val stage = tmpDir("graft_keyidx_unionstage")
+    fresh.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(
+      new java.io.File(new java.net.URI(manifest.files.head.path)).getParentFile,
+      "part-fresh777.parquet")
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    val entries = ZoneMap.collectStatsDf(
+      spark.read.parquet(dest.toString), manifest.statsCols)
+    ZoneMap.write(dir, ZoneMap.read(dir).copy(
+      files = ZoneMap.read(dir).files ++ entries))
+    KeyIndex.update(spark, dir, Nil, entries) // appends the row, no refresh
+    val m2 = ZoneMap.read(dir)
+    val freshHit = KeyIndex.affectedPaths(spark, dir,
+      Seq(hashOf(777777L)), m2).get
+    assert(freshHit.contains(KeyIndex.norm(dest.toURI.toString)),
+      s"post-union file must be found: $freshHit")
+    assert(KeyIndex.lastShardsRead <= 3,
+      s"covered union-negative shards must stay skipped " +
+        s"(read ${KeyIndex.lastShardsRead})")
+
     // without the unions file the lookup reads every shard and can only
     // ADD per-file-bloom false positives
     java.nio.file.Files.delete(KeyIndex.path(dir).resolve("_unions.bin"))
