@@ -202,6 +202,7 @@ object AmazonScenario {
     }
 
     val all = cells ++ deepCells
+    deleteRec(new java.io.File(work)) // baseline table + work root
     val geo = Scenario.geomeans(all)
     Scenario.writeCsvs(outDir, all, geo)
     geo.foreach { g =>

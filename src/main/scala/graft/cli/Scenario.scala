@@ -60,11 +60,21 @@ object Scenario {
     * per-dimension selectivity is the Nth root of the band's overall
     * target.
     */
+  /** `shape` (round-16, the reference's RQ4 family —
+    * generate_tpch_rq4_specs.py: the RQ1/RQ2 predicates with GROUP BY /
+    * ORDER BY / LIMIT variants appended): "plain" is the RQ1 count+sum
+    * projection; "group" adds `GROUP BY l_returnflag, l_linestatus`;
+    * "group_order_limit" additionally orders by the aggregate DESC with
+    * LIMIT 1000 (the generator's G1o1l1000 tag). Pruning is unaffected
+    * by construction (same WHERE); what the matrix measures is whether
+    * the layout SPEEDUP survives post-scan aggregation/sort work.
+    */
   def runMatrix(spark: SparkSession, sfDir: String,
       nPerBand: Int = 6, numFiles: Int = 16,
       bands: Seq[(String, Double)] = Bands,
       bits: Option[Int] = None,
-      cols: Seq[String] = Seq("l_quantity", "l_extendedprice")): Seq[Cell] = {
+      cols: Seq[String] = Seq("l_quantity", "l_extendedprice"),
+      shape: String = "plain"): Seq[Cell] = {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -86,12 +96,26 @@ object Scenario {
       // scan pays the projected chunks of every kept file, not just the
       // predicate columns; sum() keeps the result one row without
       // letting Catalyst prune the projection away
+      val shapeSql = shape match {
+        case "plain" =>
+          s"SELECT count(*) AS cnt, sum(l_orderkey) AS sum_ok FROM {{tbl}}\nWHERE $where"
+        case "group" =>
+          s"SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+            s"sum(l_quantity) AS sum_qty FROM {{tbl}}\nWHERE $where\n" +
+            "GROUP BY l_returnflag, l_linestatus"
+        case "group_order_limit" =>
+          s"SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+            s"sum(l_quantity) AS sum_qty FROM {{tbl}}\nWHERE $where\n" +
+            "GROUP BY l_returnflag, l_linestatus\n" +
+            "ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 1000"
+        case other => throw new IllegalArgumentException(s"unknown shape $other")
+      }
       val cells = for {
         (band, selOverall) <- bands
         selDim = math.pow(selOverall, 1.0 / cols.length)
         spec = TemplateSpec(
           name = s"rq_$band",
-          sql = s"SELECT count(*) AS cnt, sum(l_orderkey) AS sum_ok FROM {{tbl}}\nWHERE $where",
+          sql = shapeSql,
           params = cols.zipWithIndex.map { case (c, i) =>
             RangeParam(s"p$i", c, selDim)
           },
