@@ -240,22 +240,38 @@ object KeyIndex {
   // toward always-positive (no skip — exactly today's behavior).
   private val UnionsName = "_unions.bin"
   private val UnionsMagic = 0x47554E42 // "GUNB"
+  /** Union capacity bounds. The capacity is chosen at [[build]] time
+    * from the manifest's row count (keys/shard x 1.3 headroom),
+    * PERSISTED in the unions header so refreshes build byte-compatible
+    * batch blooms, and capped: at the cap a shard union is ~1 MB
+    * (~17 MB file, read per lookup), covering tables to ~16M keys.
+    * Beyond that the unions saturate toward always-positive and the
+    * lookup gracefully degrades to the distributed full-sidecar path —
+    * at 100 TB (50B keys/shard) no driver-resident summary can cover
+    * the key set; the probe artifact (results/union_probe.json)
+    * measures both regimes.
+    */
   val UnionExpected = 131072L
+  val UnionExpectedMax = 1048576L
   val UnionFpp = 0.02
 
-  private def newUnionBloom(): org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.create(UnionExpected, UnionFpp)
+  private def unionCapacityFor(totalRows: Long): Long =
+    math.min(UnionExpectedMax,
+      math.max(UnionExpected, totalRows / Shards * 13L / 10L))
+
+  private def newUnionBloom(expected: Long): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.create(expected, UnionFpp)
 
   private def unionsFile(dir: String, name: String): java.nio.file.Path =
     path(dir, name).resolve(UnionsName)
 
   private def writeUnions(dir: String, name: String,
       unions: Map[Int, org.apache.spark.util.sketch.BloomFilter],
-      unionsGen: Long): Unit = {
+      unionsGen: Long, expected: Long): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(UnionsMagic); out.writeInt(2)
-    out.writeLong(UnionExpected); out.writeDouble(UnionFpp)
+    out.writeLong(expected); out.writeDouble(UnionFpp)
     out.writeLong(unionsGen)
     out.writeInt(unions.size)
     unions.toSeq.sortBy(_._1).foreach { case (s, bf) =>
@@ -272,28 +288,31 @@ object KeyIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** (unionsGen, per-shard unions). None when absent/torn/
-    * parameter-mismatched — lookups then read all shards (the
-    * no-unions behavior) and [[update]] deletes the file so the
-    * superset invariant can never silently break.
+  private case class Unions(gen: Long, expected: Long,
+      blooms: Map[Int, org.apache.spark.util.sketch.BloomFilter])
+
+  /** None when absent/torn/parameter-mismatched — lookups then read all
+    * shards (the no-unions behavior) and [[update]] deletes the file so
+    * the superset invariant can never silently break.
     */
-  private def readUnions(dir: String, name: String)
-      : Option[(Long, Map[Int, org.apache.spark.util.sketch.BloomFilter])] = {
+  private def readUnions(dir: String, name: String): Option[Unions] = {
     val p = unionsFile(dir, name)
     if (!java.nio.file.Files.exists(p)) return None
     scala.util.Try {
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
         java.nio.file.Files.readAllBytes(p)))
-      require(in.readInt() == UnionsMagic && in.readInt() == 2 &&
-        in.readLong() == UnionExpected && in.readDouble() == UnionFpp)
+      require(in.readInt() == UnionsMagic && in.readInt() == 2)
+      val expected = in.readLong()
+      require(expected >= UnionExpected && expected <= UnionExpectedMax &&
+        in.readDouble() == UnionFpp)
       val gen = in.readLong()
-      gen -> (0 until in.readInt()).map { _ =>
+      Unions(gen, expected, (0 until in.readInt()).map { _ =>
         val s = in.readInt()
         val bytes = new Array[Byte](in.readInt())
         in.readFully(bytes)
         s -> org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(bytes))
-      }.toMap
+      }.toMap)
     }.toOption
   }
 
@@ -303,8 +322,8 @@ object KeyIndex {
     * the driver receives O(Shards) rows at any table scale.
     */
   private def unionBloomsOf(spark: SparkSession, dir: String, keys: Seq[String],
-      files: Seq[FileEntry],
-      partitioned: Boolean): Map[Int, org.apache.spark.util.sketch.BloomFilter] = {
+      files: Seq[FileEntry], partitioned: Boolean,
+      expected: Long): Map[Int, org.apache.spark.util.sketch.BloomFilter] = {
     import spark.implicits._
     StagedRewrite.readFiles(spark, dir, files.map(_.path), partitioned)
       .filter(keys.map(col(_).isNotNull).reduce(_ && _))
@@ -312,7 +331,7 @@ object KeyIndex {
       .as[(String, Long)]
       .rdd
       .map { case (p, k) => (shardOf(norm(p)), k) }
-      .aggregateByKey(newUnionBloom())(
+      .aggregateByKey(newUnionBloom(expected))(
         (bf, k) => { bf.putLong(k); bf },
         (a, b) => { a.mergeInPlace(b); a })
       .collect().toMap
@@ -367,8 +386,16 @@ object KeyIndex {
     val name = indexName(indexCols)
     if (java.nio.file.Files.exists(path(dir, name))) drop(dir, name)
     val gen = manifest.generation.getOrElse(0L)
+    val totalRows = manifest.files.map(_.rows).sum
+    val cap = unionCapacityFor(totalRows)
+    // beyond the capacity cap a union is saturated (always-positive) —
+    // pure per-lookup read overhead with no skip (measured: 32M-row
+    // probe read 14/16 shards yet paid the ~17 MB unions read). Skip
+    // writing them; the distributed full-sidecar lookup IS the design
+    // at that scale.
+    val unionsUseful = totalRows / Shards <= UnionExpectedMax
     if (manifest.files.isEmpty) {
-      writeUnions(dir, name, Map.empty, unionsGen = gen)
+      writeUnions(dir, name, Map.empty, unionsGen = gen, expected = cap)
       writeMeta(dir, keys, indexedGen = gen, name = name); return
     }
     bloomRows(spark, dir, keys, manifest.files,
@@ -378,8 +405,10 @@ object KeyIndex {
     // fresh per-shard unions from the same files (a second column-pruned
     // scan of the key columns only); before the meta so a crash leaves a
     // meta-less sidecar that lookups skip wholesale
-    writeUnions(dir, name, unionBloomsOf(spark, dir, keys, manifest.files,
-      manifest.hivePartitions.nonEmpty), unionsGen = gen)
+    if (unionsUseful)
+      writeUnions(dir, name, unionBloomsOf(spark, dir, keys, manifest.files,
+        manifest.hivePartitions.nonEmpty, cap), unionsGen = gen, expected = cap)
+    else java.nio.file.Files.deleteIfExists(unionsFile(dir, name))
     // meta AFTER the parquet write (overwrite clears the dir); a crash
     // in between leaves a meta-less sidecar, which lookups skip and the
     // next mutation's update() rebuilds. indexedGen = the manifest
@@ -429,13 +458,13 @@ object KeyIndex {
     // can only drop per-file-bloom false positives)
     val base = path(dir, name)
     val selected: Seq[String] = readUnions(dir, name) match {
-      case Some((ugen, um)) =>
+      case Some(u) =>
         val uncovered = manifest.files
-          .filter(_.gen.getOrElse(0L) > ugen)
+          .filter(_.gen.getOrElse(0L) > u.gen)
           .map(f => shardOf(norm(f.path))).toSet
         (0 until meta.shards).iterator
           .filter(s => uncovered.contains(s) ||
-            um.get(s).exists(bf => hashes.exists(bf.mightContainLong)))
+            u.blooms.get(s).exists(bf => hashes.exists(bf.mightContainLong)))
           .map(s => base.resolve(s"s=$s"))
           .filter(java.nio.file.Files.exists(_))
           .map(_.toString).toSeq
@@ -531,19 +560,21 @@ object KeyIndex {
     // the stamp. A torn/param-drifted unions file is deleted (fail-safe
     // to no-skip); only a full [[build]] re-establishes one.
     readUnions(dir, name) match {
-      case Some((ugen, stored)) =>
-        val pending = manifest.files.filter(_.gen.getOrElse(0L) > ugen)
+      case Some(u) =>
+        val pending = manifest.files.filter(_.gen.getOrElse(0L) > u.gen)
         if (pending.length > math.max(Shards.toLong, manifest.files.length / 8L)) {
+          // batch blooms at the HEADER capacity: byte-compatible merge
           val batch = unionBloomsOf(spark, dir, keys, pending,
-            manifest.hivePartitions.nonEmpty)
-          val merged = (stored.keySet ++ batch.keySet).iterator.map { s =>
-            s -> ((stored.get(s), batch.get(s)) match {
+            manifest.hivePartitions.nonEmpty, u.expected)
+          val merged = (u.blooms.keySet ++ batch.keySet).iterator.map { s =>
+            s -> ((u.blooms.get(s), batch.get(s)) match {
               case (Some(a), Some(b)) => a.mergeInPlace(b); a
               case (Some(a), None) => a
-              case (None, b) => b.getOrElse(newUnionBloom())
+              case (None, b) => b.getOrElse(newUnionBloom(u.expected))
             })
           }.toMap
-          writeUnions(dir, name, merged, unionsGen = currentGen)
+          writeUnions(dir, name, merged, unionsGen = currentGen,
+            expected = u.expected)
         }
       case None =>
         java.nio.file.Files.deleteIfExists(unionsFile(dir, name))
