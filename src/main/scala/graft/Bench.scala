@@ -145,10 +145,17 @@ object Bench {
     // #7) plus the per-run spill/GC/cache diagnostics go to
     // BENCH_RUNS.json beside the repo instead.
     // ...and last, so drift WITHIN the sweep is visible too. The drift
-    // factor is the mean cpu ratio (the r15 signature was CPU-side infra
-    // inflation); the normalized total sits beside the raw one.
+    // factor is the WORSE of the mean cpu ratio (bulk-throughput drift,
+    // the r15 signature) and the mean tiny-jobs ratio (dispatch-overhead
+    // drift from external load on the shared host, which leaves the
+    // saturating cpu probe ~flat while many-small-stage queries inflate
+    // uniformly — observed in r16 at external loadavg ~6). Max is the
+    // conservative pick for both directions; the normalized total sits
+    // beside the raw one.
     val calLast = graft.runner.Calibration.measure(spark, sfDir)
-    val drift = (calFirst.cpuRatio + calLast.cpuRatio) / 2.0
+    val drift = math.max(
+      (calFirst.cpuRatio + calLast.cpuRatio) / 2.0,
+      (calFirst.jobsRatio + calLast.jobsRatio) / 2.0)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -178,6 +185,7 @@ object Bench {
     val calJson = s"""{"first":${calFirst.json},"last":${calLast.json},""" +
       s""""cpu_ref_sec":${graft.runner.Calibration.CpuRefSec},""" +
       s""""scan_ref_sec":${graft.runner.Calibration.ScanRefSec},""" +
+      s""""jobs_ref_sec":${graft.runner.Calibration.JobsRefSec},""" +
       s""""drift":${f3(drift)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(runsFile),
       s"""{"sf":"$sfDir","cache_budget_mb":${graft.runner.Materialize.budgetBytes / 1048576L},"calibration":$calJson,"excluded_baselines":${baselineQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"runs":$runs}""" + "\n")

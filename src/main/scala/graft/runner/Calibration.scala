@@ -47,12 +47,34 @@ object Calibration {
     */
   private val CpuRows = 2147483648L
 
-  case class Probe(cpuSec: Double, scanSec: Double) {
+  /** Reference seconds for [[jobsOnce]]: pinned 2026-08-15 at residual
+    * external loadavg ~2 (settled 0.93–0.97 across repeated measures;
+    * the truly-quiet value may sit slightly lower). Per tiny job that
+    * is ~40 ms of planning + dispatch — the fixed-latency tax every
+    * small query in the sweep pays, which is exactly the component
+    * external host load inflates. Only cross-round consistency of the
+    * ratio matters.
+    */
+  val JobsRefSec = 0.95
+
+  /** Tiny jobs per [[jobsOnce]] batch. A saturating single-stage probe
+    * misses the drift mode where a shared host's EXTERNAL load inflates
+    * per-task scheduling/dispatch overhead while bulk CPU throughput
+    * stays ~flat (observed: external loadavg ~6 read cpu_ratio 0.99
+    * while the sweep's many-small-stage queries inflated 1.17x
+    * uniformly, sched_ms/deser_ms up across the board). 24 two-task
+    * jobs time exactly that dispatch path.
+    */
+  private val JobsN = 24
+
+  case class Probe(cpuSec: Double, scanSec: Double, jobsSec: Double) {
     def cpuRatio: Double = if (CpuRefSec > 0) cpuSec / CpuRefSec else 1.0
     def scanRatio: Double = if (ScanRefSec > 0) scanSec / ScanRefSec else 1.0
+    def jobsRatio: Double = if (JobsRefSec > 0) jobsSec / JobsRefSec else 1.0
     def json: String =
       f"""{"cpu_sec":$cpuSec%.3f,"scan_sec":$scanSec%.3f,""" +
-        f""""cpu_ratio":$cpuRatio%.3f,"scan_ratio":$scanRatio%.3f}"""
+        f""""jobs_sec":$jobsSec%.3f,"cpu_ratio":$cpuRatio%.3f,""" +
+        f""""scan_ratio":$scanRatio%.3f,"jobs_ratio":$jobsRatio%.3f}"""
   }
 
   private def time(body: => Unit): Double = {
@@ -71,6 +93,14 @@ object Calibration {
       .agg(sum(col("l_quantity")), sum(col("l_extendedprice"))).collect()
   }
 
+  private def jobsOnce(spark: SparkSession): Double = time {
+    var i = 0
+    while (i < JobsN) {
+      spark.range(0L, 2048L, 1L, 2).select(sum(col("id"))).collect()
+      i += 1
+    }
+  }
+
   /** Two warmups + min of three measured runs per probe: the FIRST
     * calibration fires on a cold session where one warmup still leaves
     * ~25 % of JIT warmup in the measurement (observed 0.53 vs 0.35 s),
@@ -84,6 +114,8 @@ object Calibration {
         (1 to 4).foreach(_ => scanOnce(spark, sfDir))
         Seq.fill(3)(scanOnce(spark, sfDir)).min
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
-    Probe(cpu, scan)
+    jobsOnce(spark); jobsOnce(spark)
+    val jobs = Seq.fill(3)(jobsOnce(spark)).min
+    Probe(cpu, scan, jobs)
   }
 }
