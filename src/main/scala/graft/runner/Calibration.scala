@@ -47,15 +47,15 @@ object Calibration {
     */
   private val CpuRows = 2147483648L
 
-  /** Reference seconds for [[jobsOnce]]: pinned 2026-08-15 at residual
-    * external loadavg ~2 (settled 0.93–0.97 across repeated measures;
-    * the truly-quiet value may sit slightly lower). Per tiny job that
-    * is ~40 ms of planning + dispatch — the fixed-latency tax every
-    * small query in the sweep pays, which is exactly the component
-    * external host load inflates. Only cross-round consistency of the
-    * ratio matters.
+  /** Reference seconds for [[jobsOnce]]: pinned 2026-08-15 on the quiet
+    * host (an end-of-sweep measure read 0.68 after external load
+    * receded; measures under loadavg ~2 read 0.93–0.97 — that spread IS
+    * the drift mode this probe detects). Per tiny job ~29 ms of
+    * planning + dispatch — the fixed-latency tax every small query in
+    * the sweep pays, which is exactly the component external host load
+    * inflates. Only cross-round consistency of the ratio matters.
     */
-  val JobsRefSec = 0.95
+  val JobsRefSec = 0.70
 
   /** Tiny jobs per [[jobsOnce]] batch. A saturating single-stage probe
     * misses the drift mode where a shared host's EXTERNAL load inflates
