@@ -59,28 +59,44 @@ object Compactor {
     * column scores ~1/numFiles; a fully smeared one scores ~1. Rows
     * weighting matters: one giant unsorted file among many narrow ones
     * IS most of the damage, and a file-count average would hide it.
-    * STRING layout columns (round-16): widths come from the same 4-byte
+    * STRING layout columns (round-16): widths come from the same
     * lexicographic prefix code the curve writers normalize strings
-    * through (LayoutWriter.stringPrefixCode) applied to the stored
-    * min/max strings — so the health metric sees exactly the domain the
-    * layout was clustered in, and the auto-recluster policy is no
-    * longer blind on string-keyed tables (the amazon decay run measured
-    * an empty health column while pruning decayed 34 -> 46 files kept).
-    * Deep-common-prefix pools collapse the code to width 0 and score
-    * 0.0 — consistent with the curves themselves carrying no signal
-    * there (results/rq1_amazon C1deep). None when the column has
+    * through ([[StringCode]], the ONE shared implementation — round-17)
+    * applied to the stored min/max strings — so the health metric sees
+    * exactly the domain the layout was clustered in, and the
+    * auto-recluster policy is no longer blind on string-keyed tables
+    * (the amazon decay run measured an empty health column while
+    * pruning decayed 34 -> 46 files kept). Deep-common-prefix pools
+    * are handled by the same common-prefix strip the writer applies
+    * (round-17; pre-strip they collapsed the code to width 0 —
+    * results/rq1_amazon C1deep). None when the column has
     * neither numeric nor string stats or the manifest has no rows.
     * Files with missing/all-null stats for `c` count as full-width
     * (they can never be pruned).
     */
   def scanFraction(manifest: TableManifest, c: String): Option[Double] = {
     val entries = manifest.files.filter(_.rows > 0)
+    // Global common-prefix skip for string stats, derived from the
+    // manifest's own min/max (every value in [gMin, gMax] shares their
+    // common prefix — StringCode doc), so the metric measures the SAME
+    // stripped domain a fresh curve write of this data would cluster
+    // in. Self-adapting: appends that widen the prefix pool shrink the
+    // skip here automatically, no dependence on the recorded
+    // manifest.strOffsets.
+    val strSkip: Int = {
+      val ss = entries.flatMap(_.ranges.get(c)).filterNot(_.allNull)
+        .flatMap(r => r.minStr.toSeq ++ r.maxStr.toSeq)
+      if (ss.isEmpty) 0
+      else StringCode.commonPrefixLen(
+        ss.reduce((a, b) => if (StrOrder.lte(a, b)) a else b),
+        ss.reduce((a, b) => if (StrOrder.gte(a, b)) a else b))
+    }
     val spans = entries.map { f =>
       f.ranges.get(c) match {
         case Some(r) if !r.allNull =>
           val num = for { mn <- r.min; mx <- r.max } yield (mn, mx)
           def str = for { mn <- r.minStr; mx <- r.maxStr }
-            yield (strPrefixCode(mn), strPrefixCode(mx))
+            yield (StringCode.code(mn, strSkip), StringCode.code(mx, strSkip))
           (f.rows, num.orElse(str))
         case _ => (f.rows, None)
       }
@@ -109,20 +125,6 @@ object Compactor {
     * under [[DefaultDecayThreshold]] for real file counts, while COW
     * smear drives the metric toward 1 regardless of family.
     */
-  /** Driver-side twin of LayoutWriter's order-preserving 4-byte string
-    * prefix code (`ascii(substring(c, i, 1))` per byte): byte0*2^24 +
-    * byte1*2^16 + byte2*2^8 + byte3, missing chars read as 0.
-    */
-  private[layout] def strPrefixCode(s: String): Double = {
-    var v = 0.0
-    var i = 0
-    while (i < 4) {
-      v = v * 256 + (if (i < s.length) s.charAt(i).toInt & 0xFF else 0)
-      i += 1
-    }
-    v
-  }
-
   def clusteringHealth(manifest: TableManifest): Option[Double] = {
     val fs = manifest.layoutCols.flatMap(scanFraction(manifest, _))
     if (fs.isEmpty) None else Some(fs.max)

@@ -60,6 +60,11 @@ object LayoutWriter {
     require(missing.isEmpty, s"layout columns not in schema: $missing")
 
     val bits = spec.bits.getOrElse(Curves.bitsFor(spec.cols.length))
+    // string common-prefix offsets the curve key stripped — recorded in
+    // the manifest below (advisor/observability; the health metric
+    // re-derives its own skip from the manifest's global min/max so it
+    // stays sound across appends that widen the prefix pool)
+    var strOffsets = Map.empty[String, Int]
     val arranged = spec.layout match {
       case "baseline" =>
         spec.numFiles.map(df.repartition).getOrElse(df)
@@ -70,7 +75,8 @@ object LayoutWriter {
           .getOrElse(df.repartitionByRange(cs: _*))
         parted.sortWithinPartitions(cs: _*)
       case curve @ ("zorder" | "hilbert") =>
-        val key = curveKey(df, spec.cols, bits, curve, spec.norm)
+        val (key, offs) = curveKeyAndOffsets(df, spec.cols, bits, curve, spec.norm)
+        strOffsets = offs
         // Z-order with explicit file count: snap the file cuts to
         // power-of-two-aligned z-key boundaries. Sampling-placed cuts
         // land mid-quadrant, and a z-range that straddles a quadrant
@@ -136,7 +142,8 @@ object LayoutWriter {
       recordKeys = if (keyCols.length > 1) Some(keyCols) else None,
       precombineCol = spec.precombineCol,
       files = files,
-      partitionCols = if (spec.partitionBy.nonEmpty) Some(spec.partitionBy) else None)
+      partitionCols = if (spec.partitionBy.nonEmpty) Some(spec.partitionBy) else None,
+      strOffsets = if (strOffsets.exists(_._2 > 0)) Some(strOffsets) else None)
     ZoneMap.write(dir, manifest)
     manifest
   }
@@ -168,8 +175,23 @@ object LayoutWriter {
     * correlated TPC-H value columns in results/rq1-rq2 through r7).
     */
   def curveKey(df: DataFrame, cols: Seq[String], bits: Int, curve: String,
-      norm: String = "rank"): Column = {
+      norm: String = "rank"): Column =
+    curveKeyAndOffsets(df, cols, bits, curve, norm)._1
+
+  /** [[curveKey]] plus the string common-prefix offsets it stripped
+    * (column → skipped code points, string layout columns only) so
+    * [[write]] can record them in the manifest for observability and
+    * the advisor.
+    */
+  def curveKeyAndOffsets(df: DataFrame, cols: Seq[String], bits: Int,
+      curve: String, norm: String = "rank"): (Column, Map[String, Int]) = {
     require(Seq("rank", "minmax").contains(norm), s"unknown curve norm $norm")
+    // One extra min/max aggregate, string layout columns only: the skip
+    // offsets that keep deep-common-prefix id pools (ASIN "B0...",
+    // tenant-prefixed UUIDs) from collapsing the curve coordinate to a
+    // single value (StringCode doc; results/rq1_amazon C1deep measured
+    // curves at 1x files-ratio vs linear 12x before the strip).
+    val strSkips = StringCode.offsets(df, cols)
     val norms =
       if (norm == "rank") {
         // one quantile pass for ALL columns; 2^10 equi-depth buckets per
@@ -179,29 +201,33 @@ object LayoutWriter {
         val probes = (1 until (1 << b)).map(_.toDouble / (1 << b)).toArray
         val viewNames = cols.indices.map(i => s"__cv_$i")
         val view = df.select(cols.zip(viewNames).map { case (c, a) =>
-          doubleView(df, c).as(a)
+          doubleView(df, c, strSkips).as(a)
         }: _*)
         val cuts = view.stat.approxQuantile(viewNames.toArray, probes, 0.001)
         cols.indices.map { i =>
           val sortedCuts = cuts(i).distinct.sorted
-          CurveExpressions.rankNormalizedCol(doubleView(df, cols(i)), sortedCuts, bits)
+          CurveExpressions.rankNormalizedCol(
+            doubleView(df, cols(i), strSkips), sortedCuts, bits)
         }
       } else {
-        val bounds = colBounds(df, cols)
+        val bounds = colBounds(df, cols, strSkips)
         cols.map { c =>
           val (lo, hi) = bounds(c)
-          CurveExpressions.normalizedCol(doubleView(df, c), lo, hi, bits)
+          CurveExpressions.normalizedCol(doubleView(df, c, strSkips), lo, hi, bits)
         }
       }
-    if (curve == "hilbert") CurveExpressions.hilbertvalue(bits, norms: _*)
-    else CurveExpressions.zvalue(bits, norms: _*)
+    val key =
+      if (curve == "hilbert") CurveExpressions.hilbertvalue(bits, norms: _*)
+      else CurveExpressions.zvalue(bits, norms: _*)
+    (key, strSkips)
   }
 
   /** Double view of a column for normalization (dates → days, timestamps →
     * epoch seconds, strings → a lexicographic prefix code so string
     * columns can participate in curve keys).
     */
-  private def doubleView(df: DataFrame, c: String): Column =
+  private def doubleView(df: DataFrame, c: String,
+      strSkips: Map[String, Int]): Column =
     df.schema(c).dataType match {
       case _: NumericType => col(c).cast(DoubleType)
       case DateType => datediff(col(c), lit("1970-01-01").cast(DateType)).cast(DoubleType)
@@ -210,16 +236,11 @@ object LayoutWriter {
         // ordering matters for curve coordinates. Fractional seconds via
         // a double cast (matches ZoneMap's stats domain).
         col(c).cast(TimestampType).cast(DoubleType)
-      case StringType => stringPrefixCode(col(c))
+      case StringType =>
+        // the shared prefix code, common prefix stripped (StringCode doc)
+        StringCode.codeColumn(col(c), strSkips.getOrElse(c, 0))
       case dt => throw new IllegalArgumentException(s"cannot curve-order $c: $dt")
     }
-
-  /** Order-preserving 4-byte prefix code for strings (byte0*2^24 + ...). */
-  private def stringPrefixCode(c: Column): Column = {
-    val b = (i: Int) =>
-      coalesce(ascii(substring(c, i + 1, 1)), lit(0)).cast(DoubleType)
-    b(0) * lit(16777216d) + b(1) * lit(65536d) + b(2) * lit(256d) + b(3)
-  }
 
   /** Snap each sampled z-key cut to the COARSEST power-of-two boundary
     * that stays within its slack window (half the gap to each neighbor
@@ -267,9 +288,10 @@ object LayoutWriter {
     out.distinct
   }
 
-  private def colBounds(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
+  private def colBounds(df: DataFrame, cols: Seq[String],
+      strSkips: Map[String, Int]): Map[String, (Double, Double)] = {
     val aggs = cols.flatMap { c =>
-      val d = doubleView(df, c)
+      val d = doubleView(df, c, strSkips)
       Seq(min(d).as(s"__lo_$c"), max(d).as(s"__hi_$c"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)

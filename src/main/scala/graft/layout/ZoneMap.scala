@@ -79,7 +79,15 @@ case class TableManifest(
     // from and rebases entry paths in memory; the next manifest commit
     // persists the rebase. None on pre-r15 manifests (reconcile guards
     // those against relocation wipes instead).
-    root: Option[String] = None) {
+    root: Option[String] = None,
+    // string layout columns: code points of common prefix the curve
+    // writer STRIPPED before the positional prefix code (round-17,
+    // StringCode doc) — observability + advisor input. The health
+    // metric re-derives its skip from the manifest's own global
+    // min/max (sound across appends), so this is a record of what the
+    // writer did, not an input the reader depends on. None on
+    // pre-r17 manifests and when nothing was stripped.
+    strOffsets: Option[Map[String, Int]] = None) {
 
   def hivePartitions: Seq[String] = partitionCols.getOrElse(Nil)
 

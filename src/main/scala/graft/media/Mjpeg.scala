@@ -94,6 +94,13 @@ object Mjpeg {
       while (b.position() + 8 <= end) {
         val id = fcc()
         val sz = b.getInt
+        // A corrupt/adversarial chunk size must FAIL, not hang: a
+        // negative sz makes `next` move backward (JVM % keeps the sign),
+        // so the loop would re-parse the same bytes forever — an
+        // executor task spinning on malformed input instead of the
+        // decodeOk=false path (callers catch IllegalArgumentException).
+        require(sz >= 0 && sz <= end - b.position(),
+          s"bad RIFF chunk size $sz at ${b.position() - 8}")
         val next = b.position() + sz + (sz % 2)
         if (id == "LIST") {
           val bodyEnd = b.position() + sz // sz includes the 4-byte kind

@@ -538,4 +538,20 @@ object TpchQueries {
     * except Q15, whose three-statement stream collapses to one CTE query.
     */
   val oracles: Map[String, String] = texts + ("q60_tpch15" -> q15Oracle)
+
+  /** Stream-protocol scripts (RQ6): TPC-H query number → the SQL text
+    * THIS engine executes — the same texts the [[queries]] map runs
+    * (including the one-fact-pass scale rewrites for 17/18/21 and Q15's
+    * three-statement dbgen stream file), exposed raw so the RQ6 runner
+    * ([[graft.cli.Rq6]]) can write qgen-style per-stream .sql files and
+    * execute them through [[graft.runner.SqlScript]] against laid-out
+    * tables (reference: scripts/run_RQ_6_matrix.sh →
+    * scripts/tpch_all/run_queries.sh → lakehouse_op/tpch_all_runner.py).
+    */
+  val streamScripts: Map[Int, String] = {
+    val exec = texts ++ Map("q61_tpch17" -> q17spark,
+      "q63_tpch21" -> q21spark, "q45_tpch18" -> q18spark)
+    exec.map { case (k, v) => k.split("_tpch")(1).toInt -> v } +
+      (15 -> q15Script)
+  }
 }

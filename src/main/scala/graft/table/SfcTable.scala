@@ -221,16 +221,31 @@ object SfcTable {
     * The returned DataFrame behaves like `spark.read.parquet(dir)` but
     * any pushable range/point/IN predicate — from the DataFrame API or
     * SQL over a temp view — skips non-matching files at planning time.
+    *
+    * Hive-partitioned layouts (round-17, for the RQ6 protocol whose
+    * reference tables partition by l_returnflag,l_linestatus ×
+    * o_orderstatus,o_orderpriority): the file index infers the
+    * partition spec from the directory structure exactly as a plain
+    * parquet read would, partition-column predicates prune DIRECTORIES
+    * through Spark's own partitionFilters path, and zone predicates
+    * keep pruning the surviving FILES — the two prunings compose.
     */
   def open(spark: SparkSession, dir: String): DataFrame = {
     val manifest = ZoneMap.read(dir)
     val root = new Path(dir)
     val schema = spark.read.parquet(dir).schema
     val index = new GraftFileIndex(spark, root, manifest, schema)
+    // partition columns come back typed from the inferred spec (the
+    // userSpecifiedSchema passed above pins their types to the plain
+    // read's); data schema must EXCLUDE them — they live in dir paths,
+    // and a dataSchema that listed them would read nulls from files
+    val partSchema = index.partitionSchema
+    val dataSchema = StructType(
+      schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val relation = HadoopFsRelation(
       location = index,
-      partitionSchema = StructType(Nil),
-      dataSchema = schema,
+      partitionSchema = partSchema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(Bridge.classicSession(spark))

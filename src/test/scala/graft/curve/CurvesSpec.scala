@@ -103,4 +103,48 @@ class CurvesSpec extends AnyFunSuite {
   test("bitsFor keeps total index width under 63 bits") {
     for (n <- 1 to 8) assert(n * Curves.bitsFor(n) <= 63)
   }
+
+  test("StringCode prefix invariance: coding a pool equals coding the " +
+      "same pool under any constant prefix") {
+    import graft.layout.StringCode
+    val rnd = new Random(46)
+    def randId(): String =
+      (1 to 3 + rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    for (_ <- 1 to Trials) {
+      val pool = Seq.fill(12)(randId())
+      val prefix = "B000" + (1 to rnd.nextInt(20)).map(_ => '0').mkString
+      // the offsets a write derives: common prefix of the pool's min/max
+      def skipOf(p: Seq[String]) = StringCode.commonPrefixLen(p.min, p.max)
+      val raw = pool.map(StringCode.code(_, skipOf(pool)))
+      val deep = pool.map(prefix + _)
+      val viaDeep = deep.map(StringCode.code(_, skipOf(deep)))
+      // identical codes value-for-value: the strip makes a constant
+      // prefix invisible to the curve (results/rq1_amazon C1deep was
+      // curves at 1x files-ratio before this)
+      assert(raw == viaDeep,
+        s"prefix '$prefix' changed codes\n raw=$raw\n deep=$viaDeep")
+    }
+    // ...and order is preserved within the shared-prefix pool
+    val pool = Seq.fill(200)(randId()).distinct
+    val skip = StringCode.commonPrefixLen(pool.min, pool.max)
+    val sortedByCode = pool.sortBy(StringCode.code(_, skip))
+    // code collisions (ids sharing their first skip+Width chars) keep
+    // relative order unspecified; compare at code granularity
+    assert(sortedByCode.map(StringCode.code(_, skip)) ==
+      pool.sorted.map(StringCode.code(_, skip)))
+  }
+
+  test("StringCode.commonPrefixLen: edges — identical, disjoint, cap, " +
+      "supplementary-plane code points") {
+    import graft.layout.StringCode
+    assert(StringCode.commonPrefixLen("", "") == 0)
+    assert(StringCode.commonPrefixLen("abc", "abc") == 3)
+    assert(StringCode.commonPrefixLen("abc", "abd") == 2)
+    assert(StringCode.commonPrefixLen("abc", "xyz") == 0)
+    assert(StringCode.commonPrefixLen("a" * 200, "a" * 200) == StringCode.MaxSkip)
+    // one supplementary code point = TWO UTF-16 units but ONE position
+    val g = new String(Character.toChars(0x1D11E)) // 𝄞
+    assert(StringCode.commonPrefixLen(g + "ab", g + "ax") == 2)
+    assert(StringCode.commonPrefixLen(g, "a") == 0)
+  }
 }

@@ -86,15 +86,26 @@ class ReclusterPolicySuite extends SparkTestBase {
       ZoneMap.collectStats(spark, dir, m0.statsCols)))
     val smeared = Compactor.clusteringHealth(ZoneMap.read(dir)).get
     assert(smeared > 0.9, s"smeared string table scored $smeared")
-    // deep-common-prefix pools carry no prefix-code signal: score 0,
-    // policy stays quiet (consistent with results/rq1_amazon C1deep)
-    val deep = (1 to 200).map(i => (f"B0000000${i % 10}%d", s"v$i", i.toLong, 1L))
-      .toDF("asin", "payload", "k", "version")
+    // deep-common-prefix pools: the shared StringCode strips the global
+    // common prefix (round-17), so the metric keeps signal where the
+    // pre-strip 4-byte code collapsed to width 0 and went blind
+    // (results/rq1_amazon C1deep) — sorted scores healthy, smeared
+    // scores decayed, exactly like a varying-prefix pool
+    val deep = (1 to 2400).map { i =>
+      (f"B0000000${(i * 7919) % 100000}%05d", s"v$i", i.toLong, 1L)
+    }.toDF("asin", "payload", "k", "version")
     val dir2 = tmpDir("graft_health_deep")
     LayoutWriter.write(deep, dir2,
-      LayoutSpec("linear", Seq("asin"), numFiles = Some(8),
+      LayoutSpec("linear", Seq("asin"), numFiles = Some(24),
         recordKey = Some("k"), precombineCol = Some("version")))
-    assert(Compactor.clusteringHealth(ZoneMap.read(dir2)).contains(0.0))
+    val deepHealthy = Compactor.clusteringHealth(ZoneMap.read(dir2)).get
+    assert(deepHealthy < 0.15, s"deep-prefix sorted table scored $deepHealthy")
+    val m2 = ZoneMap.read(dir2)
+    spark.read.parquet(dir2).repartition(6).write.mode("overwrite").parquet(dir2)
+    ZoneMap.write(dir2, m2.copy(files =
+      ZoneMap.collectStats(spark, dir2, m2.statsCols)))
+    val deepSmeared = Compactor.clusteringHealth(ZoneMap.read(dir2)).get
+    assert(deepSmeared > 0.9, s"smeared deep-prefix table scored $deepSmeared")
   }
 
   test("10 scattered upserts trigger exactly one auto-recluster and health never crosses the threshold") {

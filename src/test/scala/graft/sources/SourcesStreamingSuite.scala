@@ -423,6 +423,33 @@ class SourcesStreamingSuite extends SparkTestBase {
       Seq(Multimodal.VideoRow(99L, Array[Byte](82, 73, 70, 70, 9, 9))).toDS())
       .collect()(0)
     assert(!bad.decodeOk && bad.nFrames == 0)
+    // a NEGATIVE chunk size must fail fast, not walk backward forever
+    // (r16 ADVICE: next = pos + sz + sz%2 moved backward, so the chunk
+    // walker re-parsed the same bytes in an unkillable executor spin)
+    val neg = {
+      val b = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(24)
+        .put("AVI ".getBytes("US-ASCII"))
+        .put("00dc".getBytes("US-ASCII")).putInt(-16)
+        .putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    intercept[IllegalArgumentException](graft.media.Mjpeg.readAvi(neg))
+    val badNeg = Multimodal.decodeVideos(
+      Seq(Multimodal.VideoRow(100L, neg)).toDS()).collect()(0)
+    assert(!badNeg.decodeOk && badNeg.nFrames == 0)
+    // ...and an OVERLONG size (past the enclosing end) fails the same way
+    val over = {
+      val b = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(24)
+        .put("AVI ".getBytes("US-ASCII"))
+        .put("00dc".getBytes("US-ASCII")).putInt(1 << 30)
+        .putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    intercept[IllegalArgumentException](graft.media.Mjpeg.readAvi(over))
   }
 
   test("streaming BM25 scoring equals the indexed batch scores, join-free") {

@@ -185,4 +185,38 @@ class SfcTableSuite extends SparkTestBase {
     assert(m.rows == df.filter(col("d") >= lit("1994-06-01").cast("date")).count())
     assert(m.filesScanned < 8, s"date-domain predicate should prune: ${m.filesScanned}")
   }
+
+  test("hive-partitioned layout: partition cols read correctly, dir " +
+      "pruning and zone pruning compose (r17, the RQ6 table shape)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(23)
+    val df = (1 to 20000).map { i =>
+      (i.toLong, rnd.nextInt(1000), if (i % 3 == 0) "R" else "A",
+        if (i % 2 == 0) "F" else "O")
+    }.toDF("id", "x", "flag", "status")
+    val d = tmpDir("sfc_hivepart")
+    LayoutWriter.write(df, d,
+      LayoutSpec("linear", Seq("x"), numFiles = Some(8),
+        partitionBy = Seq("flag", "status")))
+    val t = SfcTable.open(spark, d)
+    // partition columns carry VALUES (a dataSchema that listed them
+    // would read all-null from the files and silently return 0 rows)
+    assert(t.schema.fieldNames.toSet ==
+      Set("id", "x", "flag", "status"))
+    val wantR = df.filter(col("flag") === "R").count()
+    assert(t.filter(col("flag") === "R").count() == wantR && wantR > 0)
+    // mixed predicate: dir pruning (flag) + zone pruning (x) compose,
+    // result identical to the plain read
+    val where = col("flag") === "R" && col("x").between(100, 160)
+    val got = t.filter(where).agg(count(lit(1)), sum(col("id"))).collect()(0)
+    val want = spark.read.parquet(d).filter(where)
+      .agg(count(lit(1)), sum(col("id"))).collect()(0)
+    assert(got.toSeq == want.toSeq && got.getLong(0) > 0)
+    val total = graft.layout.ZoneMap.read(d).files.length
+    val m2 = QueryRunner.run(spark, t.filter(where), "hive_zone",
+      action = "collect")
+    assert(m2.filesScanned < total,
+      s"composed pruning kept ${m2.filesScanned} of $total")
+  }
 }
