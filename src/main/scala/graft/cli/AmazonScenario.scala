@@ -192,6 +192,13 @@ object AmazonScenario {
     val deepQs = deepAsins.zipWithIndex.map { case (vs, i) =>
       Q(s"deep_asin_f4_$i", Seq(StrIn("asin", vs)),
         s"asin IN (${vs.map(v => "'" + v + "'").mkString(",")})")
+    } ++ (0 until 2).map { i =>
+      // single-asin probes too (the raw pool's f1 family is the 48x/9.6x
+      // headline): with the r17 prefix strip the deep pool must match it
+      val vs = AmazonGen.sampleCodes(spark, nAsins, 1, 22, "B0000000", 4,
+        seed = 8200 + i)
+      Q(s"deep_asin_f1_$i", Seq(StrIn("asin", vs)),
+        s"asin IN (${vs.map(v => "'" + v + "'").mkString(",")})")
     }
     val deepCells = Scenario.Layouts.flatMap { layout =>
       val dir = s"$work/deep_$layout"

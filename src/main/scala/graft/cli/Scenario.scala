@@ -182,6 +182,49 @@ object Scenario {
     })
   }
 
+  /** Query family: the instance name minus its trailing index — e.g.
+    * `asin_pt_3` → `asin_pt`, `ts_rating_S3_1` → `ts_rating_S3`. The
+    * scenario generators name instances `<family>_<i>`.
+    */
+  def familyOf(query: String): String = query.replaceAll("_\\d+$", "")
+
+  case class FamilyRow(band: String, family: String, layout: String,
+      gmWallSpeedup: Double, gmFilesRatio: Double,
+      filesKept: Long, filesTotal: Long, nQueries: Int)
+
+  /** [[geomeans]] per (band, FAMILY, layout) — r16 VERDICT "What's
+    * wrong #3": the overall geomean averages families a sort cannot
+    * help (e.g. second-column IN over a linear layout) into the
+    * lead-column headline; anyone consuming the CSV alone under-reads
+    * the result (32M C1 read 1.83x overall while lead-column instances
+    * measured 48-96x). These rows carry the per-family story in the
+    * artifact itself.
+    */
+  def geomeansByFamily(cells: Seq[Cell]): Seq[FamilyRow] = {
+    def gmean(xs: Seq[Double]): Double = {
+      val ok = xs.filter(x => !x.isNaN && !x.isInfinite && x > 0)
+      if (ok.isEmpty) Double.NaN
+      else math.exp(ok.map(math.log).sum / ok.length)
+    }
+    val base = cells.filter(_.layout == "baseline")
+      .map(c => (c.band, c.query) -> c).toMap
+    (for {
+      band <- cells.map(_.band).distinct
+      family <- cells.filter(_.band == band).map(c => familyOf(c.query)).distinct
+      layout <- Layouts
+    } yield {
+      val rs = cells.filter(c =>
+        c.band == band && c.layout == layout && familyOf(c.query) == family)
+      val wall = gmean(rs.flatMap(c =>
+        base.get((c.band, c.query)).map(_.wallSec / c.wallSec)))
+      val files = gmean(rs.flatMap(c =>
+        base.get((c.band, c.query)).map(b =>
+          math.max(1.0, b.filesKept.toDouble) / math.max(1.0, c.filesKept.toDouble))))
+      FamilyRow(band, family, layout, wall, files,
+        rs.map(_.filesKept).sum, rs.map(_.filesTotal).sum, rs.length)
+    })
+  }
+
   def writeCsvs(outDir: String, cells: Seq[Cell], geo: Seq[BandLayout]): Unit = {
     val dir = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(dir)
@@ -198,6 +241,12 @@ object Scenario {
       "band,layout,geomean_speedup,geomean_files_ratio,files_kept,files_total" +:
         geo.map(g => s"${g.band},${g.layout},${f3(g.gmWallSpeedup)}," +
           s"${f3(g.gmFilesRatio)},${g.filesKept},${g.filesTotal}"))
+    val famHeader = "band,family,layout,geomean_speedup," +
+      "geomean_files_ratio,files_kept,files_total,n_queries"
+    w("geomean_by_family.csv",
+      famHeader +: geomeansByFamily(cells).map(g =>
+        s"${g.band},${g.family},${g.layout},${f3(g.gmWallSpeedup)}," +
+          s"${f3(g.gmFilesRatio)},${g.filesKept},${g.filesTotal},${g.nQueries}"))
   }
 
   private def deleteRec(f: java.io.File): Unit = {

@@ -165,6 +165,19 @@ object Calibration {
     } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
+  /** In-run calibration block for LONG-RUN artifacts (soaks, decay
+    * runs, IncBench/StreamBench — r16 stretch #8: the q57 spot-check
+    * had to hand-note "ran while the soak had the box"). Purely
+    * self-relative: first/last probes plus the in-run spread factor
+    * (drift vs the run's own quiet end), so the artifact carries its
+    * drift context with no dependence on pinned constants.
+    */
+  def inRunJson(first: Probe, last: Probe): String = {
+    val q = quietEnd(first, last)
+    val drift = driftFactor(first, last, q._1, q._3)
+    f"""{"first":${first.json},"last":${last.json},"inrun_drift":$drift%.3f}"""
+  }
+
   def appendHistory(path: java.nio.file.Path, entry: QuietEnd): Unit = {
     try {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

@@ -29,6 +29,9 @@ object IncBench {
     }
     rmrf(work)
 
+    // drift context IN the artifact (r16 stretch #8)
+    val calFirst = graft.runner.Calibration.measure(spark, sfDir)
+
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val cut = docs.agg(expr(s"percentile_approx(doc_id, $pct)"))
       .collect()(0).getLong(0)
@@ -55,9 +58,12 @@ object IncBench {
       .select("doc_id", "split").collect().map(_.toSeq).sortBy(_.head.toString.toLong)
     val same = key(s"$work/inc").sameElements(key(s"$work/full"))
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val calLast = graft.runner.Calibration.measure(spark, sfDir)
+    val cal = graft.runner.Calibration.inRunJson(calFirst, calLast)
     println(s"""{"sf":"$sfDir","n_base":$nBase,"n_batch":$nBatch,""" +
       s""""incremental_add_sec":${f3(addSec)},"full_rebuild_sec":${f3(fullSec)},""" +
-      s""""speedup":${f3(fullSec / addSec)},"outputs_identical":$same}""")
+      s""""speedup":${f3(fullSec / addSec)},"outputs_identical":$same,""" +
+      s""""calibration":$cal}""")
     spark.stop()
   }
 }

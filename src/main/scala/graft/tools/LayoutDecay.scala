@@ -85,6 +85,9 @@ object LayoutDecay {
     val keysPerBatch = args.lift(4).map(_.toInt)
     val source = args.lift(5).getOrElse("tpch")
 
+    // drift context IN the artifact (r16 stretch #8): probes first...
+    val calFirst = graft.runner.Calibration.measure(spark, sfDir)
+
     // (base rows, layout spec, zone probe, row-level probe filter,
     // batch maker) per source — the decay loop below is shared
     val (li, probePreds, probeFilter, mkBatch) =
@@ -207,7 +210,13 @@ object LayoutDecay {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(work, "layout_decay.csv"),
       csv.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[layoutdecay] -> $work/layout_decay.csv")
+    // ...and last: the decay numbers carry their own drift context
+    val calLast = graft.runner.Calibration.measure(spark, sfDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "calibration.json"),
+      (graft.runner.Calibration.inRunJson(calFirst, calLast) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[layoutdecay] -> $work/layout_decay.csv (+calibration.json)")
     spark.stop()
   }
 }

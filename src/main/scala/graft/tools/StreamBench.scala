@@ -55,6 +55,9 @@ object StreamBench {
     rmrf(work)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
 
+    // drift context IN the artifact (r16 stretch #8)
+    val calFirst = graft.runner.Calibration.measure(spark, sfDir)
+
     // head 70% builds the base state; the tail streams in, in nBatches
     // id-ordered files (monotone doc_ids per micro-batch — the sink's
     // replay-guard contract)
@@ -140,6 +143,10 @@ object StreamBench {
     val same = corpus(s"$work/inc_stream").sameElements(
       corpus(s"$work/inc_direct"))
 
+    // last probe must run BEFORE the eventlog gate stops the session
+    val calLast = graft.runner.Calibration.measure(spark, sfDir)
+    val calJson = graft.runner.Calibration.inRunJson(calFirst, calLast)
+
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def arr(xs: Seq[Double]) = xs.map(f3).mkString("[", ",", "]")
     val sTot = streamSecs.sum
@@ -171,7 +178,7 @@ object StreamBench {
       s""""stream_total_sec":${f3(sTot)},"stream_wall_sec":${f3(streamWall)},""" +
       s""""direct_total_sec":${f3(dTot)},""" +
       s""""overhead_pct":${f3(100.0 * (sTot - dTot) / dTot)},""" +
-      s""""outputs_identical":$same$gateJson}""")
+      s""""outputs_identical":$same,"calibration":$calJson$gateJson}""")
     if (!eventLogGate) spark.stop()
   }
 }

@@ -58,4 +58,33 @@ class ScenarioMatrixSuite extends SparkTestBase {
       assert(cs.map(_.rows).distinct.size == 1, s"rows diverge at $k: $cs")
     }
   }
+
+  test("per-family geomeans separate lead-column wins from families a " +
+      "sort cannot help (r16 VERDICT #3)") {
+    import graft.cli.Scenario
+    import graft.cli.Scenario.Cell
+    assert(Scenario.familyOf("asin_f4_3") == "asin_f4")
+    assert(Scenario.familyOf("ts_rating_S3_11") == "ts_rating_S3")
+    assert(Scenario.familyOf("deep_asin_f4_0") == "deep_asin_f4")
+    // synthetic cells: the lead family prunes 10x under linear, the
+    // second-column family not at all — the OVERALL geomean dilutes to
+    // ~3.2x while family rows keep both stories
+    def cell(q: String, layout: String, kept: Long) =
+      Cell("C1", q, layout, rows = 1, wallSec = 1.0,
+        filesKept = kept, filesTotal = 20, bytesScanned = 0)
+    val cells = Seq(
+      cell("lead_f1_0", "baseline", 20), cell("lead_f1_1", "baseline", 20),
+      cell("second_f1_0", "baseline", 20), cell("second_f1_1", "baseline", 20),
+      cell("lead_f1_0", "linear", 2), cell("lead_f1_1", "linear", 2),
+      cell("second_f1_0", "linear", 20), cell("second_f1_1", "linear", 20))
+    val fam = Scenario.geomeansByFamily(cells)
+    val lead = fam.find(f => f.family == "lead_f1" && f.layout == "linear").get
+    val second = fam.find(f => f.family == "second_f1" && f.layout == "linear").get
+    assert(math.abs(lead.gmFilesRatio - 10.0) < 1e-9 && lead.nQueries == 2)
+    assert(math.abs(second.gmFilesRatio - 1.0) < 1e-9)
+    val overall = Scenario.geomeans(cells)
+      .find(g => g.band == "C1" && g.layout == "linear").get
+    assert(overall.gmFilesRatio < lead.gmFilesRatio &&
+      overall.gmFilesRatio > second.gmFilesRatio)
+  }
 }
