@@ -383,6 +383,16 @@ object Advisor {
     * profiler's F-family stats — so query bands normalize to
     * per-dimension selectivity; columns without stats contribute no
     * band signal (equality/IN predicates count as fine).
+    *
+    * STRING key columns (round-17): deep-common-prefix id pools (ASINs
+    * "B0...", tenant-prefixed UUIDs) are NOT a reason to steer away
+    * from curves anymore — the writer strips the column's common
+    * prefix before the curve code ([[graft.layout.StringCode]];
+    * measured recovery in results/rq1_amazon "DEEP diagnostic":
+    * curves 1x -> 7.6x/12x files-ratio, matching the raw pool). The
+    * residual caveat is ids distinguished only past skip+6 code
+    * points, which no fixed-width code can order; those pools want
+    * `linear` (full lexicographic sort) on the id.
     */
   def recommendLayout(
       spark: SparkSession,

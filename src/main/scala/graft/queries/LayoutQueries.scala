@@ -121,6 +121,37 @@ object LayoutQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // Deep-common-prefix STRING curve keys (round-17, StringCode): both
+    // layout columns are zero-padded ids under a constant 10-char
+    // prefix — the exact pool shape that collapsed the pre-r17 4-byte
+    // code to one coordinate. The zorder write strips the common prefix
+    // (manifest records strOffsets), the probe prunes via StrBetween on
+    // the RAW strings, and the DuckDB oracle computes the same derived
+    // keys over the original table — matching results prove the strip
+    // changes clustering only, never content or pruning soundness.
+    "q96_string_curve_prune" -> ((s, d) => {
+      val dir = cache.getOrElseUpdate((d + "/lineitem", "zorder_deepstr"), {
+        val dir2 = java.nio.file.Files
+          .createTempDirectory("graft_layout_deepstr_").toString
+        val df = Tables.load(s, d, "lineitem")
+          .withColumn("lkey", concat(lit("B000000000"),
+            lpad(col("l_orderkey").cast("string"), 7, "0")))
+          .withColumn("skey", concat(lit("B000000000"),
+            lpad(col("l_suppkey").cast("string"), 5, "0")))
+        LayoutWriter.write(df, dir2,
+          LayoutSpec("zorder", Seq("lkey", "skey"), numFiles = Some(16)))
+        dir2
+      })
+      val lo = "B0000000000001000"
+      val hi = "B0000000000003000"
+      val scan = PrunedScan.read(s, dir, Seq(StrBetween("lkey", lo, hi)))
+      scan.df
+        .filter(col("lkey").between(lo, hi))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          min(col("lkey")).as("min_key"), max(col("skey")).as("max_skey"))
+    }),
+
     // Linear layout on l_shipdate; 1-D range (reference demo q2 shape).
     "q23_linear_prune" -> ((s, d) => {
       val dir = layoutDir(s, d, "lineitem", "linear", Seq("l_shipdate"))
@@ -169,6 +200,14 @@ object LayoutQueries {
       """SELECT l_linestatus, count(*) AS cnt,
         | round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R'
-        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q96_string_curve_prune" ->
+      """SELECT count(*) AS cnt, round(sum(l_extendedprice),2) AS sum_price,
+        | min(lkey) AS min_key, max(skey) AS max_skey
+        |FROM (SELECT l_extendedprice,
+        |        concat('B000000000', lpad(CAST(l_orderkey AS VARCHAR), 7, '0')) AS lkey,
+        |        concat('B000000000', lpad(CAST(l_suppkey AS VARCHAR), 5, '0')) AS skey
+        |      FROM lineitem)
+        |WHERE lkey BETWEEN 'B0000000000001000' AND 'B0000000000003000'""".stripMargin
   )
 }

@@ -69,9 +69,14 @@ object Calibration {
   private val JobsN = 24
 
   case class Probe(cpuSec: Double, scanSec: Double, jobsSec: Double) {
-    def cpuRatio: Double = if (CpuRefSec > 0) cpuSec / CpuRefSec else 1.0
-    def scanRatio: Double = if (ScanRefSec > 0) scanSec / ScanRefSec else 1.0
-    def jobsRatio: Double = if (JobsRefSec > 0) jobsSec / JobsRefSec else 1.0
+    // -1 marks "probe unavailable" (e.g. no lineitem for scan) — ratios
+    // propagate the marker instead of emitting a nonsense negative ratio
+    def cpuRatio: Double =
+      if (CpuRefSec > 0 && cpuSec > 0) cpuSec / CpuRefSec else -1.0
+    def scanRatio: Double =
+      if (ScanRefSec > 0 && scanSec > 0) scanSec / ScanRefSec else -1.0
+    def jobsRatio: Double =
+      if (JobsRefSec > 0 && jobsSec > 0) jobsSec / JobsRefSec else -1.0
     def json: String =
       f"""{"cpu_sec":$cpuSec%.3f,"scan_sec":$scanSec%.3f,""" +
         f""""jobs_sec":$jobsSec%.3f,"cpu_ratio":$cpuRatio%.3f,""" +
@@ -225,8 +230,15 @@ object Calibration {
   def measure(spark: SparkSession, sfDir: String): Probe = {
     (1 to 4).foreach(_ => cpuOnce(spark))
     val cpu = Seq.fill(3)(cpuOnce(spark)).min
+    // existence pre-check: callers without a TPC-H dir (e.g. the amazon
+    // decay runs pass "-") get scan = -1 without Spark logging an
+    // AnalysisException stack into the artifact's output
+    val haveLineitem =
+      try new java.io.File(s"$sfDir/lineitem.parquet").exists()
+      catch { case scala.util.control.NonFatal(_) => false }
     val scan =
-      try {
+      if (!haveLineitem) -1.0
+      else try {
         (1 to 4).foreach(_ => scanOnce(spark, sfDir))
         Seq.fill(3)(scanOnce(spark, sfDir)).min
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
