@@ -69,7 +69,23 @@ object FactBroadcastGuard extends SparkStrategy {
     p.collectLeaves().map {
       case lr: LogicalRelation =>
         lr.relation match {
-          case fs: HadoopFsRelation => BigInt(fs.location.sizeInBytes)
+          case fs: HadoopFsRelation =>
+            val bytes = BigInt(fs.location.sizeInBytes)
+            fs.location match {
+              // zone-map tables know their TRUE row count — cost the
+              // hash build row-bound, exactly like completed AQE stages
+              // below. A well-CLUSTERED table compresses so much better
+              // than its unsorted twin that file bytes flip under the
+              // budget while rows are unchanged (measured, RQ6 sf10
+              // q22: hilbert orders 184 MB = 15M rows ≈ 720 MB hash
+              // build broadcast serially on the driver, 3.6x wall
+              // regression; the 258 MB unsorted twin was demoted) —
+              // sorting a table must never make the planner treat it
+              // as smaller than its row count.
+              case g: graft.table.GraftFileIndex =>
+                bytes.max(BigInt(g.manifest.totalRows) * HashEntryBytes)
+              case _ => bytes
+            }
           case r => BigInt(r.sizeInBytes)
         }
       case lqs: LogicalQueryStage =>

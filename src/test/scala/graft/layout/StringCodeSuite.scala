@@ -64,6 +64,10 @@ class StringCodeSuite extends SparkTestBase {
       // small fraction of files
       val lo = prefix + "20000"; val hi = prefix + "29999"
       val kept = m.prune(Seq(StrBetween("asin", lo, hi))).length
+      // offsets must survive the manifest JSON round-trip, not just the
+      // write's in-memory return value
+      assert(ZoneMap.read(dir).strOffsets == m.strOffsets,
+        "strOffsets lost in manifest round-trip")
       (kept.toDouble / m.files.length, m.strOffsets.getOrElse(Map.empty))
     }
     val (rawRatio, rawOffs) = pruneRatio("")

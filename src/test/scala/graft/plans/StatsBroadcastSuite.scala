@@ -230,4 +230,34 @@ class StatsBroadcastSuite extends SparkTestBase {
       "200k files exceed the default cap: the walk must not run")
     assert(ms < 5000, s"capped planning took ${ms} ms")
   }
+
+  test("guard is manifest-row-aware: a well-compressed table whose BYTES " +
+      "sit under the budget but whose ROWS are hash-build-huge is demoted " +
+      "(RQ6 sf10 q22: sorted orders broadcast 15M keys, 3.6x regression)") {
+    // tiny real table, manifest rows inflated to fact scale: byte-based
+    // costing sees a broadcastable relation, row-based costing must not
+    val dir = tmpDir("graft_sbh_rows")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    LayoutWriter.write(li, dir,
+      LayoutSpec("linear", Seq("l_orderkey"), numFiles = Some(4)))
+    val m = graft.layout.ZoneMap.read(dir)
+    graft.layout.ZoneMap.write(dir,
+      m.copy(files = m.files.map(f => f.copy(rows = f.rows * 100000L))))
+    withConfs(
+      // static threshold far ABOVE the table's real bytes: naive byte
+      // sizing would broadcast both sides of the self-join
+      "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+      "spark.graft.broadcastBudget" -> (64L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val a = SfcTable.open(spark, dir)
+        .select(col("l_orderkey").as("a_key"), col("l_quantity"))
+      val b = SfcTable.open(spark, dir)
+        .select(col("l_orderkey").as("b_key"), col("l_extendedprice"))
+      val j = a.join(b, col("a_key") === col("b_key"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"row-huge manifest sides must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected shuffle join:\n$plan")
+    }
+  }
 }
