@@ -163,7 +163,15 @@ object Bench {
     val calLast = graft.runner.Calibration.measure(spark, sfDir)
     val calQuiet = graft.runner.Calibration.quietEnd(calFirst, calLast)
     val calHistPath = java.nio.file.Paths.get("results/calibration_history.jsonl")
+    // repin only over SAME-SF history entries: the scan probe reads the
+    // sweep's own lineitem, so a quiet end recorded under a
+    // GRAFT_BENCH_ARTIFACT_SF override at another scale would poison the
+    // rolling scan minimum for every later canonical sweep (cpu/jobs are
+    // sf-independent, but one filter keeps the whole entry comparable)
+    def sfBaseOf(p: String): String =
+      new java.io.File(p.replaceAll("/+$", "")).getName
     val calHist = graft.runner.Calibration.loadHistory(calHistPath)
+      .filter(e => sfBaseOf(e.sfDir) == sfBaseOf(sfDir))
     val selfRefs = graft.runner.Calibration.repin(calHist, calQuiet)
     val drift = graft.runner.Calibration.driftFactor(
       calFirst, calLast, selfRefs.cpu, selfRefs.jobs)

@@ -139,10 +139,6 @@ object AmazonScenario {
         scan.bytesKept, scan.bytesTotal, m.recordsRead)
     }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete()
-  }
-
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("results/rq1_amazon")
     val rows = args.lift(1).map(_.toLong).getOrElse(8000000L)
@@ -177,7 +173,7 @@ object AmazonScenario {
         System.err.println(f"[amazon] wrote $cfg/$layout in " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s")
         val cs = runCells(spark, listener, cfg, layout, dir, qs)
-        deleteRec(new java.io.File(dir))
+        Scenario.deleteRec(new java.io.File(dir))
         cs
       }
       layoutCells ++ baseCells.map(_.copy(band = cfg))
@@ -195,7 +191,12 @@ object AmazonScenario {
     } ++ (0 until 2).map { i =>
       // single-asin probes too (the raw pool's f1 family is the 48x/9.6x
       // headline): with the r17 prefix strip the deep pool must match it
-      val vs = AmazonGen.sampleCodes(spark, nAsins, 1, 22, "B0000000", 4,
+      // salt 20 = the deep pool's asin salt (AmazonGen.reviews
+      // deepPrefixAsin arm) — sampling with any other salt derives
+      // codes that don't exist in the table, and nonexistent-key
+      // lookups prune unrealistically well (caught in r17 review:
+      // records_read was 0 on every deep_asin_f1 probe)
+      val vs = AmazonGen.sampleCodes(spark, nAsins, 1, 20, "B0000000", 4,
         seed = 8200 + i)
       Q(s"deep_asin_f1_$i", Seq(StrIn("asin", vs)),
         s"asin IN (${vs.map(v => "'" + v + "'").mkString(",")})")
@@ -204,12 +205,12 @@ object AmazonScenario {
       val dir = s"$work/deep_$layout"
       writeLayout(deepDf, dir, layout, Seq("asin", "parent_asin"), numFiles)
       val cs = runCells(spark, listener, "C1deep", layout, dir, deepQs)
-      deleteRec(new java.io.File(dir))
+      Scenario.deleteRec(new java.io.File(dir))
       cs
     }
 
     val all = cells ++ deepCells
-    deleteRec(new java.io.File(work)) // baseline table + work root
+    Scenario.deleteRec(new java.io.File(work)) // baseline table + work root
     val geo = Scenario.geomeans(all)
     Scenario.writeCsvs(outDir, all, geo)
     geo.foreach { g =>

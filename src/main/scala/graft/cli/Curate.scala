@@ -427,7 +427,7 @@ object Curate {
           // construction; the common fold never takes this branch)
           val comps = graft.runner.Materialize.trackLazy(labels)
           val newPath = java.nio.file.Paths.get(outDir, "state", "components.new")
-          if (java.nio.file.Files.exists(newPath)) deleteRec(newPath.toFile)
+          if (java.nio.file.Files.exists(newPath)) Scenario.deleteRec(newPath.toFile)
           val tfr0 = System.nanoTime()
           val tmpManifest = graft.layout.LayoutWriter.write(
             comps.select(col("doc_id"), col("component")), newPath.toString,
@@ -480,10 +480,10 @@ object Curate {
           // swap in the rewritten mapping through components.old so no
           // window leaves the state without a components dir (restored
           // on entry above); manifest paths rebased after the move
-          if (java.nio.file.Files.exists(oldPath)) deleteRec(oldPath.toFile)
+          if (java.nio.file.Files.exists(oldPath)) Scenario.deleteRec(oldPath.toFile)
           java.nio.file.Files.move(compPath, oldPath)
           java.nio.file.Files.move(newPath, compPath)
-          deleteRec(oldPath.toFile)
+          Scenario.deleteRec(oldPath.toFile)
           val newUri = new org.apache.hadoop.fs.Path(newPath.toString).toUri.toString
           val dstUri = new org.apache.hadoop.fs.Path(compDir).toUri.toString
           graft.layout.ZoneMap.write(compDir, tmpManifest.copy(
@@ -660,11 +660,6 @@ object Curate {
     java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "summary.csv"),
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     lines
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRec))
-    f.delete()
   }
 
   def main(args: Array[String]): Unit = {

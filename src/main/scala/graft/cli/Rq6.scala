@@ -87,7 +87,6 @@ object Rq6 {
     "L1" -> Seq("l_shipdate", "l_discount"),
     "L2" -> Seq("l_orderkey", "l_suppkey"),
     "L3" -> Seq("l_quantity", "l_extendedprice"),
-    "L4" -> Seq("l_shipdate", "l_discount"), // L4_Ox: lineitem-only scenarios
     "L5" -> Nil) // L5_Ox: orders-only scenarios
   val OrdersSorts = Map(
     "O1" -> Seq("o_orderdate", "o_orderstatus"),
@@ -105,8 +104,13 @@ object Rq6 {
     val (l, o) = (parts(0), parts(1))
     val li = l match {
       case "L4" =>
-        // L4_O1/O2/O3 carry lineitem sorts L1/L2/L3 respectively
+        // L4_O1/O2/O3 carry lineitem sorts L1/L2/L3 respectively; any
+        // other O index must fail fast, not silently run a mislabeled
+        // sort (LineitemSorts has exactly L1-L3, so an out-of-range
+        // index throws NoSuchElementException like every other typo)
         val sortIdx = "L" + o.drop(1)
+        require(Set("L1", "L2", "L3")(sortIdx),
+          s"scenario '$name': L4 pairs only with O1..O3")
         Some(TableCfg("lineitem", LineitemSorts(sortIdx), LineitemKeys,
           "l_shipdate", LineitemPart))
       case "L5" => None
@@ -222,14 +226,12 @@ object Rq6 {
           val rows = Seq.newBuilder[String]
           rows += "engine,stream,query,elapsedTime_s,executorRunTime_s," +
             "executorCpuTime_s,files_scanned,bytes_scanned,records_read,rows"
-          import scala.jdk.CollectionConverters._
-          val qfiles = java.nio.file.Files.list(streamDir).iterator().asScala
-            .toSeq.sortBy(_.getFileName.toString)
-          // run in the STREAM'S order, not directory order
+          // run in the STREAM'S order, not directory order — the stream
+          // files have fixed names, so resolve each directly (a
+          // Files.list here would also leak its stream handle)
           val order = StreamOrders(i - 1)
-          val byName = qfiles.map(p => p.getFileName.toString -> p).toMap
           for (q <- order) {
-            val qf = byName(f"q$q%02d.sql")
+            val qf = streamDir.resolve(f"q$q%02d.sql")
             val script = new String(
               java.nio.file.Files.readAllBytes(qf),
               java.nio.charset.StandardCharsets.UTF_8)
@@ -253,7 +255,15 @@ object Rq6 {
           } catch { case scala.util.control.NonFatal(_) => () }
           println(s"[rq6] $layout stream_$i -> ${outDir.resolve("results.csv")}")
         }
+
+        // drop this family's laid-out table copies before writing the
+        // next — at sf10 each is multi-GB, and a 4-layout run would
+        // otherwise hold 4 copies of lineitem+orders in /tmp at once
+        laidDirs.values.foreach(d => Scenario.deleteRec(new java.io.File(d)))
       }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Scenario.deleteRec(new java.io.File(work)) // stream files + any partial layout
+    }
   }
 }

@@ -159,24 +159,36 @@ object Scenario {
     * geomean_files_ratio column in the emitted CSVs carries this
     * definition.
     */
+  /** The gmean + baseline-ratio machinery shared by [[geomeans]] and
+    * [[geomeansByFamily]] — ONE definition so the overall and per-family
+    * CSVs can never diverge on filtering or clamping rules.
+    */
+  private def gmean(xs: Seq[Double]): Double = {
+    val ok = xs.filter(x => !x.isNaN && !x.isInfinite && x > 0)
+    if (ok.isEmpty) Double.NaN
+    else math.exp(ok.map(math.log).sum / ok.length)
+  }
+  private def baselineCells(cells: Seq[Cell]): Map[(String, String), Cell] =
+    cells.filter(_.layout == "baseline").map(c => (c.band, c.query) -> c).toMap
+  /** (gm wall speedup, gm files ratio) of `rs` vs their baseline cells. */
+  private def gmPair(rs: Seq[Cell],
+      base: Map[(String, String), Cell]): (Double, Double) = {
+    val wall = gmean(rs.flatMap(c =>
+      base.get((c.band, c.query)).map(_.wallSec / c.wallSec)))
+    val files = gmean(rs.flatMap(c =>
+      base.get((c.band, c.query)).map(b =>
+        math.max(1.0, b.filesKept.toDouble) / math.max(1.0, c.filesKept.toDouble))))
+    (wall, files)
+  }
+
   def geomeans(cells: Seq[Cell]): Seq[BandLayout] = {
-    def gmean(xs: Seq[Double]): Double = {
-      val ok = xs.filter(x => !x.isNaN && !x.isInfinite && x > 0)
-      if (ok.isEmpty) Double.NaN
-      else math.exp(ok.map(math.log).sum / ok.length)
-    }
-    val base = cells.filter(_.layout == "baseline")
-      .map(c => (c.band, c.query) -> c).toMap
+    val base = baselineCells(cells)
     (for {
       band <- cells.map(_.band).distinct
       layout <- Layouts
     } yield {
       val rs = cells.filter(c => c.band == band && c.layout == layout)
-      val wall = gmean(rs.flatMap(c =>
-        base.get((c.band, c.query)).map(_.wallSec / c.wallSec)))
-      val files = gmean(rs.flatMap(c =>
-        base.get((c.band, c.query)).map(b =>
-          math.max(1.0, b.filesKept.toDouble) / math.max(1.0, c.filesKept.toDouble))))
+      val (wall, files) = gmPair(rs, base)
       BandLayout(band, layout, wall, files,
         rs.map(_.filesKept).sum, rs.map(_.filesTotal).sum)
     })
@@ -201,13 +213,7 @@ object Scenario {
     * artifact itself.
     */
   def geomeansByFamily(cells: Seq[Cell]): Seq[FamilyRow] = {
-    def gmean(xs: Seq[Double]): Double = {
-      val ok = xs.filter(x => !x.isNaN && !x.isInfinite && x > 0)
-      if (ok.isEmpty) Double.NaN
-      else math.exp(ok.map(math.log).sum / ok.length)
-    }
-    val base = cells.filter(_.layout == "baseline")
-      .map(c => (c.band, c.query) -> c).toMap
+    val base = baselineCells(cells)
     (for {
       band <- cells.map(_.band).distinct
       family <- cells.filter(_.band == band).map(c => familyOf(c.query)).distinct
@@ -215,11 +221,7 @@ object Scenario {
     } yield {
       val rs = cells.filter(c =>
         c.band == band && c.layout == layout && familyOf(c.query) == family)
-      val wall = gmean(rs.flatMap(c =>
-        base.get((c.band, c.query)).map(_.wallSec / c.wallSec)))
-      val files = gmean(rs.flatMap(c =>
-        base.get((c.band, c.query)).map(b =>
-          math.max(1.0, b.filesKept.toDouble) / math.max(1.0, c.filesKept.toDouble))))
+      val (wall, files) = gmPair(rs, base)
       FamilyRow(band, family, layout, wall, files,
         rs.map(_.filesKept).sum, rs.map(_.filesTotal).sum, rs.length)
     })
@@ -249,7 +251,9 @@ object Scenario {
           s"${f3(g.gmFilesRatio)},${g.filesKept},${g.filesTotal},${g.nQueries}"))
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Recursive delete shared by the cli tools (scenario/amazon/rq6
+    * temp-table cleanup). */
+  private[cli] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRec))
     f.delete()
   }

@@ -105,11 +105,19 @@ object Calibration {
   /** Self-derived reference seconds (rolling quiet-window minima). */
   case class SelfRefs(cpu: Double, scan: Double, jobs: Double, nHistory: Int)
 
-  /** Per-probe quiet end of a run: min of first and last. */
-  def quietEnd(first: Probe, last: Probe): (Double, Double, Double) = (
-    math.min(first.cpuSec, last.cpuSec),
-    math.min(first.scanSec, last.scanSec),
-    math.min(first.jobsSec, last.jobsSec))
+  /** Per-probe quiet end of a run: min of first and last, over VALID
+    * observations only — a transiently failed probe records -1, and a
+    * plain min would let that marker beat the other probe's real
+    * measurement (discarding the run's only valid reference point).
+    */
+  def quietEnd(first: Probe, last: Probe): (Double, Double, Double) = {
+    def minValid(a: Double, b: Double): Double =
+      if (a > 0 && b > 0) math.min(a, b)
+      else if (a > 0) a else if (b > 0) b else -1.0
+    (minValid(first.cpuSec, last.cpuSec),
+      minValid(first.scanSec, last.scanSec),
+      minValid(first.jobsSec, last.jobsSec))
+  }
 
   /** Re-pinned refs: the MIN over history quiet ends plus the current
     * run's — the quietest moment this host has demonstrated. Rolling
@@ -151,9 +159,10 @@ object Calibration {
     off(CpuRefSec, self.cpu) || off(JobsRefSec, self.jobs)
   }
 
-  /** History IO: newline-delimited JSON at `path`, last [[HistoryKeep]]
-    * entries kept. Plain text (one object per line) so a torn write
-    * corrupts at most one line — corrupt lines are skipped on read.
+  /** History IO: newline-delimited JSON at `path`, trimmed back to the
+    * last [[HistoryKeep]] entries once it grows past twice that. Plain
+    * text (one object per line) so a torn write corrupts at most one
+    * line — corrupt lines are skipped on read.
     */
   val HistoryKeep = 12
 
@@ -183,15 +192,34 @@ object Calibration {
     f"""{"first":${first.json},"last":${last.json},"inrun_drift":$drift%.3f}"""
   }
 
+  /** Appends ONE line with O_APPEND — the common path never rewrites
+    * existing history, so a crash or a concurrent sweep can tear at most
+    * the line being appended (which loadHistory skips), honoring the
+    * torn-write property documented above. Trimming to [[HistoryKeep]]
+    * happens only when the file has grown past 2x the cap, via
+    * write-temp + atomic move.
+    */
   def appendHistory(path: java.nio.file.Path, entry: QuietEnd): Unit = {
     try {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      val all = (loadHistory(path) :+ entry).takeRight(HistoryKeep)
       if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
       java.nio.file.Files.write(path,
-        all.map(org.json4s.jackson.Serialization.write(_))
-          .mkString("", "\n", "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (org.json4s.jackson.Serialization.write(entry) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      val all = loadHistory(path)
+      if (all.length > 2 * HistoryKeep) {
+        val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp,
+          all.takeRight(HistoryKeep)
+            .map(org.json4s.jackson.Serialization.write(_))
+            .mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -45,4 +45,29 @@ class AmazonScenarioSuite extends SparkTestBase {
     assert(pruned == full && full > 0,
       s"pruned scan must lose no rows: $pruned vs $full")
   }
+
+  test("deep-pool probe asins exist in the deep-prefix table") {
+    // regression (r17 review): the DEEP diagnostic's f1 probes sampled
+    // with the parent_asin salt (22) instead of the deep pool's asin
+    // salt (20), so every probe matched ZERO rows — and nonexistent-key
+    // lookups prune unrealistically well, inflating the prefix-strip
+    // recovery story. Pin that ALL deep probes (f4 and f1 families use
+    // the same salt-20 sampler the generator codes with) hit real keys.
+    val nAsins = 500L
+    val deep = AmazonGen.reviews(spark, 50000, nUsers = 2000,
+      nAsins = nAsins, deepPrefixAsin = true)
+    deep.createOrReplaceTempView("amz_deep_t")
+    val probes =
+      (0 until 2).flatMap(i => AmazonGen.sampleCodes(
+        spark, nAsins, 4, 20, "B0000000", 4, seed = 8100 + i)) ++
+      (0 until 2).flatMap(i => AmazonGen.sampleCodes(
+        spark, nAsins, 1, 20, "B0000000", 4, seed = 8200 + i))
+    probes.foreach { v =>
+      val n = spark.sql(
+        s"SELECT count(*) AS c FROM amz_deep_t WHERE asin = '$v'")
+        .collect()(0).getLong(0)
+      assert(n > 0, s"deep probe asin '$v' matches no rows — salt drift " +
+        "between AmazonGen.reviews(deepPrefixAsin) and the probe sampler")
+    }
+  }
 }

@@ -48,6 +48,11 @@ class Rq6Suite extends AnyFunSuite {
     assert(l5.map(_.table) == Seq("orders") &&
       l5.head.sortCols == Seq("o_custkey", "o_orderdate"))
     intercept[Exception](Rq6.scenario("bogus"))
+    // L4 pairs only with O1..O3 — a typo like L4_O4 must fail fast,
+    // not silently run a mislabeled lineitem sort
+    intercept[Exception](Rq6.scenario("L4_O4"))
+    // an unknown sort index fails fast too
+    intercept[Exception](Rq6.scenario("L9_O1"))
   }
 }
 

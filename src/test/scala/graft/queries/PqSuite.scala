@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.text.VectorExpressions.vecSubL2
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Product quantization (q97): the FloatVecSubL2 subspace kernel vs a
+  * plain-Scala reference, and the full ADC search vs an independent
+  * driver-side PQ implementation on the real sf0.001 embeddings — the
+  * end-to-end exactness the DuckDB gate also checks, plus the recall
+  * readout vs exact KNN.
+  */
+class PqSuite extends SparkTestBase {
+
+  private def refSubL2(a: Array[Float], b: Array[Float], off: Int, len: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(math.min(a.length, b.length) - off, len)
+    while (i < n) {
+      val d = a(off + i).toDouble - b(off + i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  test("vecSubL2 matches the reference on slices, short arrays, nulls") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(7)
+    val rows = (0 until 50).map { i =>
+      val la = if (i % 7 == 3) 5 else 64 // some arrays shorter than the slice
+      (i, Array.fill(la)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("i", "a", "b")
+    for ((off, len) <- Seq((0, 8), (8, 8), (56, 8), (0, 64), (60, 8))) {
+      val got = df.select(col("i"), vecSubL2(col("a"), col("b"), off, len).as("d"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      rows.foreach { case (i, a, b) =>
+        assert(got(i) == refSubL2(a, b, off, len), s"i=$i off=$off len=$len")
+      }
+    }
+    // null inputs yield null
+    val n = Seq((1, null: Array[Float], Array.fill(64)(0f))).toDF("i", "a", "b")
+      .select(vecSubL2(col("a"), col("b"), 0, 8)).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("q97 ADC search equals an independent driver-side PQ on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val m = 8; val subDim = 8
+    val cents = (0L until 16L).map(rows)
+    // encode: argmin codebook entry per (corpus vector, subspace)
+    val corpus = rows.keys.filter(_ >= 16).toSeq.sorted
+    def code(v: Array[Float], j: Int): Int =
+      cents.indices.minBy(c =>
+        (refSubL2(v, cents(c), j * subDim, subDim), c))
+    // ADC per (query, corpus vector): DECIMAL(27,12) sum then round(6),
+    // the exact arithmetic the query and the DuckDB oracle use
+    def adc(q: Array[Float], v: Array[Float]): Double = {
+      val s = (0 until m).map { j =>
+        BigDecimal(refSubL2(q, cents(code(v, j)), j * subDim, subDim))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      s.toDouble // exact decimal sum, then one double conversion
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (0L until 10L).flatMap { qid =>
+      val q = rows(qid)
+      corpus.map(vid => (qid, vid, round6(adc(q, rows(vid)))))
+        .sortBy { case (_, vid, dist) => (dist, vid) }
+        .take(5).zipWithIndex
+        .map { case ((_, vid, dist), r) => (qid, r + 1, vid, dist) }
+    }
+    val got = SimilarityQueries.queries("q97_pq_adc_search")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      expected.map(t => (t._1, t._2, t._3)).toList,
+      "ADC top-5 (qid, rank, vid) mismatch vs driver-side PQ")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-6, s"adc mismatch at $g vs $e")
+    }
+    // recall readout vs exact cosine KNN (q32): PQ is approximate by
+    // design — assert a sane floor, not equality
+    // q32's corpus is vec_id >= 10; q97's is >= 16 (the codebook ids are
+    // excluded) — compare on the shared corpus only
+    val exact = SimilarityQueries.queries("q32_knn_cosine")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._2 >= 16).toSet
+    val approx = got.map(t => (t._1, t._3)).toSet
+    // measured 11/50 on this corpus (near-uniform random vectors — PQ's
+    // adversarial case; see the q97 scaladoc); the floor only guards
+    // against a broken encode, not the data-dependent recall level
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ ADC recall@5 vs exact KNN at sf0.001: $recall%.2f")
+    assert(recall >= 0.1, f"recall collapsed: $recall%.2f")
+  }
+}

@@ -15,6 +15,11 @@ class CalibrationSuite extends AnyFunSuite {
     val first = Probe(0.72, 0.20, 1.26) // loaded start (r16's 1.80 mode)
     val last = Probe(0.40, 0.16, 0.62)  // load receded
     assert(quietEnd(first, last) == ((0.40, 0.16, 0.62)))
+    // a transiently failed probe (-1 marker) must NOT beat the other
+    // probe's valid measurement
+    assert(quietEnd(Probe(-1.0, -1.0, 0.70), last) == ((0.40, 0.16, 0.62)))
+    assert(quietEnd(first, Probe(0.50, -1.0, -1.0)) == ((0.50, 0.20, 1.26)))
+    assert(quietEnd(Probe(-1.0, 0.2, 0.7), Probe(-1.0, 0.2, 0.7))._1 == -1.0)
   }
 
   test("repin: rolling min over history + current; failed probes ignored") {
@@ -55,14 +60,21 @@ class CalibrationSuite extends AnyFunSuite {
     assert(!refsDisagree(SelfRefs(-1.0, -1.0, -1.0, 0)))
   }
 
-  test("history round-trips, keeps the last N, and skips corrupt lines") {
+  test("history round-trips, trims past 2x keep, and skips corrupt lines") {
     val p = java.nio.file.Files.createTempDirectory("graft_cal")
       .resolve("hist.jsonl")
-    for (i <- 1 to HistoryKeep + 3)
+    // the common path is a pure O_APPEND (torn-write safety: existing
+    // lines are never rewritten); entries accumulate until 2x the cap...
+    for (i <- 1 to 2 * HistoryKeep)
       appendHistory(p, QuietEnd(i.toLong, "sf0.1", 0.4 + i * 0.001, 0.16, 0.7))
+    assert(loadHistory(p).length == 2 * HistoryKeep)
+    // ...then one more append triggers the atomic trim back to the cap
+    appendHistory(p,
+      QuietEnd((2 * HistoryKeep + 1).toLong, "sf0.1", 0.5, 0.16, 0.7))
     val h = loadHistory(p)
     assert(h.length == HistoryKeep)
-    assert(h.head.epochSec == 4L && h.last.epochSec == (HistoryKeep + 3).toLong)
+    assert(h.head.epochSec == (HistoryKeep + 2).toLong &&
+      h.last.epochSec == (2 * HistoryKeep + 1).toLong)
     // torn write corrupts one line; the rest still load
     val bytes = java.nio.file.Files.readAllBytes(p)
     java.nio.file.Files.write(p,
