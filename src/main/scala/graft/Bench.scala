@@ -204,7 +204,7 @@ object Bench {
     // is overridable via GRAFT_BENCH_ARTIFACT_SF for a driver that
     // benches at another scale; the choice is logged either way.
     val canonicalSf = sys.env.getOrElse("GRAFT_BENCH_ARTIFACT_SF", "sf0.1")
-    val sfBase = new java.io.File(sfDir.replaceAll("/+$", "")).getName
+    val sfBase = sfBaseOf(sfDir) // same rule as the history filter above
     val runsFile =
       if (arg.isEmpty && sfBase == canonicalSf) "BENCH_RUNS.json"
       else "BENCH_RUNS_DEV.json"

@@ -263,6 +263,10 @@ object Rq6 {
       }
     } finally {
       spark.sparkContext.removeSparkListener(listener)
+      // the tpch temp views registered above point into `work` — drop
+      // them before deleting it, or a later query on the shared session
+      // (suites call run() directly) hits FileNotFoundException
+      graft.Tables.tpch.foreach(t => spark.catalog.dropTempView(t))
       Scenario.deleteRec(new java.io.File(work)) // stream files + any partial layout
     }
   }

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Product-quantization index in its SCALE formulation: the whole code
+  * word packed into ONE BIGINT per vector (8 subspaces × 4-bit codes =
+  * 32 bits), scored by [[PqAdcScore]] — 8 table lookups against a
+  * 128-double per-query distance table, no join, no per-subspace rows.
+  *
+  * q97/q97b (queries/SimilarityQueries) define the SEMANTICS in the
+  * oracle-checkable join formulation (codes as (vid, j, cid) rows, ADC
+  * as a join + decimal sum); this object is the same math shaped for
+  * 100 TB, where what matters is bytes-per-vector on the scan:
+  *  - the raw corpus reads 64 floats (256 B) + overhead per row;
+  *  - the PQ index reads one BIGINT (8 B, of which 4 are used) — a
+  *    32-64× scan reduction, and the reason PQ exists (Jégou et al.
+  *    2011 §II: RAM-resident codes for billion-vector search);
+  *  - scoring is 8 array lookups per row (vs 64 multiply-adds), inside
+  *    whole-stage codegen;
+  *  - the per-query table (m×k = 128 doubles) rides into the scan as a
+  *    broadcast row, so Q queries cost ONE pass over the codes;
+  *  - top-k per query is the [[TopKAgg.topKByScore]] bounded-heap
+  *    AGGREGATE (k rows per partition shuffled), not a window over the
+  *    Q×N scored rows.
+  * Encode semantics are IDENTICAL to q97 (per-subspace L2 argmin over
+  * the 16 data-derived codebook entries, tie → smaller cid) — pinned
+  * against the join formulation in PqSuite. ADC sums the same 8 doubles
+  * in the same ascending-j order but in plain double arithmetic (q97's
+  * gate rounds each term to DECIMAL(27,12) first for cross-engine
+  * hashing; the two differ by at most 8 quantization ulps).
+  *
+  * cli/AnnBench measures this path against brute force at millions of
+  * vectors → results/ann_scale.json.
+  */
+object Pq {
+  val M = 8 // subspaces
+  val SubDim = 8 // dims per subspace (64-dim vectors)
+  val K = 16 // codebook entries per subspace (4-bit codes)
+
+  /** Per-subspace (j, squared-L2) pairs of `v` against codebook row `c`
+    * — one codegen'd FloatVecSubL2 per subspace, literal slice bounds.
+    */
+  private def subDists(v: Column, c: Column): Column = array(
+    (0 until M).map(j => struct(lit(j).as("j"),
+      graft.text.VectorExpressions.vecSubL2(v, c, j * SubDim, SubDim)
+        .as("dist"))): _*)
+
+  /** Encode a corpus to packed code words. `corpus` needs (vid LONG,
+    * vemb ARRAY<FLOAT>); `cents` (cid in 0..K-1, cemb ARRAY<FLOAT>) is
+    * broadcast. Returns (vid, codes BIGINT) — subspace j's code in bits
+    * [4j, 4j+4). One shuffle (the per-(vid, j) argmin partial-agg);
+    * at scale this output IS the persisted index.
+    */
+  def encode(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(broadcast(cents))
+      .select(col("vid"), col("cid"),
+        explode(subDists(col("vemb"), col("cemb"))).as("sd"))
+      .select(col("vid"), col("sd.j").as("j"), col("cid"), col("sd.dist").as("dist"))
+      .groupBy(col("vid"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .groupBy(col("vid"))
+      // nibbles are disjoint, so SUM of shifted codes == OR-merge
+      // (SQL shiftleft, not functions.shiftleft — the shift is a column)
+      .agg(sum(expr("shiftleft(CAST(best.cid AS BIGINT), CAST(4 * j AS INT))"))
+        .as("codes"))
+
+  /** Per-subspace Lloyd (k-means) refinement of a PQ codebook — the
+    * training step real PQ uses instead of raw sampled vectors (Jégou
+    * et al. 2011 §III.A trains k-means per subspace). One iteration =
+    * assign every vector's subspace slice to its nearest codebook entry
+    * (the same argmin [[encode]] uses) and replace each entry's slice
+    * with the MEAN of its assigned slices; empty entries keep their old
+    * slice. Fully distributed: the assign is the encode join, the mean
+    * is a (j, cid, dim) partial agg — per iteration one extra shuffle
+    * of m×k×subDim aggregate rows, nothing driver-side but the 1 KB
+    * codebook itself. Deterministic (argmin ties → smaller cid; means
+    * via DECIMAL-free avg are partitioning-dependent in the last ulp,
+    * which moves a centroid by <1e-12 — irrelevant for assignment).
+    *
+    * Returns centroids as full 64-dim vectors (subspace j's slice in
+    * positions [8j, 8j+8)), the shape [[encode]]/[[adcTable]] expect.
+    */
+  def trainCodebooks(corpus: DataFrame, init: IndexedSeq[Array[Float]],
+      iters: Int): IndexedSeq[Array[Float]] = {
+    val spark = corpus.sparkSession
+    var cents = init
+    for (_ <- 0 until iters) {
+      val centsDf = {
+        import spark.implicits._
+        cents.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toDF("cid", "cemb")
+      }
+      val means = corpus.join(broadcast(centsDf))
+        .select(col("vid"), col("vemb"), col("cid"),
+          explode(subDists(col("vemb"), col("cemb"))).as("sd"))
+        .select(col("vid"), col("vemb"), col("sd.j").as("j"), col("cid"),
+          col("sd.dist").as("dist"))
+        .groupBy(col("vid"), col("j"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first(col("vemb")).as("vemb"))
+        .select(col("j"), col("best.cid").as("cid"),
+          posexplode(expr(s"slice(vemb, j * $SubDim + 1, $SubDim)"))
+            .as(Seq("i", "v")))
+        .groupBy(col("j"), col("cid"), col("i"))
+        .agg(avg(col("v").cast("double")).as("mean"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        val j = r.getInt(0); val c = r.getLong(1).toInt; val i = r.getInt(2)
+        next(c)(j * SubDim + i) = r.getDouble(3).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Mean per-vector quantization error (Σ_j ||v_j − cb_j[code_j]||²)
+    * of a codebook over a corpus — the Lloyd objective; train should
+    * not increase it.
+    */
+  def quantizationError(corpus: DataFrame, cents: IndexedSeq[Array[Float]]): Double = {
+    val spark = corpus.sparkSession
+    val centsDf = {
+      import spark.implicits._
+      cents.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toDF("cid", "cemb")
+    }
+    corpus.join(broadcast(centsDf))
+      .select(col("vid"), explode(subDists(col("vemb"), col("cemb"))).as("sd"))
+      .select(col("vid"), col("sd.j").as("j"), col("sd.dist").as("dist"))
+      .groupBy(col("vid"), col("j")).agg(min(col("dist")).as("d"))
+      .agg(avg(col("d")) * lit(M)).collect()(0).getDouble(0)
+  }
+
+  /** Driver-side ADC distance table of one query against the codebook:
+    * table(j*K + c) = ||q_j − cent_c_j||², same double ops and order as
+    * [[graft.text.VecKernels.subL2FF]].
+    */
+  def adcTable(q: Array[Float], cents: IndexedSeq[Array[Float]]): Array[Double] = {
+    val t = new Array[Double](M * K)
+    var j = 0
+    while (j < M) {
+      var c = 0
+      while (c < K) {
+        val cv = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < SubDim) {
+          val d = q(j * SubDim + i).toDouble - cv(j * SubDim + i).toDouble
+          acc += d * d
+          i += 1
+        }
+        t(j * K + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    t
+  }
+
+  /** ADC score of a packed code word against a 128-double table. */
+  def adcScore(codes: Column, table: Column): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(table)))
+}
+
+/** Σ_j table[j*16 + nibble_j(codes)] — the ADC lookup over a packed PQ
+  * code word, as a codegen'd expression (8 array reads per row inside
+  * whole-stage codegen).
+  */
+case class PqAdcScore(codes: Expression, table: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(codes, table)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = codes.nullable || table.nullable
+  override def prettyName: String = "graft_pq_adc"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (codes.dataType, table.dataType) match {
+      case (LongType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (c, t) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (BIGINT codes, ARRAY<DOUBLE> table), got ($c, $t)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val c = codes.eval(input)
+    if (c == null) return null
+    val t = table.eval(input)
+    if (t == null) return null
+    PqAdcScore.lookup(c.asInstanceOf[Long], t.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = codes.genCode(ctx)
+    val t = table.genCode(ctx)
+    val anyNull = if (nullable) s"${c.isNull} || ${t.isNull}" else "false"
+    val code =
+      code"""
+        ${c.code}
+        ${t.code}
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.operators.PqAdcScore.lookup(${c.value}, ${t.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(codes = newChildren(0), table = newChildren(1))
+}
+
+object PqAdcScore {
+  /** The 8-lookup kernel (ascending j, like the join formulation). */
+  def lookup(codes: Long, table: ArrayData): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < Pq.M) {
+      val c = ((codes >>> (4 * j)) & 15L).toInt
+      acc += table.getDouble(j * Pq.K + c)
+      j += 1
+    }
+    acc
+  }
+}

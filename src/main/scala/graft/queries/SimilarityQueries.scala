@@ -296,7 +296,7 @@ object SimilarityQueries {
     }),
 
     // PQ + EXACT RE-RANK — the production IVF-PQ pattern: ADC (q97
-    // semantics) produces a cheap shortlist of 25 per query from CODES
+    // semantics) produces a cheap shortlist of 50 per query from CODES
     // alone; only the shortlist's raw vectors are fetched and re-scored
     // with exact cosine for the final top-5. At 100 TB this is the
     // recall fix that costs O(shortlist) vector reads instead of

@@ -159,10 +159,15 @@ object Calibration {
     off(CpuRefSec, self.cpu) || off(JobsRefSec, self.jobs)
   }
 
-  /** History IO: newline-delimited JSON at `path`, trimmed back to the
-    * last [[HistoryKeep]] entries once it grows past twice that. Plain
-    * text (one object per line) so a torn write corrupts at most one
-    * line — corrupt lines are skipped on read.
+  /** History IO: newline-delimited JSON at `path`. Writes are PURE
+    * O_APPEND (never a rewrite), so concurrent sweeps can only tear the
+    * line being appended — which the reader skips; nothing already
+    * written is ever at risk. The rolling window is applied at READ
+    * time (last [[HistoryKeep]] parseable entries), so it is a fixed
+    * size regardless of file length. The file grows one ~150-byte line
+    * per full canonical sweep — unbounded in principle, negligible in
+    * practice (a rewrite-to-trim would reintroduce the lost-entry race
+    * this design removes).
     */
   val HistoryKeep = 12
 
@@ -175,7 +180,7 @@ object Calibration {
           implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
           Some(org.json4s.jackson.Serialization.read[QuietEnd](line))
         } catch { case scala.util.control.NonFatal(_) => None }
-      }
+      }.takeRight(HistoryKeep)
     } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
@@ -192,12 +197,11 @@ object Calibration {
     f"""{"first":${first.json},"last":${last.json},"inrun_drift":$drift%.3f}"""
   }
 
-  /** Appends ONE line with O_APPEND — the common path never rewrites
-    * existing history, so a crash or a concurrent sweep can tear at most
-    * the line being appended (which loadHistory skips), honoring the
-    * torn-write property documented above. Trimming to [[HistoryKeep]]
-    * happens only when the file has grown past 2x the cap, via
-    * write-temp + atomic move.
+  /** Appends ONE line with O_APPEND and nothing else — existing history
+    * is never rewritten (see [[HistoryKeep]]'s doc for why there is no
+    * trim: any rewrite races a concurrent sweep's append and can lose a
+    * fully-written entry; the read-time window makes trimming
+    * unnecessary).
     */
   def appendHistory(path: java.nio.file.Path, entry: QuietEnd): Unit = {
     try {
@@ -208,18 +212,6 @@ object Calibration {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-      val all = loadHistory(path)
-      if (all.length > 2 * HistoryKeep) {
-        val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-        java.nio.file.Files.write(tmp,
-          all.takeRight(HistoryKeep)
-            .map(org.json4s.jackson.Serialization.write(_))
-            .mkString("", "\n", "\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

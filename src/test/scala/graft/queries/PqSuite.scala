@@ -101,4 +101,65 @@ class PqSuite extends SparkTestBase {
     info(f"PQ ADC recall@5 vs exact KNN at sf0.001: $recall%.2f")
     assert(recall >= 0.1, f"recall collapsed: $recall%.2f")
   }
+
+  test("packed-code index (Pq.encode + PqAdcScore) matches the join formulation") {
+    import graft.operators.Pq
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (0L until 16L).map(rows)
+    def code(v: Array[Float], j: Int): Int =
+      cents.indices.minBy(c => (refSubL2(v, cents(c), j * 8, 8), c))
+    // packed codes match a driver-side pack of the q97 argmin semantics
+    val centsDf = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cemb"))
+    val got = Pq.encode(e.filter(col("vec_id") >= 16)
+        .select(col("vec_id").as("vid"), col("embedding").as("vemb")), centsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.keys.filter(_ >= 16).foreach { vid =>
+      val expected = (0 until 8).map(j => code(rows(vid), j).toLong << (4 * j)).sum
+      assert(got(vid) == expected, s"packed codes differ for vid=$vid")
+    }
+    // PqAdcScore over the packed word == driver-side plain-double ADC
+    // (ascending-j sum; q97's gate quantizes each term to DECIMAL first,
+    // so compare against the raw-double reference here)
+    val spark2 = spark
+    import spark2.implicits._
+    val q = rows(0L)
+    val tab = Pq.adcTable(q, cents)
+    val scored = Pq.encode(e.filter(col("vec_id") >= 16)
+        .select(col("vec_id").as("vid"), col("embedding").as("vemb")), centsDf)
+      .join(broadcast(Seq((0L, tab)).toDF("qid", "table")))
+      .select(col("vid"), Pq.adcScore(col("codes"), col("table")).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.keys.filter(_ >= 16).foreach { vid =>
+      var ref = 0.0
+      (0 until 8).foreach(j => ref += tab(j * 16 + code(rows(vid), j)))
+      assert(scored(vid) == ref, s"ADC differs for vid=$vid")
+    }
+  }
+
+  test("Lloyd codebook training decreases the quantization objective") {
+    import graft.operators.Pq
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+    val init = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toIndexedSeq
+    val e0 = Pq.quantizationError(e, init)
+    val t1 = Pq.trainCodebooks(e, init, iters = 1)
+    val e1 = Pq.quantizationError(e, t1)
+    val t3 = Pq.trainCodebooks(e, init, iters = 3)
+    val e3 = Pq.quantizationError(e, t3)
+    info(f"quantization error: init $e0%.4f -> 1 iter $e1%.4f -> 3 iters $e3%.4f")
+    // Lloyd is monotone non-increasing on its objective
+    assert(e1 <= e0 + 1e-9 && e3 <= e1 + 1e-9, s"objective rose: $e0 -> $e1 -> $e3")
+    // centroid shape preserved: 16 full-width vectors
+    assert(t3.length == 16 && t3.forall(_.length == 64))
+    // deterministic
+    val t3b = Pq.trainCodebooks(e, init, iters = 3)
+    assert(t3.zip(t3b).forall { case (a, b) => a.sameElements(b) })
+  }
 }

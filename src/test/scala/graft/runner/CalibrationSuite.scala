@@ -60,21 +60,21 @@ class CalibrationSuite extends AnyFunSuite {
     assert(!refsDisagree(SelfRefs(-1.0, -1.0, -1.0, 0)))
   }
 
-  test("history round-trips, trims past 2x keep, and skips corrupt lines") {
+  test("history is append-only; the rolling window applies at read time") {
     val p = java.nio.file.Files.createTempDirectory("graft_cal")
       .resolve("hist.jsonl")
-    // the common path is a pure O_APPEND (torn-write safety: existing
-    // lines are never rewritten); entries accumulate until 2x the cap...
-    for (i <- 1 to 2 * HistoryKeep)
+    // appends are pure O_APPEND (a rewrite-to-trim would race a
+    // concurrent sweep's append); the READER keeps the last HistoryKeep
+    // parseable entries, so the repin window is a fixed size no matter
+    // how long the file grows
+    for (i <- 1 to 2 * HistoryKeep + 1)
       appendHistory(p, QuietEnd(i.toLong, "sf0.1", 0.4 + i * 0.001, 0.16, 0.7))
-    assert(loadHistory(p).length == 2 * HistoryKeep)
-    // ...then one more append triggers the atomic trim back to the cap
-    appendHistory(p,
-      QuietEnd((2 * HistoryKeep + 1).toLong, "sf0.1", 0.5, 0.16, 0.7))
     val h = loadHistory(p)
     assert(h.length == HistoryKeep)
     assert(h.head.epochSec == (HistoryKeep + 2).toLong &&
       h.last.epochSec == (2 * HistoryKeep + 1).toLong)
+    // the file itself keeps every line — nothing was rewritten
+    assert(java.nio.file.Files.readAllLines(p).size == 2 * HistoryKeep + 1)
     // torn write corrupts one line; the rest still load
     val bytes = java.nio.file.Files.readAllBytes(p)
     java.nio.file.Files.write(p,
