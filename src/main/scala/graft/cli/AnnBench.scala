@@ -187,24 +187,19 @@ object AnnBench {
     // ANN index. Each query scans 4/16 of the codes.
     val ivfDir = s"$work/ivfpq"
     val secIvfBuild = time {
+      // the IVF table is the ALREADY-ENCODED code table (so its codes
+      // are exactly the suite-pinned Pq.encode output — no second
+      // encode pipeline to drift) joined with the coarse assignment.
       // struct ordering is lexicographic by FIELD POSITION: dist first,
       // cid as the tie-break — array_min == argmin by distance
       val coarse = (0 until Pq.K).map(c => struct(
         graft.text.VectorExpressions.vecSubL2(col("vemb"),
           typedLit(centRows(c).toSeq), 0, 64).as("dist"), lit(c).as("cid")))
-      corpusAll.filter(col("vec_id") >= Pq.K)
+      val lists = corpusAll.filter(col("vec_id") >= Pq.K)
         .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
-        .withColumn("list", array_min(array(coarse: _*)).getField("cid"))
-        .join(broadcast(cents))
-        .select(col("vid"), col("list"), col("cid"),
-          explode(Pq.subspaceDists(col("vemb"), col("cemb"))).as("sd"))
-        .select(col("vid"), col("list"), col("sd.j").as("j"), col("cid"),
-          col("sd.dist").as("dist"))
-        .groupBy(col("vid"), col("list"), col("j"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"))
-        .groupBy(col("vid"), col("list"))
-        .agg(sum(expr("shiftleft(CAST(best.cid AS BIGINT), CAST(4 * j AS INT))"))
-          .as("codes"))
+        .select(col("vid"),
+          array_min(array(coarse: _*)).getField("cid").as("list"))
+      codes.join(lists, Seq("vid"))
         .write.partitionBy("list").parquet(ivfDir)
     }
     val ivf = spark.read.parquet(ivfDir)

@@ -48,8 +48,6 @@ object Pq {
   /** Per-subspace (j, squared-L2) pairs of `v` against codebook row `c`
     * — one codegen'd FloatVecSubL2 per subspace, literal slice bounds.
     */
-  def subspaceDists(v: Column, c: Column): Column = subDists(v, c)
-
   private def subDists(v: Column, c: Column): Column = array(
     (0 until M).map(j => struct(lit(j).as("j"),
       graft.text.VectorExpressions.vecSubL2(v, c, j * SubDim, SubDim)
