@@ -170,8 +170,11 @@ object Bench {
     // sf-independent, but one filter keeps the whole entry comparable)
     def sfBaseOf(p: String): String =
       new java.io.File(p.replaceAll("/+$", "")).getName
-    val calHist = graft.runner.Calibration.loadHistory(calHistPath)
-      .filter(e => sfBaseOf(e.sfDir) == sfBaseOf(sfDir))
+    // sf filter goes INSIDE loadHistory (pre-window): other-sf entries
+    // must not consume HistoryKeep slots and evict same-sf quiet ends
+    // (r17 ADVICE #1)
+    val calHist = graft.runner.Calibration.loadHistory(calHistPath,
+      e => sfBaseOf(e.sfDir) == sfBaseOf(sfDir))
     val selfRefs = graft.runner.Calibration.repin(calHist, calQuiet)
     val drift = graft.runner.Calibration.driftFactor(
       calFirst, calLast, selfRefs.cpu, selfRefs.jobs)

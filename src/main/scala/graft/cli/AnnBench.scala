@@ -69,9 +69,16 @@ object AnnBench {
   }
   private def minOf2(body: => Unit): Double = { time(body); math.min(time(body), time(body)) }
 
+  /** Data bytes only — _SUCCESS/.crc sidecars would inflate the tiny
+    * code table proportionally more and understate the compression
+    * ratio (r17 ADVICE #3).
+    */
   private def dirBytes(p: String): Long = {
     val f = new java.io.File(p)
-    Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+    Option(f.listFiles)
+      .map(_.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+        .map(_.length).sum)
+      .getOrElse(0L)
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,6 +92,9 @@ object AnnBench {
     import spark.implicits._
 
     val work = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    // everything below runs under try/finally: a mid-bench failure must
+    // not leak the multi-GB work dir in /tmp (r17 ADVICE #4)
+    try {
     val vecDir = s"$work/vectors"
     val codeDir = s"$work/codes"
     synth(spark, n).write.parquet(vecDir)
@@ -280,7 +290,9 @@ object AnnBench {
     if (op.getParent != null) java.nio.file.Files.createDirectories(op.getParent)
     java.nio.file.Files.writeString(op, json + "\n")
     println(json)
-    Scenario.deleteRec(new java.io.File(work))
-    spark.stop()
+    } finally {
+      Scenario.deleteRec(new java.io.File(work))
+      spark.stop()
+    }
   }
 }

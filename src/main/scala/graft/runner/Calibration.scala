@@ -171,7 +171,13 @@ object Calibration {
     */
   val HistoryKeep = 12
 
-  def loadHistory(path: java.nio.file.Path): Seq[QuietEnd] = {
+  /** `keep` filters entries BEFORE the rolling window is applied, so
+    * entries the caller considers incomparable (e.g. sweeps at another
+    * sf via GRAFT_BENCH_ARTIFACT_SF) don't consume window slots and
+    * evict comparable quiet ends (r17 ADVICE #1).
+    */
+  def loadHistory(path: java.nio.file.Path,
+      keep: QuietEnd => Boolean = _ => true): Seq[QuietEnd] = {
     if (!java.nio.file.Files.exists(path)) return Nil
     try {
       import scala.jdk.CollectionConverters._
@@ -180,7 +186,7 @@ object Calibration {
           implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
           Some(org.json4s.jackson.Serialization.read[QuietEnd](line))
         } catch { case scala.util.control.NonFatal(_) => None }
-      }.takeRight(HistoryKeep)
+      }.filter(keep).takeRight(HistoryKeep)
     } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 

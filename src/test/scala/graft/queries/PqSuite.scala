@@ -154,8 +154,11 @@ class PqSuite extends SparkTestBase {
     val t3 = Pq.trainCodebooks(e, init, iters = 3)
     val e3 = Pq.quantizationError(e, t3)
     info(f"quantization error: init $e0%.4f -> 1 iter $e1%.4f -> 3 iters $e3%.4f")
-    // Lloyd is monotone non-increasing on its objective
-    assert(e1 <= e0 + 1e-9 && e3 <= e1 + 1e-9, s"objective rose: $e0 -> $e1 -> $e3")
+    // Lloyd is monotone non-increasing on its objective — up to the
+    // float rounding trainCodebooks applies when storing centroid means
+    // (relative tolerance, not absolute: r17 ADVICE #2)
+    assert(e1 <= e0 * (1 + 1e-6) && e3 <= e1 * (1 + 1e-6),
+      s"objective rose: $e0 -> $e1 -> $e3")
     // centroid shape preserved: 16 full-width vectors
     assert(t3.length == 16 && t3.forall(_.length == 64))
     // deterministic

@@ -83,4 +83,22 @@ class CalibrationSuite extends AnyFunSuite {
     // missing file reads empty
     assert(loadHistory(p.resolveSibling("nope.jsonl")).isEmpty)
   }
+
+  test("history filter applies BEFORE the rolling window (r17 ADVICE #1)") {
+    val p = java.nio.file.Files.createTempDirectory("graft_cal")
+      .resolve("hist.jsonl")
+    // one old sf0.1 quiet end, then a burst of HistoryKeep sf0.01 sweeps
+    // (an artifact-sf override session): a post-window filter would see
+    // zero sf0.1 entries; the pre-window filter must still surface it
+    appendHistory(p, QuietEnd(1L, "/data/sf0.1", 0.40, 0.16, 0.70))
+    for (i <- 2 to HistoryKeep + 1)
+      appendHistory(p, QuietEnd(i.toLong, "/data/sf0.01", 0.9, 0.9, 0.9))
+    def sfBase(e: QuietEnd): String = new java.io.File(e.sfDir).getName
+    val kept = loadHistory(p, e => sfBase(e) == "sf0.1")
+    assert(kept.length == 1 && kept.head.epochSec == 1L)
+    // and the window still bounds the filtered stream
+    for (i <- 100 to 100 + 2 * HistoryKeep)
+      appendHistory(p, QuietEnd(i.toLong, "/data/sf0.1", 0.41, 0.17, 0.71))
+    assert(loadHistory(p, e => sfBase(e) == "sf0.1").length == HistoryKeep)
+  }
 }
