@@ -37,7 +37,12 @@ object LayoutWriter {
       norm: String = "rank", // curve coordinate normalization: rank | minmax
       // composite record key (reference ComplexKeyGenerator,
       // tpch_all_loader.py:141-148); wins over `recordKey` when nonEmpty
-      recordKeys: Seq[String] = Nil) {
+      recordKeys: Seq[String] = Nil,
+      // curve layouts: rebalance file BYTES after the write (round-18;
+      // row-count cuts on curve-sorted data compress unevenly — RQ6
+      // sf10 measured 2.4–7 MB files from equal-row cuts, straggling
+      // full-scan task waves). false = keep the raw row-balanced cuts.
+      byteBalance: Boolean = true) {
 
     /** The effective record-key tuple. */
     def keyCols: Seq[String] =
@@ -65,6 +70,11 @@ object LayoutWriter {
     // re-derives its own skip from the manifest's global min/max so it
     // stays sound across appends that widen the prefix pool)
     var strOffsets = Map.empty[String, Int]
+    // curve key expression, captured for the post-write byte-balance
+    // pass (the Column is built from unresolved col() refs + literal
+    // normalization state, so it re-applies to a re-read of the
+    // written files unchanged)
+    var balanceKey: Option[Column] = None
     val arranged = spec.layout match {
       case "baseline" =>
         spec.numFiles.map(df.repartition).getOrElse(df)
@@ -77,6 +87,7 @@ object LayoutWriter {
       case curve @ ("zorder" | "hilbert") =>
         val (key, offs) = curveKeyAndOffsets(df, spec.cols, bits, curve, spec.norm)
         strOffsets = offs
+        balanceKey = Some(key)
         // Z-order with explicit file count: snap the file cuts to
         // power-of-two-aligned z-key boundaries. Sampling-placed cuts
         // land mid-quadrant, and a z-range that straddles a quadrant
@@ -121,6 +132,18 @@ object LayoutWriter {
     val writer = arranged.write.mode("overwrite")
     (if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*)
      else writer).parquet(dir)
+
+    // Byte-balance pass (round-18, RQ6 sf10 straggler class): the cuts
+    // above equalize ROWS per file, but curve-sorted data compresses
+    // unevenly across key regions, so file BYTES skew (measured 2.4–7
+    // MB on the hilbert sf10 lineitem) and full-scan task waves
+    // straggle. Split oversized files at snapped curve cuts / merge
+    // runs of adjacent undersized files until sizes sit in a tight
+    // band. No-op (one FS listing) when the write came out balanced.
+    if (spec.byteBalance && balanceKey.isDefined &&
+        spec.numFiles.forall(_ > 1) && bits * spec.cols.length <= 52)
+      byteBalancePass(spark, dir, balanceKey.get, bits * spec.cols.length,
+        spec.partitionBy)
 
     // Partition columns live in dir paths, not files, but come back as
     // regular columns on read — the per-file stats job sees them, so the
@@ -280,6 +303,243 @@ object LayoutWriter {
         val up = down + a
         if (down >= lo && down <= hi) { best = down; found = true }
         else if (up >= lo && up <= hi) { best = up; found = true }
+        else k -= 1
+      }
+      out(i) = best
+      prev = best
+    }
+    out.distinct
+  }
+
+  /** One byte-balance rewrite unit: `paths` are consecutive-in-curve-
+    * order files (within one hive partition dir) rewritten into
+    * `pieces` output files cut at snapped curve boundaries.
+    */
+  private[layout] case class BalanceGroup(paths: Seq[String], bytes: Long,
+      pieces: Int)
+
+  /** Greedy size-banding over files in curve order (pure; suite-pinned).
+    * Files inside [tolLow, tolHigh]×target are left untouched — the
+    * common balanced case rewrites NOTHING. An oversized file becomes
+    * its own group split into round(bytes/target) pieces; runs of
+    * consecutive undersized files merge (and re-split if the run grew
+    * past the band). A trailing single undersized file stays — one
+    * small edge file is cheaper than rewriting it forever.
+    */
+  private[layout] def balancePlan(
+      files: Seq[(String, Long)],
+      target: Long,
+      tolHigh: Double = 1.3,
+      tolLow: Double = 0.7): Seq[BalanceGroup] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[BalanceGroup]
+    var run = List.empty[(String, Long)]
+    var runBytes = 0L
+    def pieces(bytes: Long, atLeast: Int): Int =
+      math.max(atLeast, math.round(bytes.toDouble / target).toInt)
+    def flushRun(): Unit = {
+      if (run.length >= 2)
+        out += BalanceGroup(run.reverse.map(_._1), runBytes, pieces(runBytes, 1))
+      run = Nil; runBytes = 0L
+    }
+    for ((p, b) <- files) {
+      if (b > tolHigh * target) {
+        flushRun()
+        out += BalanceGroup(Seq(p), b, pieces(b, 2))
+      } else if (b < tolLow * target) {
+        run ::= (p, b); runBytes += b
+        if (runBytes >= 0.9 * target) flushRun()
+      } else flushRun()
+    }
+    if (run.length >= 2) flushRun() // trailing run merges; a single stays
+    out.toSeq
+  }
+
+  /** Post-write byte balancing of a curve layout (round-18): list the
+    * written files per hive partition dir (curve order == part-name
+    * order: files come from one repartitionByRange job), plan
+    * [[balancePlan]] groups against target = mean file bytes, and
+    * rewrite each group into byte-balanced pieces cut at
+    * [[snapCuts]]-aligned curve boundaries (interior cuts from one
+    * percentile pass per batch, so a whole pass is TWO Spark jobs over
+    * only the skewed tail — nothing when the write came out balanced).
+    * Scale: at 100 TB the rewrite cost is proportional to the skewed
+    * byte mass, not the table; group count per job is capped so the
+    * CASE dispatch expression stays small.
+    */
+  private[layout] def byteBalancePass(
+      spark: SparkSession,
+      dir: String,
+      key: Column,
+      totalBits: Int,
+      hiveCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s)
+        else Nil
+      }
+    val all = walk(root)
+    if (all.length < 2) return
+    val target = math.max(1L, all.map(_.getLen).sum / all.length)
+    val groups = all.groupBy(_.getPath.getParent.toString).toSeq
+      .flatMap { case (_, inDir) =>
+        balancePlan(
+          inDir.sortBy(_.getPath.getName)
+            .map(s => (s.getPath.toString, s.getLen)),
+          target)
+      }
+    if (groups.isEmpty) return
+    groups.grouped(MaxGroupsPerJob).foreach(batch =>
+      rewriteGroups(spark, dir, batch, key, totalBits, hiveCols))
+    // listings are cached across queries (FileStatusCache) — drop them
+    // so the stats pass and readers see the post-balance file set
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** CASE-dispatch bound per rewrite job (expression size / codegen). */
+  private[layout] val MaxGroupsPerJob = 128
+
+  /** Common quantile grid for per-group interior cuts: one
+    * percentile_approx aggregate serves every group in the batch; a
+    * group needing k pieces picks the nearest grid points to i/k
+    * (placement error ≤ 1/(2·Grid) of the group's rows).
+    */
+  private val Grid = 24
+
+  private def rewriteGroups(
+      spark: SparkSession,
+      dir: String,
+      groups: Seq[BalanceGroup],
+      key: Column,
+      totalBits: Int,
+      hiveCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = hiveCols.nonEmpty
+    val allPaths = groups.flatMap(_.paths)
+    val df0 = StagedRewrite.readFiles(spark, dir, allPaths, partitioned)
+
+    // file → group id via input_file_name, scheme-normalized on both
+    // sides ("file:///x" and "file:/x" both → "/x")
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val gidPairs = groups.zipWithIndex.flatMap { case (g, i) =>
+      g.paths.flatMap(p => Seq(lit(norm(p)), lit(i)))
+    }
+    val fileNorm = regexp_replace(
+      input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+    val gid = element_at(map(gidPairs: _*), fileNorm)
+    val keyd = key.cast(DoubleType)
+
+    // one quantile+bounds job for every group that splits; cuts snap
+    // inside the group's own key range ([[snapCutsIn]])
+    val fracs = (1 until Grid).map(_.toDouble / Grid)
+    val quants: Map[Int, (Array[Double], Long, Long)] =
+      if (!groups.exists(_.pieces > 1)) Map.empty
+      else df0.select(gid.as("__gid"), keyd.as("__k"))
+        .groupBy(col("__gid"))
+        .agg(percentile_approx(
+            col("__k"), array(fracs.map(lit): _*), lit(10000)).as("q"),
+          min(col("__k")).as("lo"), max(col("__k")).as("hi"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getSeq[Double](1).toArray,
+          r.getDouble(2).toLong, r.getDouble(3).toLong)).toMap
+    val pieceCuts: IndexedSeq[Array[Long]] = groups.indices.map { i =>
+      val k = math.min(groups(i).pieces, Grid)
+      if (k <= 1) Array.empty[Long]
+      else {
+        val (qs, lo, hi) = quants(i)
+        val raw = (1 until k).map { j =>
+          val idx = math.min(Grid - 1, math.max(1,
+            math.round(j.toDouble * Grid / k).toInt))
+          qs(idx - 1).toLong
+        }.toArray
+        snapCutsIn(raw, totalBits, lo, hi)
+      }
+    }
+    // dense global piece ids: group i's pieces start at bases(i)
+    val bases = pieceCuts.scanLeft(0L)((acc, c) => acc + c.length + 1)
+    val pid = groups.indices.tail
+      .foldLeft(when(gid === 0, pieceExpr(bases(0), pieceCuts(0), keyd))) {
+        (acc, i) => acc.when(gid === i, pieceExpr(bases(i), pieceCuts(i), keyd))
+      }.otherwise(lit(-1L))
+
+    // exact file-per-piece via dynamic partitionBy on __piece: hash
+    // collisions of piece ids in one task still write separate files.
+    // The sort satisfies the writer's required (partition-cols)
+    // ordering as a prefix, so no extra sort is inserted and the curve
+    // order inside each piece survives to disk.
+    val staging = dir.stripSuffix("/") + ".balance_tmp"
+    val out = df0.withColumn("__piece", pid)
+      .repartition(col("__piece"))
+      .sortWithinPartitions(hiveCols.map(col) ++ Seq(col("__piece"), key): _*)
+    out.write.mode("overwrite")
+      .partitionBy((hiveCols :+ "__piece"): _*).parquet(staging)
+
+    // move pieces in (strip the __piece=N path segment, uniquify the
+    // part name with it), then drop the originals
+    val stagingPath = new Path(staging)
+    val stagingUri = stagingPath.toUri.getPath
+    def partFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) partFiles(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s.getPath)
+        else Nil
+      }
+    partFiles(stagingPath).foreach { src =>
+      val rel = src.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
+      val segs = rel.split("/")
+      val pieceId = segs.find(_.startsWith("__piece="))
+        .map(_.stripPrefix("__piece=")).getOrElse("0")
+      val kept = segs.filterNot(_.startsWith("__piece="))
+      val name = kept.last.stripSuffix(".parquet") + s"-b$pieceId.parquet"
+      val dst = new Path(dir, (kept.init :+ name).mkString("/"))
+      fs.mkdirs(dst.getParent)
+      fs.rename(src, dst)
+    }
+    fs.delete(stagingPath, true)
+    allPaths.foreach(p => fs.delete(new Path(p), false))
+  }
+
+  private def pieceExpr(base: Long, cuts: Array[Long], keyd: Column): Column =
+    if (cuts.isEmpty) lit(base)
+    else lit(base) + CurveExpressions.bucketIndexCol(keyd, cuts.map(_.toDouble))
+
+  /** [[snapCuts]] with EXPLICIT domain bounds — the group-local variant
+    * the byte-balance pass needs. The global snapCuts mirrors each edge
+    * cut's inner gap to build its slack window; inside one small group
+    * (often a single cut from a single split file) that mirror window
+    * spans far past the group's actual key range, and a snap landing
+    * outside [lo, hi] puts every row in one piece — no split at all
+    * (caught by ByteBalanceSuite). Here the windows are half-gaps
+    * against the group's own [lo, hi] endpoints and the result is
+    * clamped strictly inside them, so every cut lands where the group
+    * has data on both sides while still preferring the coarsest aligned
+    * boundary that fits.
+    */
+  private[layout] def snapCutsIn(
+      raw: Array[Long], totalBits: Int, lo: Long, hi: Long): Array[Long] = {
+    val sorted = raw.sorted.distinct.filter(c => c > lo && c <= hi)
+    if (sorted.isEmpty || hi <= lo) return Array.empty
+    val out = new Array[Long](sorted.length)
+    var prev = lo
+    for (i <- sorted.indices) {
+      val c = sorted(i)
+      val gapL = (c - (if (i > 0) sorted(i - 1) else lo)) / 2
+      val gapR = ((if (i < sorted.length - 1) sorted(i + 1) else hi) - c) / 2
+      val winHi = math.min(c + gapR, hi)
+      val winLo = math.max(c - gapL, prev + 1)
+      var best = math.min(math.max(c, winLo), winHi)
+      var k = totalBits - 1
+      var found = false
+      while (k >= 0 && !found) {
+        val a = 1L << math.min(k, 62)
+        val down = (c / a) * a
+        val up = down + a
+        if (down >= winLo && down <= winHi) { best = down; found = true }
+        else if (up >= winLo && up <= winHi) { best = up; found = true }
         else k -= 1
       }
       out(i) = best
