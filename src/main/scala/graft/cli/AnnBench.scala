@@ -8,7 +8,7 @@ import graft.operators.{Pq, TopKAgg}
   * ([[graft.operators.Pq]]) on a deterministic CLUSTERED corpus of
   * millions of 64-dim vectors, with k-means-trained codebooks and
   * PLANTED near-duplicate queries — the measured version of the q97
-  * scaladoc's scale claims → results/ann_scale.json.
+  * scaladoc's scale claims → results/ann_scale*.json.
   *
   * Corpus: 4096 deterministic cluster centers + per-vector noise (the
   * structure real embedding corpora have; a UNIFORM random corpus was
@@ -20,26 +20,38 @@ import graft.operators.{Pq, TopKAgg}
   * training pipeline actually runs — so `planted@1` measures "does
   * the index surface the true source".
   *
+  * Two code widths are measured side by side (identical 8-byte BIGINT
+  * storage, so the scan cost is THE SAME — only the ADC table grows):
+  *  - k16: 4-bit codes, 128-double table (the q97 oracle shape);
+  *  - k256: 8-bit codes, 2048-double table (≈16 KB, still a foldable
+  *    literal) — the retrieval-grade width (r17 VERDICT Next #4).
+  *
   * What it times (each min-of-2 after a warmup):
   *  - `brute`: exact L2 of 10 queries × N vectors over the raw float
   *    corpus (top-5 via the bounded-heap [[TopKAgg]] aggregate — no
   *    window over Q×N rows);
   *  - `train`: 3 Lloyd iterations per subspace on a deterministic 10%
-  *    sample ([[Pq.trainCodebooks]]);
-  *  - `encode`: building the packed PQ index (one shuffle) + writing
-  *    it as parquet — at 100 TB this is the one-time index build;
-  *  - `adc`: 10 queries × N code words, 8 table lookups per row
-  *    ([[graft.operators.PqAdcScore]]), top-5 via the same aggregate —
-  *    the steady-state query path that reads CODES only;
+  *    sample ([[Pq.trainCodebooks]] — map-only assign);
+  *  - `encode`: building + writing the packed PQ index via the
+  *    map-only [[graft.operators.PqEncodeWord]] kernel — ONE pass over
+  *    the corpus, zero shuffle (at 2M the old join-formulation
+  *    [[Pq.encode]] is also run and checked BIT-IDENTICAL in-artifact:
+  *    `encode_join_parity`);
+  *  - `adc`: 10 queries × N code words in ONE pass (each query's table
+  *    rides in as a foldable literal inside the codegen'd
+  *    [[graft.operators.PqAdcScore]]); `adc_1q` is the per-query
+  *    single-scan latency — the serving-shape number the IVF probe has
+  *    to beat;
   *  - `rerank`: ADC shortlist (50/query) joined back to raw vectors
-  *    for exact L2 — O(shortlist) vector reads;
-  *  - `ivfpq`: the full production index — a 16-way coarse quantizer
-  *    as a HIVE PARTITION of the code table; probing nProbe=4 lists is
-  *    Spark partition pruning at planning time (the zone-map
-  *    file-skipping mechanism composed with the ANN index), so each
-  *    query scans 4/16 of the codes.
-  * Plus the storage story (parquet bytes of vectors vs codes), recall
-  * vs the brute top-5, and planted-source hit rates.
+  *    for exact L2 — O(shortlist) vector reads. The shortlist→recall
+  *    CURVE (S ∈ {50,100,200,500}, both widths) is computed from one
+  *    ADC-500 ranking + one vector fetch, exact re-rank per prefix;
+  *  - `ivfpq`: the coarse 16-way quantizer as a HIVE PARTITION of the
+  *    code table (k256 codes), built in the SAME map-only pass;
+  *    probing nProbe of 16 lists is Spark partition pruning at
+  *    planning time. Per-query latency + planted@1 at nProbe 4/8/16 —
+  *    the crossover vs `adc_1q` is the measured justification for the
+  *    partitioned index (r17 VERDICT Next #3).
   *
   * Usage: runMain graft.cli.AnnBench [nVectors] [outJson]
   */
@@ -47,6 +59,7 @@ object AnnBench {
 
   val Centers = 4096
   val Noise = 0.3
+  val K2 = 256 // the 8-bit arm's codebook width
 
   /** Deterministic clustered corpus: vector i = center[h(i) % 4096] +
     * 0.3×noise, every value a pure xxhash64 function of (id, dim) —
@@ -81,6 +94,12 @@ object AnnBench {
       .getOrElse(0L)
   }
 
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < 64) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val out = args.lift(1).getOrElse("results/ann_scale.json")
@@ -96,29 +115,34 @@ object AnnBench {
     // not leak the multi-GB work dir in /tmp (r17 ADVICE #4)
     try {
     val vecDir = s"$work/vectors"
-    val codeDir = s"$work/codes"
     synth(spark, n).write.parquet(vecDir)
     // size the shuffle width from the CORPUS we just wrote (it didn't
     // exist at session-build time, so the 3-arg tuned() couldn't)
     spark.conf.set("spark.sql.shuffle.partitions",
       graft.runner.Sessions.shufflePartitionsFor(vecDir, cpus.toInt).toString)
     val corpusAll = spark.read.parquet(vecDir)
-    // codebook: init from 16 corpus vectors, then 3 Lloyd iterations on
-    // a deterministic 10% sample (hash-mod, not .sample — bit-stable
+    val corpus = corpusAll.filter(col("vec_id") >= Pq.K)
+      .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+    // codebooks: k16 init from corpus vectors 0..15 (excluded from the
+    // search corpus — the q97 convention), k256 init from vectors
+    // 0..255 (16..255 stay in the corpus; seeding k-means from corpus
+    // members is standard Lloyd practice), then 3 Lloyd iterations on a
+    // deterministic 10% sample (hash-mod, not .sample — bit-stable
     // across partitionings)
     val init = corpusAll.filter(col("vec_id") < Pq.K).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toIndexedSeq
+    val init256 = corpusAll.filter(col("vec_id") < K2).orderBy("vec_id")
       .collect().map(_.getSeq[Float](1).toArray).toIndexedSeq
     val trainSample = corpusAll
       .filter(pmod(xxhash64(col("vec_id"), lit(17)), lit(10L)) === 0)
       .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
     var centRows: IndexedSeq[Array[Float]] = null
+    var centRows256: IndexedSeq[Array[Float]] = null
     val secTrain = time {
       centRows = Pq.trainCodebooks(trainSample, init, iters = 3)
     }
-    val cents = {
-      val spark2 = spark; import spark2.implicits._
-      centRows.zipWithIndex.map { case (v, c) => (c.toLong, v) }
-        .toDF("cid", "cemb")
+    val secTrain256 = time {
+      centRows256 = Pq.trainCodebooks(trainSample, init256, iters = 3)
     }
     // queries: jittered COPIES of corpus vectors 100..109 (planted
     // near-dups; jitter ±0.02/dim, well inside the 0.3 cluster noise),
@@ -142,43 +166,59 @@ object AnnBench {
     // ---- brute force over raw vectors (exact L2, negated so the
     // bounded-heap top-k's best-first == nearest-first) ---------------
     val queriesDf = qRows.toSeq.toDF("qid", "qemb")
-    def bruteDf = {
-      val c = corpusAll.filter(col("vec_id") >= Pq.K)
-        .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
-      topk(c.join(broadcast(queriesDf))
-        .select(col("qid"), col("vid"),
-          negate(graft.text.VectorExpressions.vecSubL2(
-            col("qemb"), col("vemb"), 0, 64)).as("score")), 5)
-    }
+    def bruteDf = topk(corpus.join(broadcast(queriesDf))
+      .select(col("qid"), col("vid"),
+        negate(graft.text.VectorExpressions.vecSubL2(
+          col("qemb"), col("vemb"), 0, 64)).as("score")), 5)
     var bruteRanked: Array[(Long, Long, Long)] = null // (qid, rank, vid)
     val secBrute = minOf2 {
       bruteRanked = bruteDf.collect()
         .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
     }
     val bruteRows = bruteRanked.map(t => t._1 -> t._3)
+    val bruteSet = bruteRows.toSet
 
-    // ---- encode: build + persist the packed-code index ---------------
+    // ---- encode: build + persist both packed-code indexes (map-only,
+    // one corpus pass each — the 100 TB index-build shape) -------------
+    val codeDir = s"$work/codes"
+    val codeDir256 = s"$work/codes256"
     val secEncode = time {
-      Pq.encode(corpusAll.filter(col("vec_id") >= Pq.K)
-          .select(col("vec_id").as("vid"), col("embedding").as("vemb")), cents)
+      corpus.select(col("vid"), Pq.encodeWord(col("vemb"), centRows).as("codes"))
         .write.parquet(codeDir)
     }
+    val secEncode256 = time {
+      corpus.select(col("vid"), Pq.encodeWord(col("vemb"), centRows256).as("codes"))
+        .write.parquet(codeDir256)
+    }
+    // at small scale, prove the map-only encoder bit-identical to the
+    // suite-pinned join formulation, in-artifact
+    val encodeJoinParity: Option[Boolean] =
+      if (n <= 2000000L) {
+        val cents = centRows.zipWithIndex.map { case (v, c) => (c.toLong, v) }
+          .toDF("cid", "cemb")
+        val joinCodes = Pq.encode(corpus, cents)
+        Some(spark.read.parquet(codeDir).exceptAll(joinCodes).isEmpty &&
+          joinCodes.exceptAll(spark.read.parquet(codeDir)).isEmpty)
+      } else None
     val codes = spark.read.parquet(codeDir)
+    val codes256 = spark.read.parquet(codeDir256)
 
     // ---- ADC over codes only ------------------------------------------
     // Q is small, so the scale shape is ONE pass over the codes with Q
-    // bounded-heap aggregates (each query's 128-double table rides in as
-    // a FOLDABLE literal inside the codegen'd PqAdcScore) — no Q×N row
+    // bounded-heap aggregates (each query's table rides in as a FOLDABLE
+    // literal inside the codegen'd PqAdcScore) — no Q×N row
     // multiplication, no explode, no shuffle beyond Q×k heap rows per
     // partition. (A large query batch would flip to the broadcast-join
     // shape instead.)
-    def adcTopK(k: Int): Map[Long, Seq[Long]] = {
+    def adcTopK(tab: DataFrame, cents: IndexedSeq[Array[Float]], bits: Int,
+        k: Int): Map[Long, Seq[Long]] = {
       val aggs = qRows.map { case (qid, q) =>
         TopKAgg.topKByScore(
-          negate(Pq.adcScore(col("codes"), typedLit(Pq.adcTable(q, centRows).toSeq))),
+          negate(Pq.adcScore(col("codes"),
+            typedLit(Pq.adcTable(q, cents).toSeq), bits)),
           col("vid").cast("string"), k).as(s"q$qid")
       }
-      val row = codes.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val row = tab.agg(aggs.head, aggs.tail: _*).collect()(0)
       qRows.zipWithIndex.map { case ((qid, _), i) =>
         qid -> row.getSeq[org.apache.spark.sql.Row](i)
           .map(_.getString(0).toLong).toSeq
@@ -186,55 +226,106 @@ object AnnBench {
     }
     var adcRows: Set[(Long, Long)] = null
     val secAdc = minOf2 {
-      adcRows = adcTopK(5).flatMap { case (q, vs) => vs.map(q -> _) }.toSet
+      adcRows = adcTopK(codes, centRows, 4, 5)
+        .flatMap { case (q, vs) => vs.map(q -> _) }.toSet
     }
+    var adc256Rows: Set[(Long, Long)] = null
+    val secAdc256 = minOf2 {
+      adc256Rows = adcTopK(codes256, centRows256, 8, 5)
+        .flatMap { case (q, vs) => vs.map(q -> _) }.toSet
+    }
+    // per-query single-scan latency (the serving shape the IVF probe
+    // competes with): one job per query, mean over the 10 queries
+    def adc1q(tab: DataFrame, cents: IndexedSeq[Array[Float]], bits: Int): Unit =
+      qRows.foreach { case (_, q) =>
+        tab.agg(TopKAgg.topKByScore(
+          negate(Pq.adcScore(col("codes"),
+            typedLit(Pq.adcTable(q, cents).toSeq), bits)),
+          col("vid").cast("string"), 5)).collect()
+      }
+    val secAdc1q = minOf2 { adc1q(codes256, centRows256, 8) } / qRows.length
 
-    // ---- IVF-PQ: codes hive-partitioned by coarse list ----------------
-    // The full production index: a 16-way coarse quantizer (full-vector
-    // L2 argmin) becomes a HIVE PARTITION of the code table, so probing
-    // nProbe=4 lists is Spark PARTITION PRUNING at planning time — the
-    // same file-skipping mechanism the zone maps use, composed with the
-    // ANN index. Each query scans 4/16 of the codes.
+    // ---- shortlist → recall curve (both widths, one ADC-500 ranking +
+    // one bounded vector fetch per width, exact re-rank per prefix) ----
+    val curveS = Seq(50, 100, 200, 500)
+    def recallCurve(tab: DataFrame, cents: IndexedSeq[Array[Float]],
+        bits: Int): Map[Int, Double] = {
+      val ranked = adcTopK(tab, cents, bits, curveS.max) // qid -> ADC-ordered vids
+      val wanted = ranked.valuesIterator.flatten.toSet
+      val fetched = corpus
+        .join(broadcast(wanted.toSeq.toDF("vid")), Seq("vid"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      curveS.map { s =>
+        val hits = qRows.map { case (qid, q) =>
+          val top5 = ranked(qid).take(s)
+            .sortBy(vid => (l2(q, fetched(vid)), vid)).take(5)
+          top5.count(vid => bruteSet((qid, vid)))
+        }.sum
+        s -> hits.toDouble / bruteSet.size
+      }.toMap
+    }
+    val curve16 = recallCurve(codes, centRows, 4)
+    val curve256 = recallCurve(codes256, centRows256, 8)
+
+    // ---- ADC shortlist + exact re-rank, timed at S=50 (the Spark-join
+    // production shape; k256 is the retrieval-grade arm) ---------------
+    def rerank50(tab: DataFrame, cents: IndexedSeq[Array[Float]],
+        bits: Int): Set[(Long, Long)] = {
+      val short = adcTopK(tab, cents, bits, 50).toSeq
+        .flatMap { case (q, vs) => vs.map(q -> _) }.toDF("qid", "vid")
+      val fetched = corpus.join(broadcast(short), Seq("vid"))
+      topk(fetched.join(broadcast(queriesDf), Seq("qid"))
+          .select(col("qid"), col("vid"),
+            negate(graft.text.VectorExpressions.vecSubL2(
+              col("qemb"), col("vemb"), 0, 64)).as("score")), 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
+    }
+    var rerankRows: Set[(Long, Long)] = null
+    val secRerank = minOf2 { rerankRows = rerank50(codes, centRows, 4) }
+    var rerank256Rows: Set[(Long, Long)] = null
+    val secRerank256 = minOf2 { rerank256Rows = rerank50(codes256, centRows256, 8) }
+
+    // ---- IVF-PQ: k256 codes hive-partitioned by coarse list -----------
+    // The full production index: the 16 k16-codebook centroids double as
+    // the coarse quantizer (full-vector L2 argmin — the same
+    // PqEncodeWord kernel with one subspace spanning all 64 dims), and
+    // the list id becomes a HIVE PARTITION of the code table, so probing
+    // nProbe lists is Spark PARTITION PRUNING at planning time — the
+    // file-skipping mechanism the zone maps use, composed with the ANN
+    // index. Built in ONE map-only pass over the corpus (no join with
+    // the persisted codes — PqEncodeWord is suite-pinned identical to
+    // the join formulation, so recomputing cannot drift).
     val ivfDir = s"$work/ivfpq"
     val secIvfBuild = time {
-      // the IVF table is the ALREADY-ENCODED code table (so its codes
-      // are exactly the suite-pinned Pq.encode output — no second
-      // encode pipeline to drift) joined with the coarse assignment.
-      // struct ordering is lexicographic by FIELD POSITION: dist first,
-      // cid as the tie-break — array_min == argmin by distance
-      val coarse = (0 until Pq.K).map(c => struct(
-        graft.text.VectorExpressions.vecSubL2(col("vemb"),
-          typedLit(centRows(c).toSeq), 0, 64).as("dist"), lit(c).as("cid")))
-      val lists = corpusAll.filter(col("vec_id") >= Pq.K)
-        .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
-        .select(col("vid"),
-          array_min(array(coarse: _*)).getField("cid").as("list"))
-      codes.join(lists, Seq("vid"))
+      corpus.select(col("vid"),
+          Pq.encodeWord(col("vemb"), centRows256).as("codes"),
+          Pq.coarseAssign(col("vemb"), centRows).cast("int").as("list"))
         .write.partitionBy("list").parquet(ivfDir)
     }
     val ivf = spark.read.parquet(ivfDir)
-    def nearestLists(q: Array[Float], nProbe: Int): Seq[Int] = {
-      def l2(a: Array[Float], b: Array[Float]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < 64) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-        acc
-      }
+    def nearestLists(q: Array[Float], nProbe: Int): Seq[Int] =
       centRows.indices.sortBy(c => (l2(q, centRows(c)), c)).take(nProbe)
-    }
-    var ivfRows: Map[Long, Long] = null
-    val secIvfpq = minOf2 {
-      ivfRows = qRows.map { case (qid, q) =>
-        val tab = Pq.adcTable(q, centRows)
-        val top = ivf.filter(col("list").isin(nearestLists(q, 4): _*))
+    // per-query probe latency + planted@1 per nProbe (4 = the headline,
+    // 16 = scan-everything ceiling — isolates the partition-dispatch
+    // overhead from the pruning win)
+    def probeAll(nProbe: Int): Map[Long, Long] =
+      qRows.map { case (qid, q) =>
+        val tab = Pq.adcTable(q, centRows256)
+        val top = ivf.filter(col("list").isin(nearestLists(q, nProbe): _*))
           .agg(TopKAgg.topKByScore(
-            negate(Pq.adcScore(col("codes"), typedLit(tab.toSeq))),
+            negate(Pq.adcScore(col("codes"), typedLit(tab.toSeq), 8)),
             col("vid").cast("string"), 1))
           .collect()(0).getSeq[org.apache.spark.sql.Row](0)
         qid -> top.head.getString(0).toLong
       }.toMap
+    val probeSecs = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    val probePlanted = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    for (p <- Seq(4, 8, 16)) {
+      var rows: Map[Long, Long] = null
+      probeSecs(p) = minOf2 { rows = probeAll(p) } / qRows.length
+      probePlanted(p) = qRows.count { case (q, _) => rows.get(q).contains(q) }
+        .toDouble / qRows.length
     }
-    val plantedIvf = qRows.count { case (q, _) => ivfRows.get(q).contains(q) }
-      .toDouble / qRows.length
     // partition-pruning proof, in-artifact: files a probe READS vs the
     // whole index (planning-time pruning on the hive `list` column;
     // counted via input_file_name over executed rows — DataFrame
@@ -246,46 +337,50 @@ object AnnBench {
       .filter(col("list").isin(nearestLists(qRows.head._2, 4): _*))
       .select(input_file_name()).distinct().count()
 
-    // ---- ADC shortlist + exact re-rank --------------------------------
-    var rerankRows: Set[(Long, Long)] = null
-    val secRerank = minOf2 {
-      val spark2 = spark; import spark2.implicits._
-      val short = adcTopK(50).toSeq
-        .flatMap { case (q, vs) => vs.map(q -> _) }.toDF("qid", "vid")
-      val fetched = corpusAll.select(col("vec_id").as("vid"),
-          col("embedding").as("vemb"))
-        .join(broadcast(short), Seq("vid"))
-      rerankRows = topk(fetched.join(broadcast(queriesDf), Seq("qid"))
-          .select(col("qid"), col("vid"),
-            negate(graft.text.VectorExpressions.vecSubL2(
-              col("qemb"), col("vemb"), 0, 64)).as("score")), 5)
-        .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
-    }
-
-    val bruteSet = bruteRows.toSet
     val recallAdc = (bruteSet & adcRows).size.toDouble / bruteSet.size
+    val recallAdc256 = (bruteSet & adc256Rows).size.toDouble / bruteSet.size
     val recallRr = (bruteSet & rerankRows).size.toDouble / bruteSet.size
+    val recallRr256 = (bruteSet & rerank256Rows).size.toDouble / bruteSet.size
     // planted-source hit: the jittered probe's TRUE nearest neighbor is
     // its source vector — does each stage's top-1 surface it?
     val bruteTop1 = bruteRanked.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
-    val adcTop1 = adcTopK(1).map { case (q, vs) => q -> vs.head }
-    val plantedBrute = qRows.count { case (q, _) => bruteTop1.get(q).contains(q) }
-      .toDouble / qRows.length
-    val plantedAdc = qRows.count { case (q, _) => adcTop1.get(q).contains(q) }
-      .toDouble / qRows.length
+    val adcTop1 = adcTopK(codes, centRows, 4, 1).map { case (q, vs) => q -> vs.head }
+    val adc256Top1 = adcTopK(codes256, centRows256, 8, 1)
+      .map { case (q, vs) => q -> vs.head }
+    def plantedOf(m: Map[Long, Long]): Double =
+      qRows.count { case (q, _) => m.get(q).contains(q) }.toDouble / qRows.length
+    val plantedBrute = plantedOf(bruteTop1)
+    val plantedAdc = plantedOf(adcTop1)
+    val plantedAdc256 = plantedOf(adc256Top1)
     val bv = dirBytes(vecDir); val bc = dirBytes(codeDir)
+    val bc256 = dirBytes(codeDir256)
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val json = s"""{"n":$n,"dims":64,"m":${Pq.M},"k":${Pq.K},""" +
+    def curveJson(c: Map[Int, Double]): String =
+      curveS.map(s => s""""$s":${f3(c(s))}""").mkString("{", ",", "}")
+    val json = s"""{"n":$n,"dims":64,"m":${Pq.M},"k":${Pq.K},"k2":$K2,""" +
       s""""centers":$Centers,"bytes_vectors":$bv,"bytes_codes":$bc,""" +
+      s""""bytes_codes256":$bc256,""" +
       s""""compression":${f3(bv.toDouble / math.max(bc, 1))},""" +
       s""""sec_brute":${f3(secBrute)},"sec_train":${f3(secTrain)},""" +
-      s""""sec_encode":${f3(secEncode)},""" +
-      s""""sec_adc":${f3(secAdc)},"sec_rerank":${f3(secRerank)},""" +
-      s""""sec_ivf_build":${f3(secIvfBuild)},"sec_ivfpq_at1":${f3(secIvfpq)},""" +
+      s""""sec_train256":${f3(secTrain256)},""" +
+      s""""sec_encode":${f3(secEncode)},"sec_encode256":${f3(secEncode256)},""" +
+      encodeJoinParity.map(p => s""""encode_join_parity":$p,""").getOrElse("") +
+      s""""sec_adc":${f3(secAdc)},"sec_adc256":${f3(secAdc256)},""" +
+      s""""sec_adc_1q":${f3(secAdc1q)},""" +
+      s""""sec_rerank":${f3(secRerank)},"sec_rerank256":${f3(secRerank256)},""" +
+      s""""sec_ivf_build":${f3(secIvfBuild)},""" +
+      probeSecs.map { case (p, s) => s""""sec_ivfpq_1q_probe$p":${f3(s)}""" }
+        .mkString("", ",", ",") +
+      probePlanted.map { case (p, v) => s""""planted_at1_ivfpq_probe$p":${f3(v)}""" }
+        .mkString("", ",", ",") +
       s""""ivf_files_probed":$ivfFilesProbed,"ivf_files_total":$ivfFilesTotal,""" +
-      s""""recall_adc_at5":${f3(recallAdc)},"recall_rerank50_at5":${f3(recallRr)},""" +
+      s""""recall_adc_at5":${f3(recallAdc)},"recall_adc256_at5":${f3(recallAdc256)},""" +
+      s""""recall_rerank50_at5":${f3(recallRr)},""" +
+      s""""recall_rerank50_256_at5":${f3(recallRr256)},""" +
+      s""""recall_curve_k16":${curveJson(curve16)},""" +
+      s""""recall_curve_k256":${curveJson(curve256)},""" +
       s""""planted_at1_brute":${f3(plantedBrute)},"planted_at1_adc":${f3(plantedAdc)},""" +
-      s""""planted_at1_ivfpq":${f3(plantedIvf)}}"""
+      s""""planted_at1_adc256":${f3(plantedAdc256)}}"""
     val op = java.nio.file.Paths.get(out)
     if (op.getParent != null) java.nio.file.Files.createDirectories(op.getParent)
     java.nio.file.Files.writeString(op, json + "\n")

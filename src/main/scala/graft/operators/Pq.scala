@@ -45,6 +45,16 @@ object Pq {
   val SubDim = 8 // dims per subspace (64-dim vectors)
   val K = 16 // codebook entries per subspace (4-bit codes)
 
+  /** Bits per subspace code for a k-entry codebook (k=16 → 4-bit
+    * nibbles, k=256 → 8-bit bytes; either way M×bits ≤ 64 packs the
+    * whole word into one BIGINT).
+    */
+  def bitsFor(k: Int): Int = {
+    require(k > 1 && (k & (k - 1)) == 0 && M * Integer.numberOfTrailingZeros(k) <= 64,
+      s"k=$k must be a power of two with ${M}×log2(k) <= 64")
+    Integer.numberOfTrailingZeros(k)
+  }
+
   /** Per-subspace (j, squared-L2) pairs of `v` against codebook row `c`
     * — one codegen'd FloatVecSubL2 per subspace, literal slice bounds.
     */
@@ -90,22 +100,22 @@ object Pq {
     */
   def trainCodebooks(corpus: DataFrame, init: IndexedSeq[Array[Float]],
       iters: Int): IndexedSeq[Array[Float]] = {
-    val spark = corpus.sparkSession
     var cents = init
+    val bits = bitsFor(init.length)
     for (_ <- 0 until iters) {
-      val centsDf = {
-        import spark.implicits._
-        cents.zipWithIndex.map { case (v, c) => (c.toLong, v) }.toDF("cid", "cemb")
-      }
-      val means = corpus.join(broadcast(centsDf))
-        .select(col("vid"), col("vemb"), col("cid"),
-          explode(subDists(col("vemb"), col("cemb"))).as("sd"))
-        .select(col("vid"), col("vemb"), col("sd.j").as("j"), col("cid"),
-          col("sd.dist").as("dist"))
-        .groupBy(col("vid"), col("j"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"),
-          first(col("vemb")).as("vemb"))
-        .select(col("j"), col("best.cid").as("cid"),
+      // assign via the map-only [[encodeWord]] kernel (bit-identical to
+      // the join-formulation argmin, pinned in PqSuite) — the iteration
+      // touches corpus × m rows, not corpus × k candidates, so Lloyd
+      // stays cheap even at k=256
+      val means = corpus
+        .select(col("vemb"), encodeWord(col("vemb"), cents).as("codes"))
+        .select(col("vemb"), col("codes"),
+          explode(sequence(lit(0), lit(M - 1))).as("j"))
+        .select(col("j"),
+          // SQL shiftrightunsigned, not functions.* — the shift amount
+          // is a column (same caveat as encode's shiftleft)
+          expr(s"shiftrightunsigned(codes, CAST($bits * j AS INT))")
+            .bitwiseAND(lit((1L << bits) - 1)).as("cid"),
           posexplode(expr(s"slice(vemb, j * $SubDim + 1, $SubDim)"))
             .as(Seq("i", "v")))
         .groupBy(col("j"), col("cid"), col("i"))
@@ -139,15 +149,18 @@ object Pq {
   }
 
   /** Driver-side ADC distance table of one query against the codebook:
-    * table(j*K + c) = ||q_j − cent_c_j||², same double ops and order as
-    * [[graft.text.VecKernels.subL2FF]].
+    * table(j*k + c) = ||q_j − cent_c_j||², same double ops and order as
+    * [[graft.text.VecKernels.subL2FF]]. k = cents.length (16 → a
+    * 128-double table, 256 → 2048 doubles ≈ 16 KB — both small enough
+    * to ride into the scan as a foldable literal).
     */
   def adcTable(q: Array[Float], cents: IndexedSeq[Array[Float]]): Array[Double] = {
-    val t = new Array[Double](M * K)
+    val k = cents.length
+    val t = new Array[Double](M * k)
     var j = 0
     while (j < M) {
       var c = 0
-      while (c < K) {
+      while (c < k) {
         val cv = cents(c)
         var acc = 0.0
         var i = 0
@@ -156,7 +169,7 @@ object Pq {
           acc += d * d
           i += 1
         }
-        t(j * K + c) = acc
+        t(j * k + c) = acc
         c += 1
       }
       j += 1
@@ -164,16 +177,157 @@ object Pq {
     t
   }
 
-  /** ADC score of a packed code word against a 128-double table. */
-  def adcScore(codes: Column, table: Column): Column =
-    Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(table)))
+  /** ADC score of a packed code word against an m×k-double table
+    * (bits = log2 k; default the 4-bit / 128-double q97 shape).
+    */
+  def adcScore(codes: Column, table: Column, bits: Int = 4): Column =
+    Bridge.column(PqAdcScore(Bridge.expression(codes), Bridge.expression(table), bits))
+
+  /** Map-only packed-word encoder: the whole per-row argmin runs inside
+    * ONE codegen'd expression ([[PqEncodeWord]]) — no candidate-join row
+    * multiplication, no (vid, j) shuffle. Bit-identical to [[encode]]
+    * (same subL2 kernel, same tie → smaller cid; pinned in PqSuite);
+    * this is the index-build shape for 100 TB, where the build must be
+    * a single pass over the corpus.
+    */
+  def encodeWord(vemb: Column, cents: IndexedSeq[Array[Float]]): Column =
+    Bridge.column(PqEncodeWord(Bridge.expression(vemb),
+      PqCodebook(cents, M, SubDim, bitsFor(cents.length))))
+
+  /** Coarse-quantizer assignment (IVF list id): the SAME argmin kernel
+    * with one subspace spanning the full vector — m=1, subDim=64.
+    */
+  def coarseAssign(vemb: Column, cents: IndexedSeq[Array[Float]]): Column =
+    Bridge.column(PqEncodeWord(Bridge.expression(vemb),
+      PqCodebook(cents, 1, M * SubDim, bitsFor(cents.length))))
 }
 
-/** Σ_j table[j*16 + nibble_j(codes)] — the ADC lookup over a packed PQ
-  * code word, as a codegen'd expression (8 array reads per row inside
-  * whole-stage codegen).
+/** A flattened PQ codebook baked into an encode expression: k rows of
+  * m×subDim floats, row-major. Value class with content equality so
+  * Catalyst expression canonicalization works across copies.
   */
-case class PqAdcScore(codes: Expression, table: Expression) extends Expression {
+case class PqCodebook(flat: Array[Float], k: Int, m: Int, subDim: Int, bits: Int) {
+  require(k <= (1 << bits) && m * bits <= 64 && flat.length == k * m * subDim,
+    s"bad codebook shape: k=$k m=$m subDim=$subDim bits=$bits len=${flat.length}")
+  override def equals(o: Any): Boolean = o match {
+    case p: PqCodebook => p.k == k && p.m == m && p.subDim == subDim &&
+      p.bits == bits && java.util.Arrays.equals(p.flat, flat)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(flat) * 31 +
+    (k, m, subDim, bits).hashCode
+}
+
+object PqCodebook {
+  def apply(cents: IndexedSeq[Array[Float]], m: Int, subDim: Int, bits: Int): PqCodebook = {
+    val dim = m * subDim
+    val flat = new Array[Float](cents.length * dim)
+    cents.indices.foreach { c =>
+      val src = cents(c)
+      System.arraycopy(src, 0, flat, c * dim, math.min(src.length, dim))
+    }
+    PqCodebook(flat, cents.length, m, subDim, bits)
+  }
+}
+
+/** Per-row PQ encode: for each of m subspaces, the argmin codebook
+  * entry by squared L2 over the subspace slice (double accumulation,
+  * ascending index — the exact [[graft.text.VecKernels.subL2FF]]
+  * arithmetic, ties → smaller cid), packed at bits-per-code into one
+  * BIGINT. Map-only: at scale the index build is one pass over the
+  * corpus with zero shuffle, vs the join formulation's k-way row
+  * multiplication + (vid, j) partial agg.
+  */
+case class PqEncodeWord(vemb: Expression, cb: PqCodebook) extends Expression {
+  override def children: Seq[Expression] = Seq(vemb)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = vemb.nullable
+  override def prettyName: String = "graft_pq_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vemb.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT> vectors, got $t")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = vemb.eval(input)
+    if (v == null) null
+    else PqEncodeWord.encode(v.asInstanceOf[ArrayData], cb.flat, cb.k, cb.m,
+      cb.subDim, cb.bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = vemb.genCode(ctx)
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb.flat, "float[]")
+    val anyNull = if (nullable) s"${v.isNull}" else "false"
+    val code =
+      code"""
+        ${v.code}
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.operators.PqEncodeWord.encode(
+            ${v.value}, $cbRef, ${cb.k}, ${cb.m}, ${cb.subDim}, ${cb.bits});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vemb = newChildren(0))
+}
+
+object PqEncodeWord {
+  /** The argmin kernel. Slice clamping mirrors VecKernels.subL2FF (a
+    * vector shorter than a slice contributes only its present dims), so
+    * the packed word is bit-identical to the join formulation's
+    * min(struct(dist, cid)) on any input.
+    */
+  def encode(v: ArrayData, flat: Array[Float], k: Int, m: Int, subDim: Int,
+      bits: Int): Long = {
+    val dim = m * subDim
+    val vn = v.numElements()
+    var word = 0L
+    var j = 0
+    while (j < m) {
+      val off = j * subDim
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = c * dim + off
+        val n = math.max(0, math.min(math.min(vn, dim) - off, subDim))
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val d = v.getFloat(off + i).toDouble - flat(base + i).toDouble
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; bestC = c }
+        c += 1
+      }
+      word |= bestC.toLong << (bits * j)
+      j += 1
+    }
+    word
+  }
+}
+
+/** Σ_j table[j*k + code_j(codes)] — the ADC lookup over a packed PQ
+  * code word, as a codegen'd expression (8 array reads per row inside
+  * whole-stage codegen). `bits` is the per-subspace code width (4 →
+  * nibble codes against a 128-double table, 8 → byte codes against a
+  * 2048-double table).
+  */
+case class PqAdcScore(codes: Expression, table: Expression, bits: Int = 4)
+    extends Expression {
   override def children: Seq[Expression] = Seq(codes, table)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = codes.nullable || table.nullable
@@ -194,7 +348,7 @@ case class PqAdcScore(codes: Expression, table: Expression) extends Expression {
     if (c == null) return null
     val t = table.eval(input)
     if (t == null) return null
-    PqAdcScore.lookup(c.asInstanceOf[Long], t.asInstanceOf[ArrayData])
+    PqAdcScore.lookup(c.asInstanceOf[Long], t.asInstanceOf[ArrayData], bits)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -208,7 +362,7 @@ case class PqAdcScore(codes: Expression, table: Expression) extends Expression {
         boolean ${ev.isNull} = $anyNull;
         double ${ev.value} = 0.0;
         if (!${ev.isNull}) {
-          ${ev.value} = graft.operators.PqAdcScore.lookup(${c.value}, ${t.value});
+          ${ev.value} = graft.operators.PqAdcScore.lookup(${c.value}, ${t.value}, $bits);
         }
       """
     ev.copy(code = code)
@@ -221,12 +375,14 @@ case class PqAdcScore(codes: Expression, table: Expression) extends Expression {
 
 object PqAdcScore {
   /** The 8-lookup kernel (ascending j, like the join formulation). */
-  def lookup(codes: Long, table: ArrayData): Double = {
+  def lookup(codes: Long, table: ArrayData, bits: Int): Double = {
+    val k = 1 << bits
+    val mask = (k - 1).toLong
     var acc = 0.0
     var j = 0
     while (j < Pq.M) {
-      val c = ((codes >>> (4 * j)) & 15L).toInt
-      acc += table.getDouble(j * Pq.K + c)
+      val c = ((codes >>> (bits * j)) & mask).toInt
+      acc += table.getDouble(j * k + c)
       j += 1
     }
     acc

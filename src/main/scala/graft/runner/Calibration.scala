@@ -68,7 +68,8 @@ object Calibration {
     */
   private val JobsN = 24
 
-  case class Probe(cpuSec: Double, scanSec: Double, jobsSec: Double) {
+  case class Probe(cpuSec: Double, scanSec: Double, jobsSec: Double,
+      loadAvg: Double = -1.0, stealPct: Double = -1.0) {
     // -1 marks "probe unavailable" (e.g. no lineitem for scan) — ratios
     // propagate the marker instead of emitting a nonsense negative ratio
     def cpuRatio: Double =
@@ -80,8 +81,33 @@ object Calibration {
     def json: String =
       f"""{"cpu_sec":$cpuSec%.3f,"scan_sec":$scanSec%.3f,""" +
         f""""jobs_sec":$jobsSec%.3f,"cpu_ratio":$cpuRatio%.3f,""" +
-        f""""scan_ratio":$scanRatio%.3f,"jobs_ratio":$jobsRatio%.3f}"""
+        f""""scan_ratio":$scanRatio%.3f,"jobs_ratio":$jobsRatio%.3f,""" +
+        f""""loadavg":$loadAvg%.2f,"steal_pct":$stealPct%.2f}"""
   }
+
+  /** Pre-probe 1-min loadavg and VM steal-time share: direct load
+    * witnesses the drift ratios lack. A slow HOST GENERATION and a
+    * loaded host produce the same ratio — but co-tenant pressure shows
+    * up as steal jiffies (hypervisor time taken from this VM), which a
+    * merely-slower idle host never has. loadavg is context only (it
+    * counts the sweep's OWN threads too); steal measured ACROSS the
+    * probe is the decisive bit. Recorded per probe so `drift 1.4 at
+    * steal 0` reads as "slower host, clean run" from the artifact
+    * alone (r18: a host swap raised the self-relative drift floor to
+    * ~1.4 on an idle box while total_normalized stayed at r17 parity).
+    */
+  def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line. */
+  def cpuJiffies(): (Long, Long) =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (l.length > 7) l(7) else 0L, l.sum)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
   // ---- self-relative drift (round-17 VERDICT Next #3) -----------------
   //
@@ -254,6 +280,8 @@ object Calibration {
     * regime — changing either side alone shifts every drift ratio.
     */
   def measure(spark: SparkSession, sfDir: String): Probe = {
+    val load = loadAvg1m()
+    val (steal0, total0) = cpuJiffies()
     (1 to 4).foreach(_ => cpuOnce(spark))
     val cpu = Seq.fill(3)(cpuOnce(spark)).min
     // existence pre-check: callers without a TPC-H dir (e.g. the amazon
@@ -270,6 +298,11 @@ object Calibration {
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
     jobsOnce(spark); jobsOnce(spark)
     val jobs = Seq.fill(3)(jobsOnce(spark)).min
-    Probe(cpu, scan, jobs)
+    val (steal1, total1) = cpuJiffies()
+    val steal =
+      if (steal0 >= 0 && steal1 >= 0 && total1 > total0)
+        100.0 * (steal1 - steal0) / (total1 - total0)
+      else -1.0
+    Probe(cpu, scan, jobs, load, steal)
   }
 }

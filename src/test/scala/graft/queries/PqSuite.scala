@@ -140,6 +140,82 @@ class PqSuite extends SparkTestBase {
     }
   }
 
+  test("map-only PqEncodeWord is bit-identical to the join-formulation encode") {
+    import graft.operators.Pq
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toIndexedSeq
+    val centsDf = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cemb"))
+    val corpus = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+    val viaJoin = Pq.encode(corpus, centsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWord = corpus
+      .select(col("vid"), Pq.encodeWord(col("vemb"), cents).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaWord == viaJoin, "map-only encoder drifted from the join formulation")
+    // the map-only plan is shuffle-free: scan -> project, single stage
+    val plan = corpus
+      .select(col("vid"), Pq.encodeWord(col("vemb"), cents).as("codes"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "PqEncodeWord plan should not shuffle")
+  }
+
+  test("8-bit codes (k=256): pack, ADC lookup, coarse assign match driver refs") {
+    import graft.operators.Pq
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (0L until 256L).map(rows)
+    val corpus = e.filter(col("vec_id") >= 256)
+      .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+    def code(v: Array[Float], j: Int): Int =
+      cents.indices.minBy(c => (refSubL2(v, cents(c), j * 8, 8), c))
+    val got = corpus
+      .select(col("vid"), Pq.encodeWord(col("vemb"), cents).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.keys.filter(_ >= 256).foreach { vid =>
+      var expected = 0L
+      (0 until 8).foreach(j => expected |= code(rows(vid), j).toLong << (8 * j))
+      assert(got(vid) == expected, s"8-bit packed codes differ for vid=$vid")
+    }
+    // some vector must use a code >= 16 or the test wouldn't separate
+    // the widths (the top nibble of at least one byte field nonzero)
+    assert(got.values.exists(w => (0 until 8).exists(j => ((w >>> (8 * j)) & 255L) >= 16L)),
+      "corpus never used a code >= 16 — widen the corpus")
+    // ADC at bits=8 == driver-side table lookup over the same word
+    val spark2 = spark
+    import spark2.implicits._
+    val q = rows(0L)
+    val tab = Pq.adcTable(q, cents)
+    assert(tab.length == 8 * 256)
+    val scored = corpus
+      .select(col("vid"), Pq.encodeWord(col("vemb"), cents).as("codes"))
+      .join(broadcast(Seq((0L, tab)).toDF("qid", "table")))
+      .select(col("vid"), Pq.adcScore(col("codes"), col("table"), bits = 8).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.keys.filter(_ >= 256).foreach { vid =>
+      var ref = 0.0
+      (0 until 8).foreach(j => ref += tab(j * 256 + code(rows(vid), j)))
+      assert(scored(vid) == ref, s"8-bit ADC differs for vid=$vid")
+    }
+    // coarse assign (m=1, subDim=64) == full-vector L2 argmin
+    val coarse = (0L until 16L).map(rows)
+    val gotList = corpus
+      .select(col("vid"), Pq.coarseAssign(col("vemb"), coarse).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.keys.filter(_ >= 256).foreach { vid =>
+      val expected = coarse.indices
+        .minBy(c => (refSubL2(rows(vid), coarse(c), 0, 64), c)).toLong
+      assert(gotList(vid) == expected, s"coarse list differs for vid=$vid")
+    }
+  }
+
   test("Lloyd codebook training decreases the quantization objective") {
     import graft.operators.Pq
     val d = "/root/testdata/sf0.001"
