@@ -269,8 +269,16 @@ object Advisor {
       case _ => None
     }
     def litNum(e: Expression): Option[Double] = e match {
-      case Literal(v, _) => v match {
-        case n: Number => Some(n.doubleValue())
+      // datetime literals normalize to the Profiler.numView convention
+      // (TIMESTAMP 'x' parses to Long MICROS; the profiler's colRanges
+      // carry unix_timestamp SECONDS — without the 1e6 the band
+      // fraction of every timestamp predicate clamps to nonsense).
+      // DATE 'x' parses to Int epoch DAYS, which already matches.
+      case Literal(v, dt) => (v, dt) match {
+        case (n: Number, org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType) =>
+          Some(n.doubleValue() / 1e6)
+        case (n: Number, _) => Some(n.doubleValue())
         case _ => None
       }
       case Cast(c, _, _, _) => litNum(c)
@@ -359,8 +367,29 @@ object Advisor {
     */
   val FinestBandThreshold: Double = 0.03
 
+  /** A range band at or above this fraction of the column's profiled
+    * domain no longer prunes meaningfully — TPC-H Q1's l_shipdate <=
+    * '1998-09-02' covers ~98% of the domain and reads ~everything
+    * regardless of layout (results/rq6_sf10: 37% fewer RECORDS via
+    * page-level skipping, yet 0.70x WALL on hilbert from per-row read
+    * overhead + file-size skew).
+    */
+  val FullScanBandFraction: Double = 0.5
+
+  /** Minimum fraction of workload queries carrying a prunable
+    * predicate for a sorted layout to be recommended at all. RQ6's
+    * sf10 stream mix sits at ~0.27 prunable (6/22: Q6/Q12/Q14/Q15/Q20
+    * band under half the domain; the rest filter nothing selective on
+    * lineitem) and measured hilbert 0.97x OVERALL with the full-scan
+    * queries regressing (Q1 0.70x, Q18 0.81x) — a workload below a
+    * third coverage pays the curve's full-scan tax on most queries to
+    * serve few.
+    */
+  val MinPruneCoverage: Double = 0.34
+
   case class LayoutAdvice(layout: String, cols: Seq[String],
-      meanBandFraction: Option[Double], reason: String)
+      meanBandFraction: Option[Double], reason: String,
+      pruneCoverage: Double = 1.0)
 
   /** V5+ (beyond the reference): pick the layout FAMILY, not only the
     * columns. The reference's toolkit stops at column ranking; the rq1
@@ -401,10 +430,60 @@ object Advisor {
       kinds: Map[String, String] = Map.empty,
       uniqueRatio: Map[String, Double] = Map.empty,
       k: Int = 2): LayoutAdvice = {
+    // scope every signal to the PROFILED table's columns when the
+    // caller supplied `kinds` (Advise profiles exactly the target
+    // table): a multi-table query's predicates on OTHER tables must not
+    // count toward this table's layout scores or prune coverage — Q3's
+    // c_mktsegment equality says nothing about whether a lineitem
+    // layout can skip files. Without kinds (column-scoped unit calls)
+    // all columns stay in scope.
+    val inScope: String => Boolean =
+      if (kinds.nonEmpty) kinds.keySet else (_: String) => true
     val events = sqls.zipWithIndex.flatMap { case (q, i) => extract(spark, q, i) }
+      .filter(e => inScope(e.column))
     val scores = scoreColumns(
       events.filter(_.ptype != JoinPred), kinds, uniqueRatio)
-    require(scores.nonEmpty, "no filter predicates in the workload")
+
+    val bands = sqls.zipWithIndex
+      .flatMap { case (q, i) => extractRanges(spark, q, i) }
+      .filter(b => inScope(b.column))
+    def fractionOf(b: RangeBand): Option[Double] =
+      colRanges.get(b.column).flatMap { case (mn, mx) =>
+        val w = mx - mn
+        if (w <= 0) None
+        else {
+          val lo = b.lo.getOrElse(mn).max(mn)
+          val hi = b.hi.getOrElse(mx).min(mx)
+          Some(((hi - lo) / w).max(0.0).min(1.0))
+        }
+      }
+
+    // prune coverage (r17 VERDICT Next #6): the fraction of workload
+    // queries that could actually SKIP data under ANY sorted layout —
+    // an equality/IN filter, or a range band narrower than
+    // [[FullScanBandFraction]] of the profiled domain (bands on columns
+    // without stats get the benefit of the doubt). Queries outside this
+    // set (no filter, join-only, or Q1-style ~full-domain ranges) pay a
+    // sorted layout's costs — byte-skewed files, worse page locality —
+    // and collect none of its pruning.
+    val filterEvsByQ = events.filter(_.ptype != JoinPred).groupBy(_.queryId)
+    val bandsByQ = bands.groupBy(_.queryId)
+    val nQueries0 = math.max(1, sqls.size)
+    val prunableQ = sqls.indices.count { i =>
+      val eqIn = filterEvsByQ.getOrElse(i, Nil)
+        .exists(e => e.ptype == EqPred || e.ptype == InPred)
+      eqIn || bandsByQ.getOrElse(i, Nil)
+        .exists(b => fractionOf(b).forall(_ < FullScanBandFraction))
+    }
+    val pruneCoverage = prunableQ.toDouble / nQueries0
+
+    if (scores.isEmpty || pruneCoverage == 0.0)
+      return LayoutAdvice("baseline", Nil, None,
+        "no query in the workload carries a prunable predicate — any " +
+          "sorted layout only adds full-scan cost (byte-skewed files, " +
+          "per-row read overhead: results/rq6_sf10 Q1 0.70x, Q18 0.81x " +
+          "on hilbert); keep the uniform baseline layout", 0.0)
+
     val byCol = scores.map(s => s.column -> s.score).toMap
     val lead = scores.head.column
     val secondary = scores.drop(1).take(k - 1).map(_.column)
@@ -418,43 +497,42 @@ object Advisor {
       else queries.values.count(q =>
         q.contains(lead) && secondary.exists(q.contains)).toDouble / nQueries
 
-    val bands = sqls.zipWithIndex.flatMap { case (q, i) => extractRanges(spark, q, i) }
     val keyCols = lead +: secondary
-    val fractions = bands.filter(b => keyCols.contains(b.column)).flatMap { b =>
-      colRanges.get(b.column).flatMap { case (mn, mx) =>
-        val w = mx - mn
-        if (w <= 0) None
-        else {
-          val lo = b.lo.getOrElse(mn).max(mn)
-          val hi = b.hi.getOrElse(mx).min(mx)
-          Some(((hi - lo) / w).max(0.0).min(1.0))
-        }
-      }
-    }
+    val fractions = bands.filter(b => keyCols.contains(b.column)).flatMap(fractionOf)
     val meanFraction =
       if (fractions.isEmpty) None else Some(fractions.sum / fractions.size)
 
-    if (secondary.isEmpty || pairCoverage < MinPairCoverage)
+    if (pruneCoverage < MinPruneCoverage)
+      LayoutAdvice("linear", Seq(lead), meanFraction,
+        f"only $pruneCoverage%.2f of queries carry a prunable predicate " +
+          f"(< $MinPruneCoverage%.2f): a full-scan-dominated workload " +
+          "pays a curve's scan tax on most queries to serve few " +
+          "(results/rq6_sf10: hilbert total 0.97x with Q1 0.70x/Q18 " +
+          f"0.81x); linear on '$lead' keeps the minority's pruning at " +
+          "near-uniform full-scan cost", pruneCoverage)
+    else if (secondary.isEmpty || pairCoverage < MinPairCoverage)
       LayoutAdvice("linear", Seq(lead), meanFraction,
         s"single dominant filter column '$lead' " +
-          f"(pair coverage $pairCoverage%.2f) — sort linearly on it")
+          f"(pair coverage $pairCoverage%.2f) — sort linearly on it",
+        pruneCoverage)
     else if (meanFraction.exists(_ >= CoarseBandThreshold))
       LayoutAdvice("linear", keyCols, meanFraction,
         f"coarse bands (mean per-dim fraction ${meanFraction.get}%.2f >= " +
           f"$CoarseBandThreshold%.2f ~ S3/S4): linear on '$lead' wins wall " +
-          "by ~40% via page contiguity (results/rq1_sf10/README.md)")
+          "by ~40% via page contiguity (results/rq1_sf10/README.md)",
+        pruneCoverage)
     else if (meanFraction.exists(_ <= FinestBandThreshold))
       LayoutAdvice("hilbert", keyCols, meanFraction,
         f"multi-column S1-width bands (mean per-dim fraction " +
           f"${meanFraction.get}%.3f <= $FinestBandThreshold%.2f): hilbert " +
           "measured 5.64x vs zorder 5.28x at sf16 S1, same 32x file " +
-          "pruning (results/rq1_sf16/geomean_speedup.csv)")
+          "pruning (results/rq1_sf16/geomean_speedup.csv)", pruneCoverage)
     else
       LayoutAdvice("zorder", keyCols, meanFraction,
         f"multi-column fine bands (pair coverage $pairCoverage%.2f, " +
           s"mean per-dim fraction ${meanFraction.map(f => f"$f%.2f").getOrElse("n/a")}): " +
           "curves win files at every band and wall at S1/S2 " +
           "(results/rq1_sf10/README.md; hilbert edges zorder only at S1 " +
-          "widths, handled above)")
+          "widths, handled above)", pruneCoverage)
   }
 }

@@ -166,6 +166,77 @@ class AdvisorSuite extends SparkTestBase {
     assert(a.reason.contains("rq1"), "advice must cite the measured rq1 data")
   }
 
+  // prune-coverage steering (r17 VERDICT Next #6): RQ6 sf10 measured a
+  // full-scan-dominated stream at hilbert 0.97x overall with Q1 0.70x /
+  // Q18 0.81x — workloads where most queries cannot prune should not
+  // get a curve at all
+  test("layout advice: zero prunable queries yields baseline") {
+    // Q1-shape: a range band covering ~98% of the domain + no-filter
+    // aggregates — nothing can skip, any sort order only costs
+    val workload = Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity <= 49",
+      "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag",
+      "SELECT max(l_extendedprice) FROM lineitem")
+    val a = Advisor.recommendLayout(spark, workload, quantPriceRanges)
+    assert(a.layout == "baseline", a.toString)
+    assert(a.pruneCoverage == 0.0, a.toString)
+    assert(a.cols.isEmpty)
+    assert(a.reason.contains("rq6"), "advice must cite the measured rq6 data")
+  }
+
+  test("layout advice: low prune coverage steers to linear (the RQ6 Q1 finding)") {
+    // 1 prunable of 4 (coverage 0.25 < 0.34): the fine-band minority
+    // would have earned a curve, but the full-scan majority pays for it
+    val workload = Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 24 AND 25 AND l_extendedprice BETWEEN 30000 AND 32000",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity <= 49",
+      "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag",
+      "SELECT avg(l_extendedprice) FROM lineitem WHERE l_quantity >= 2")
+    val a = Advisor.recommendLayout(spark, workload, quantPriceRanges)
+    assert(a.layout == "linear", a.toString)
+    assert(a.pruneCoverage == 0.25, a.toString)
+    assert(a.cols.length == 1, a.toString)
+    assert(a.reason.contains("rq6_sf10"), "advice must cite the measured rq6 data")
+    // the same fine-band query at full coverage WOULD have earned a
+    // curve — the steering is the coverage signal, not the bands
+    val fine = Advisor.recommendLayout(spark, Seq(workload.head), quantPriceRanges)
+    assert(fine.layout == "hilbert" || fine.layout == "zorder", fine.toString)
+    assert(fine.pruneCoverage == 1.0)
+  }
+
+  test("layout advice: timestamp bands normalize to profiler epoch seconds") {
+    // domain = 1992..1998 in epoch seconds (the Profiler.numView
+    // convention for TIMESTAMP columns); a one-year band must read ~16%,
+    // not clamp to ~100% (TIMESTAMP literals parse to MICROS)
+    val lo = java.time.Instant.parse("1992-01-01T00:00:00Z").getEpochSecond.toDouble
+    val hi = java.time.Instant.parse("1998-12-01T00:00:00Z").getEpochSecond.toDouble
+    val ranges = Map("l_shipdate" -> (lo, hi))
+    val workload = Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'")
+    val a = Advisor.recommendLayout(spark, workload, ranges)
+    assert(a.layout == "linear" && a.cols == Seq("l_shipdate"), a.toString)
+    assert(a.meanBandFraction.exists(f => f > 0.10 && f < 0.20),
+      s"one-year band should be ~0.145 of the domain: $a")
+    assert(a.pruneCoverage == 1.0, a.toString)
+    // Q1-shape near-full band on the same column: NOT prunable
+    val q1 = Advisor.recommendLayout(spark, Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"), ranges)
+    assert(q1.layout == "baseline" && q1.pruneCoverage == 0.0, q1.toString)
+  }
+
+  test("layout advice: out-of-scope tables' predicates don't count when kinds are supplied") {
+    // Q3-shape: the customer equality must not make the no-lineitem-
+    // filter query look prunable for the LINEITEM layout
+    val kinds = Map("l_quantity" -> "numeric", "l_extendedprice" -> "numeric")
+    val workload = Seq(
+      "SELECT o_orderkey FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey WHERE c.c_mktsegment = 'BUILDING'",
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_quantity BETWEEN 10 AND 12")
+    val a = Advisor.recommendLayout(spark, workload, quantPriceRanges, kinds)
+    assert(a.pruneCoverage == 0.5, a.toString)
+    val unscoped = Advisor.recommendLayout(spark, workload, quantPriceRanges)
+    assert(unscoped.pruneCoverage == 1.0, unscoped.toString)
+  }
+
   test("extractRanges: conjunctive bounds tighten, open sides stay open") {
     val bands = Advisor.extractRanges(spark,
       "SELECT * FROM t WHERE a >= 5 AND a < 15 AND a >= 7 AND b > 100")
