@@ -185,7 +185,9 @@ object Scenario {
     val base = baselineCells(cells)
     (for {
       band <- cells.map(_.band).distinct
-      layout <- Layouts
+      // arms present in the cells, not the RQ1 constant — Rq5 reuses
+      // this machinery with `<scenario>:<layout>` arm names
+      layout <- cells.map(_.layout).distinct
     } yield {
       val rs = cells.filter(c => c.band == band && c.layout == layout)
       val (wall, files) = gmPair(rs, base)
@@ -217,7 +219,7 @@ object Scenario {
     (for {
       band <- cells.map(_.band).distinct
       family <- cells.filter(_.band == band).map(c => familyOf(c.query)).distinct
-      layout <- Layouts
+      layout <- cells.map(_.layout).distinct
     } yield {
       val rs = cells.filter(c =>
         c.band == band && c.layout == layout && familyOf(c.query) == family)

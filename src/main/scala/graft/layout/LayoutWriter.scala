@@ -334,8 +334,13 @@ object LayoutWriter {
     val out = scala.collection.mutable.ArrayBuffer.empty[BalanceGroup]
     var run = List.empty[(String, Long)]
     var runBytes = 0L
+    // ceil against 1.2x target: no PLANNED piece may exceed ~1.2x the
+    // mean — rounding (round(bytes/target)) let a merge run flushed at
+    // 1.38-1.6x target collapse to ONE oversized piece, which put the
+    // sf10 hilbert max/median spread at 1.63x (> the 1.5x bar) even
+    // after balancing
     def pieces(bytes: Long, atLeast: Int): Int =
-      math.max(atLeast, math.round(bytes.toDouble / target).toInt)
+      math.max(atLeast, math.ceil(bytes.toDouble / (1.2 * target)).toInt)
     def flushRun(): Unit = {
       if (run.length >= 2)
         out += BalanceGroup(run.reverse.map(_._1), runBytes, pieces(runBytes, 1))
@@ -346,6 +351,10 @@ object LayoutWriter {
         flushRun()
         out += BalanceGroup(Seq(p), b, pieces(b, 2))
       } else if (b < tolLow * target) {
+        // close an already-acceptable run rather than grow it past the
+        // piece ceiling (a 0.8t run + 0.6t file = one 1.4t piece or
+        // two 0.7t pieces; flushing first yields 0.8t + a fresh run)
+        if (runBytes >= 0.75 * target && runBytes + b > 1.2 * target) flushRun()
         run ::= (p, b); runBytes += b
         if (runBytes >= 0.9 * target) flushRun()
       } else flushRun()
@@ -383,7 +392,15 @@ object LayoutWriter {
       }
     val all = walk(root)
     if (all.length < 2) return
-    val target = math.max(1L, all.map(_.getLen).sum / all.length)
+    // target = MEDIAN first-write size, not mean: the mean is inflated
+    // by the oversized tail this pass exists to remove, so an
+    // untouched "in band" file (<= 1.3x mean) could still sit 1.6x
+    // above the post-balance median (measured on the sf10 hilbert
+    // lineitem: kept 3.64 MB = 1.3 x mean 2.80 vs final median 2.23).
+    // Banding against the median keeps max/median <= ~1.3 by
+    // construction.
+    val sorted = all.map(_.getLen).sorted
+    val target = math.max(1L, sorted(sorted.length / 2))
     val groups = all.groupBy(_.getPath.getParent.toString).toSeq
       .flatMap { case (_, inDir) =>
         balancePlan(

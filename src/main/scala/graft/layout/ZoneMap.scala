@@ -87,7 +87,16 @@ case class TableManifest(
     // min/max (sound across appends), so this is a record of what the
     // writer did, not an input the reader depends on. None on
     // pre-r17 manifests and when nothing was stripped.
-    strOffsets: Option[Map[String, Int]] = None) {
+    strOffsets: Option[Map[String, Int]] = None,
+    // large tables (>= ZoneMap.sidecarThreshold entries): the files
+    // section lives in a compact JSONL sidecar named here, one entry
+    // per line, and the header keeps `files` empty on disk (round-18
+    // manifest scale audit: the pretty-printed files array dominates —
+    // ~820 MB and tens of seconds of parse at the 10⁶ entries a 100 TB
+    // table carries). In MEMORY `files` is always fully populated;
+    // [[ZoneMap.read]] attaches the sidecar transparently. None on
+    // small tables and pre-r18 manifests.
+    filesRef: Option[String] = None) {
 
   def hivePartitions: Seq[String] = partitionCols.getOrElse(Nil)
 
@@ -324,6 +333,31 @@ object ZoneMap {
     * then writes atomically. Returns the stamped manifest — mutators
     * should propagate it, not `m`.
     */
+  /** Entry count at which the files section moves to the compact JSONL
+    * sidecar (see [[TableManifest.filesRef]]). Overridable via the
+    * `graft.manifest.sidecarThreshold` system property so suites
+    * exercise the sidecar path at test sizes.
+    */
+  private[layout] def sidecarThreshold: Int =
+    sys.props.get("graft.manifest.sidecarThreshold").map(_.toInt)
+      .getOrElse(50000)
+
+  private val SidecarPrefix = "_graft_manifest_files."
+
+  /** Read cache: (header FileTime + size) → parsed manifest. Every
+    * planning-time prune re-reads the manifest; at sidecar scale that
+    * is seconds of parse per QUERY without this. Commits go through the
+    * atomic rename above, so a content change always moves the header's
+    * FileTime (nanosecond granularity on local filesystems) — matching
+    * (time, size) means the bytes are the ones already parsed. Entries
+    * are immutable case classes, shared safely; bounded LRU-ish at
+    * [[ReadCacheMax]] by evicting the oldest insertion.
+    */
+  private val ReadCacheMax = 64
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (java.nio.file.attribute.FileTime, Long, TableManifest)]()
+
   def write(dir: String, m: TableManifest): TableManifest = {
     // generations start at 1, NOT 0: KeyIndex.build on a never-stamped
     // manifest records indexedGen = generation.getOrElse(0) = 0, so a
@@ -335,24 +369,75 @@ object ZoneMap {
       root = Some(canonical(dir)),
       generation = Some(nextGen),
       files = m.files.map(f =>
-        if (f.gen.isEmpty) f.copy(gen = Some(nextGen)) else f))
-    val json = Serialization.writePretty(stamped)
+        if (f.gen.isEmpty) f.copy(gen = Some(nextGen)) else f),
+      filesRef = None)
+    val sidecar =
+      if (stamped.files.length >= sidecarThreshold)
+        Some(SidecarPrefix + s"g$nextGen.jsonl")
+      else None
+    sidecar.foreach { ref =>
+      // stream one COMPACT line per entry — no giant pretty DOM
+      val tmpS = Paths.get(dir, ref + ".tmp")
+      val w = Files.newBufferedWriter(tmpS, StandardCharsets.UTF_8)
+      try stamped.files.foreach { f =>
+        w.write(Serialization.write(f)); w.write("\n")
+      } finally w.close()
+      Files.move(tmpS, Paths.get(dir, ref),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val onDisk = sidecar match {
+      case Some(ref) => stamped.copy(files = Nil, filesRef = Some(ref))
+      case None => stamped
+    }
+    val json = Serialization.writePretty(onDisk)
     // temp + atomic rename: a reader never observes a torn manifest,
     // and mutation paths (KeyedDelta/Upserter) can order "commit
-    // manifest, then delete superseded part files" safely
+    // manifest, then delete superseded part files" safely. The sidecar
+    // lands BEFORE the header that names it, so a reader can never see
+    // a header pointing at a missing sidecar; stale gen-stamped
+    // sidecars are GCed after the header commit.
     val tmp = Paths.get(dir, ManifestName + ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, ManifestName),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(SidecarPrefix) &&
+          !sidecar.contains(p.getFileName.toString))
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case scala.util.control.NonFatal(_) => () }
     stamped
   }
 
   def read(dir: String): TableManifest = {
-    val json = new String(
-      Files.readAllBytes(Paths.get(dir, ManifestName)), StandardCharsets.UTF_8)
-    val m = Serialization.read[TableManifest](json)
-    m.root match {
+    val hp = Paths.get(dir, ManifestName)
+    val attrs = Files.readAttributes(hp,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val cacheKey = canonical(dir)
+    val hit = readCache.get(cacheKey)
+    if (hit != null && hit._1 == attrs.lastModifiedTime() && hit._2 == attrs.size())
+      return hit._3
+    val json = new String(Files.readAllBytes(hp), StandardCharsets.UTF_8)
+    val m0 = Serialization.read[TableManifest](json)
+    val m = m0.filesRef match {
+      case Some(ref) =>
+        // attach the JSONL sidecar: stream-parse line by line
+        val in = Files.newBufferedReader(Paths.get(dir, ref), StandardCharsets.UTF_8)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) entries += Serialization.read[FileEntry](line)
+            line = in.readLine()
+          }
+        } finally in.close()
+        m0.copy(files = entries.toSeq)
+      case None => m0
+    }
+    val result = m.root match {
       case Some(r) if r != canonical(dir) =>
         // the table dir was moved/copied: rebase entry paths onto the
         // dir actually being read so scans/prunes/mutations all see the
@@ -370,6 +455,15 @@ object ZoneMap {
         })
       case _ => m
     }
+    if (readCache.size() >= ReadCacheMax) {
+      // bounded: drop an arbitrary entry (cache is a latency shortcut,
+      // not a correctness structure)
+      val it = readCache.keys()
+      if (it.hasMoreElements) readCache.remove(it.nextElement())
+    }
+    readCache.put(cacheKey,
+      (attrs.lastModifiedTime(), attrs.size(), result))
+    result
   }
 
   /** Canonical URI of a dir/file path: scheme defaulted to `file`,

@@ -38,11 +38,12 @@ class ByteBalanceSuite extends SparkTestBase {
   }
 
   test("balancePlan: a run that grew past the band re-splits; in-band file breaks runs") {
-    // two 0.69t files flush at 1.38t -> still 1 piece; four flush at
-    // >=2 pieces
+    // two 0.69t files flush at 1.38t -> TWO pieces (1.38t > the 1.2t
+    // piece ceiling; one merged 1.38t file is the max/median overshoot
+    // the sf10 spread measured)
     val plan = LayoutWriter.balancePlan(
       Seq(("a", 69L), ("b", 69L), ("c", 69L), ("d", 69L)), 100L)
-    assert(plan.head.paths == Seq("a", "b") && plan.head.pieces == 1)
+    assert(plan.head.paths == Seq("a", "b") && plan.head.pieces == 2)
     // an in-band file between two smalls breaks adjacency: singles stay
     val plan2 = LayoutWriter.balancePlan(
       Seq(("a", 30L), ("mid", 100L), ("b", 30L)), 100L)

@@ -109,6 +109,44 @@ class RunQueriesCliSuite extends SparkTestBase {
       QueryRunner.cacheTable(spark, "cache_mode_t", "bogus"))
   }
 
+  test("e2e run with --cache catalog: CACHE TABLE spans the query batch (run_queries.py:555-561)") {
+    // the main()-body composition (registerTable -> cacheTable ->
+    // runDir -> uncacheTable) under catalog mode — closes the L11
+    // "catalog not exercised end-to-end" scope note
+    val base = tmpDir("cli_cache_catalog")
+    val tableDir = s"$base/t.parquet"
+    val spark2 = spark
+    import spark2.implicits._
+    (1 to 500).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "s", "grp")
+      .write.parquet(tableDir)
+    val qDir = Paths.get(base, "queries")
+    Files.createDirectories(qDir)
+    Files.write(qDir.resolve("q1.sql"),
+      "SELECT grp, count(*) AS c FROM {{tbl}} GROUP BY grp".getBytes("UTF-8"))
+    Files.write(qDir.resolve("q2.sql"),
+      "SELECT max(id) AS m FROM {{tbl}}".getBytes("UTF-8"))
+    val cfg = RunQueries.Config(table = tableDir, queriesDir = qDir.toString,
+      outputCsv = s"$base/out.csv", cache = "catalog")
+    val view = RunQueries.registerTable(spark, cfg.table)
+    QueryRunner.cacheTable(spark, view, cfg.cache)
+    try {
+      assert(spark.catalog.isCached(view), "CACHE TABLE must be in effect")
+      // the cached plan actually serves the scan: InMemoryRelation in
+      // the executed plan of a query against the view
+      val plan = spark.sql(s"SELECT count(*) FROM $view")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+        s"catalog-cached view should scan the cache:\n$plan")
+      val results = RunQueries.runDir(spark, cfg, view)
+      assert(results.length == 2)
+      assert(results.forall(_.metrics.rows > 0))
+    } finally {
+      QueryRunner.uncacheTable(spark, view, cfg.cache)
+      assert(!spark.catalog.isCached(view))
+      spark.catalog.dropTempView(view)
+    }
+  }
+
   test("results-dir mode: per-engine tree + latest.csv symlink") {
     val base = tmpDir("cli_results")
     val cfg = RunQueries.Config(table = "t", queriesDir = "q",
