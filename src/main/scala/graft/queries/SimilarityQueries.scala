@@ -355,6 +355,47 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // PACKED k=256 PQ gate (round-18): q97's ADC semantics at the
+    // retrieval-grade 8-bit width, THROUGH the scale kernels — the
+    // corpus encodes via the map-only PqEncodeWord (whole code word in
+    // one BIGINT, zero shuffle) and scores via the codegen PqAdcScore
+    // at bits=8 against per-query 2048-double foldable tables. q97
+    // gates the join formulation and PqSuite pins packed==join
+    // driver-side; this closes the loop CROSS-ENGINE on the packed
+    // path itself (the oracle recomputes argmin + table lookup in SQL).
+    // The kernel sums plain doubles (ascending j) vs the oracle's
+    // order-independent DECIMAL sum — ≤8 ulps apart, inside the gate's
+    // float tolerance, and ties (equal-code candidates) are exact in
+    // both engines so ranks agree.
+    "q98_pq256_packed" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 256)
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).toArray).toIndexedSeq
+      val corpus = e.filter(col("vec_id") >= 256)
+        .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+      val qRows = e.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val sp = s
+      import sp.implicits._
+      val qTabs = qRows.toSeq
+        .map { case (qid, q) => (qid, graft.operators.Pq.adcTable(q, cents).toSeq) }
+        .toDF("qid", "tab")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc_dist").asc, col("vid"))
+      corpus.select(col("vid"),
+          graft.operators.Pq.encodeWord(col("vemb"), cents).as("codes"))
+        .join(broadcast(qTabs))
+        .select(col("qid"), col("vid"),
+          round(graft.operators.Pq.adcScore(col("codes"), col("tab"), 8), 6)
+            .as("adc_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vid"), col("adc_dist"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Random-hyperplane LSH: 16-bit signature from sign(dot(x, plane_j)),
     // planes = embeddings of vec_id 0..15 (deterministic, data-derived).
     // Output: the 10 most-populated buckets.
@@ -555,6 +596,36 @@ object SimilarityQueries {
          |        ORDER BY ${subL2Sql("v.embedding", "c.cemb", "s.j")}, c.cid) AS rn
          |    FROM embeddings v CROSS JOIN cents c CROSS JOIN sub s
          |    WHERE v.vec_id >= 16)
+         |  WHERE rn = 1),
+         |qd AS (
+         |  SELECT q.vec_id AS qid, s.j, c.cid,
+         |    ${subL2Sql("q.embedding", "c.cemb", "s.j")} AS qd
+         |  FROM embeddings q CROSS JOIN cents c CROSS JOIN sub s
+         |  WHERE q.vec_id < 10),
+         |adc AS (
+         |  SELECT qd.qid, codes.vid,
+         |    round(CAST(sum(CAST(qd.qd AS DECIMAL(27,12))) AS DOUBLE), 6)
+         |      AS adc_dist
+         |  FROM codes JOIN qd ON codes.j = qd.j AND codes.cid = qd.cid
+         |  GROUP BY qd.qid, codes.vid)
+         |SELECT qid, rank, vid, adc_dist FROM (
+         |  SELECT qid, vid, adc_dist,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_dist, vid) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q98_pq256_packed" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 256),
+         |sub AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j),
+         |codes AS (
+         |  SELECT vid, j, cid FROM (
+         |    SELECT v.vec_id AS vid, s.j, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id, s.j
+         |        ORDER BY ${subL2Sql("v.embedding", "c.cemb", "s.j")}, c.cid) AS rn
+         |    FROM embeddings v CROSS JOIN cents c CROSS JOIN sub s
+         |    WHERE v.vec_id >= 256)
          |  WHERE rn = 1),
          |qd AS (
          |  SELECT q.vec_id AS qid, s.j, c.cid,
