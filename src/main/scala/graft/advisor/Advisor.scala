@@ -452,8 +452,22 @@ object Advisor {
         val w = mx - mn
         if (w <= 0) None
         else {
-          val lo = b.lo.getOrElse(mn).max(mn)
-          val hi = b.hi.getOrElse(mx).min(mx)
+          // datetime literals arrive in the LITERAL's unit (DATE →
+          // epoch days, TIMESTAMP → epoch seconds); the profiled
+          // domain is in the COLUMN's unit. TPC-H-style texts compare
+          // DATE literals against timestamp columns, landing ~86400×
+          // below the domain and clamping the band to nonsense —
+          // rescale a clearly-off edge by the day↔second factor when
+          // (and only when) the column is known datetime and the
+          // rescale lands inside the domain.
+          def align(v: Double): Double =
+            if (!kinds.get(b.column).contains("datetime")) v
+            else if (v >= mn - w && v <= mx + w) v
+            else if (v * 86400.0 >= mn - w && v * 86400.0 <= mx + w) v * 86400.0
+            else if (v / 86400.0 >= mn - w && v / 86400.0 <= mx + w) v / 86400.0
+            else v
+          val lo = b.lo.map(align).getOrElse(mn).max(mn)
+          val hi = b.hi.map(align).getOrElse(mx).min(mx)
           Some(((hi - lo) / w).max(0.0).min(1.0))
         }
       }

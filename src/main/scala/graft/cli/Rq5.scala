@@ -92,7 +92,12 @@ object Rq5 {
       val span = mx - mn
       val w = math.max(1e-9, sel * span)
       val lo = mn + frac(seed, c.hashCode) * (span - w)
-      (lo, lo + w)
+      // timestamp bounds land on WHOLE seconds: the SQL literal renders
+      // %.0f, so a fractional predicate bound would prune files the SQL
+      // still matches (a midnight row exactly at floor(lo)) — the two
+      // sides must use the identical value
+      if (isTs(c)) (math.floor(lo), math.floor(lo + w))
+      else (lo, lo + w)
     }
     def rangeQ(tag: String, cs: Seq[String], band: String, sel2: Double,
         i: Int): Q = {

@@ -253,9 +253,9 @@ object Scenario {
           s"${f3(g.gmFilesRatio)},${g.filesKept},${g.filesTotal},${g.nQueries}"))
   }
 
-  /** Recursive delete shared by the cli tools (scenario/amazon/rq6
-    * temp-table cleanup). */
-  private[cli] def deleteRec(f: java.io.File): Unit = {
+  /** Recursive delete shared by the cli and tools mains (temp-table
+    * and work-dir cleanup). */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRec))
     f.delete()
   }

@@ -441,7 +441,12 @@ object LayoutWriter {
 
     // file → group id via input_file_name, scheme-normalized on both
     // sides ("file:///x" and "file:/x" both → "/x")
-    def norm(p: String): String = new Path(p).toUri.getPath
+    // RAW (still-encoded) URI path: input_file_name() returns the
+    // URI-ENCODED form, so a decoded getPath would never match a table
+    // path containing a space/%/non-ASCII char (every row would fall to
+    // the otherwise(-1) piece and the balance pass would merge whole
+    // dirs). Both sides stay in the encoded form.
+    def norm(p: String): String = new Path(p).toUri.getRawPath
     val gidPairs = groups.zipWithIndex.flatMap { case (g, i) =>
       g.paths.flatMap(p => Seq(lit(norm(p)), lit(i)))
     }

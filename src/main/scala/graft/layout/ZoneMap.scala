@@ -408,17 +408,52 @@ object ZoneMap {
     Files.move(tmp, Paths.get(dir, ManifestName),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // a commit must invalidate this JVM's read cache NOW — the (time,
+    // size) check alone can miss a same-size header rewritten inside
+    // one filesystem timestamp tick (sidecar-mode headers are routinely
+    // byte-identical in size across generations)
+    readCache.remove(canonical(dir))
     try {
-      import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(dir)).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(SidecarPrefix) &&
-          !sidecar.contains(p.getFileName.toString))
-        .foreach(p => Files.deleteIfExists(p))
+      // GC sidecars, KEEPING the previous generation: a reader that
+      // loaded the gen-N header concurrently with this commit must
+      // still find gN's sidecar (the read side also retries through
+      // the header on a missing sidecar, covering two commits in the
+      // reader's window). Files.list streams hold a directory fd —
+      // close them.
+      val stream = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(SidecarPrefix) && !sidecar.contains(n) &&
+              n != SidecarPrefix + s"g${nextGen - 1}.jsonl"
+          }
+          .foreach(p => Files.deleteIfExists(p))
+      } finally stream.close()
     } catch { case scala.util.control.NonFatal(_) => () }
     stamped
   }
 
   def read(dir: String): TableManifest = {
+    // a concurrent commit can GC the sidecar between our header read
+    // and the sidecar read; the fresh header names the new sidecar, so
+    // retry through it (write keeps one prior gen, so a single retry
+    // suffices unless commits outpace the reader — bounded at 3)
+    var attempt = 0
+    while (true) {
+      try return readOnce(dir)
+      catch {
+        case e: java.nio.file.NoSuchFileException
+            if attempt < 3 && e.getFile != null &&
+              e.getFile.contains(SidecarPrefix) =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def readOnce(dir: String): TableManifest = {
     val hp = Paths.get(dir, ManifestName)
     val attrs = Files.readAttributes(hp,
       classOf[java.nio.file.attribute.BasicFileAttributes])

@@ -46,12 +46,14 @@ object Pq {
   val K = 16 // codebook entries per subspace (4-bit codes)
 
   /** Bits per subspace code for a k-entry codebook (k=16 → 4-bit
-    * nibbles, k=256 → 8-bit bytes; either way M×bits ≤ 64 packs the
-    * whole word into one BIGINT).
+    * nibbles, k=256 → 8-bit bytes; m×bits ≤ 64 packs the whole word
+    * into one BIGINT). `m` is the CALLER's subspace count — a coarse
+    * quantizer (m=1) legitimately uses many more than 256 lists, so
+    * the width check must not assume the global M.
     */
-  def bitsFor(k: Int): Int = {
-    require(k > 1 && (k & (k - 1)) == 0 && M * Integer.numberOfTrailingZeros(k) <= 64,
-      s"k=$k must be a power of two with ${M}×log2(k) <= 64")
+  def bitsFor(k: Int, m: Int = M): Int = {
+    require(k > 1 && (k & (k - 1)) == 0 && m * Integer.numberOfTrailingZeros(k) <= 64,
+      s"k=$k must be a power of two with ${m}×log2(k) <= 64")
     Integer.numberOfTrailingZeros(k)
   }
 
@@ -199,7 +201,7 @@ object Pq {
     */
   def coarseAssign(vemb: Column, cents: IndexedSeq[Array[Float]]): Column =
     Bridge.column(PqEncodeWord(Bridge.expression(vemb),
-      PqCodebook(cents, 1, M * SubDim, bitsFor(cents.length))))
+      PqCodebook(cents, 1, M * SubDim, bitsFor(cents.length, m = 1))))
 }
 
 /** A flattened PQ codebook baked into an encode expression: k rows of

@@ -104,8 +104,13 @@ object Calibration {
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line. */
   def cpuJiffies(): (Long, Long) =
     try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      // Files.readString, not Source.fromFile — a short-circuited
+      // Source leaks its fd until GC (two probes per calibration add up
+      // over a sweep)
+      val l = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.find(_.startsWith("cpu ")).get
+        .trim.split("\\s+").drop(1).map(_.toLong)
       (if (l.length > 7) l(7) else 0L, l.sum)
     } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 

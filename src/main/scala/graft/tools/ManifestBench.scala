@@ -91,10 +91,7 @@ object ManifestBench {
           s""""header_bytes":$bytes,"sidecar_bytes":$sidecarBytes,""" +
           s""""heap_mb":$heapMb,"files_kept":${kept.length}}"""
       } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(new java.io.File(dir))
+        graft.cli.Scenario.deleteRec(new java.io.File(dir))
       }
     }
     val json = s"""{"stats_cols":${StatsCols.length},"points":[${rows.mkString(",")}]}"""

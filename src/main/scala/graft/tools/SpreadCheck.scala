@@ -58,10 +58,7 @@ object SpreadCheck {
       java.nio.file.Files.writeString(op, json + "\n")
       println(json)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(work))
+      graft.cli.Scenario.deleteRec(new java.io.File(work))
       spark.stop()
     }
   }

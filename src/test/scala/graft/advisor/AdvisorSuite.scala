@@ -224,6 +224,26 @@ class AdvisorSuite extends SparkTestBase {
     assert(q1.layout == "baseline" && q1.pruneCoverage == 0.0, q1.toString)
   }
 
+  test("layout advice: DATE literals on a timestamp column rescale to the domain unit") {
+    // TPC-H texts mix `date 'x'` (epoch DAYS) against timestamp columns
+    // (profiled in epoch SECONDS) — without the day<->second alignment
+    // the band clamps to ~0 and a full-scan query looks S1-prunable
+    val lo = java.time.Instant.parse("1992-01-01T00:00:00Z").getEpochSecond.toDouble
+    val hi = java.time.Instant.parse("1998-12-01T00:00:00Z").getEpochSecond.toDouble
+    val ranges = Map("l_shipdate" -> (lo, hi))
+    val kinds = Map("l_shipdate" -> "datetime")
+    val a = Advisor.recommendLayout(spark, Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_shipdate >= date '1994-01-01' AND l_shipdate < date '1995-01-01'"),
+      ranges, kinds)
+    assert(a.meanBandFraction.exists(f => f > 0.10 && f < 0.20),
+      s"one-year DATE band should be ~0.145 of the seconds domain: $a")
+    // Q1-shape ~full-domain DATE band: correctly non-prunable
+    val q1 = Advisor.recommendLayout(spark, Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_shipdate <= date '1998-09-02'"),
+      ranges, kinds)
+    assert(q1.layout == "baseline" && q1.pruneCoverage == 0.0, q1.toString)
+  }
+
   test("layout advice: out-of-scope tables' predicates don't count when kinds are supplied") {
     // Q3-shape: the customer equality must not make the no-lineitem-
     // filter query look prunable for the LINEITEM layout

@@ -56,19 +56,25 @@ class ManifestSidecarSuite extends AnyFunSuite {
     }
   }
 
-  test("gen-stamped sidecars GC; shrinking below threshold inlines again") {
+  test("gen-stamped sidecars GC keeping one prior gen; shrink inlines again") {
     withThreshold(5) {
       val dir = tmp()
       val m1 = ZoneMap.write(dir, manifest(10, dir))
       val m2 = ZoneMap.write(dir, m1) // gen 2
-      assert(sidecars(dir) == Seq("_graft_manifest_files.g2.jsonl"),
-        "stale gen-1 sidecar must be GCed")
-      assert(ZoneMap.read(dir).files == m2.files)
-      // drop to 2 entries: inline format, sidecar gone
-      val small = ZoneMap.write(dir, m2.copy(files = m2.files.take(2)))
-      assert(sidecars(dir).isEmpty)
+      val m3 = ZoneMap.write(dir, m2) // gen 3
+      // the PREVIOUS gen's sidecar survives (a concurrent reader of the
+      // gen-2 header must still find it); older gens are GCed
+      assert(sidecars(dir).sorted == Seq("_graft_manifest_files.g2.jsonl",
+        "_graft_manifest_files.g3.jsonl"), sidecars(dir).toString)
+      assert(ZoneMap.read(dir).files == m3.files)
+      // drop to 2 entries: inline format; the prior sidecar lingers one
+      // more generation for the same concurrent-reader window
+      val small = ZoneMap.write(dir, m3.copy(files = m3.files.take(2))) // gen 4
+      assert(sidecars(dir) == Seq("_graft_manifest_files.g3.jsonl"))
       assert(headerJson(dir).contains("part-1.parquet"))
       assert(ZoneMap.read(dir).files == small.files)
+      ZoneMap.write(dir, small) // gen 5: g3 is no longer gen-1, GCed
+      assert(sidecars(dir).isEmpty)
     }
   }
 
