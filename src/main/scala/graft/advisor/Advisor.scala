@@ -460,14 +460,20 @@ object Advisor {
           // rescale a clearly-off edge by the day↔second factor when
           // (and only when) the column is known datetime and the
           // rescale lands inside the domain.
-          def align(v: Double): Double =
-            if (!kinds.get(b.column).contains("datetime")) v
-            else if (v >= mn - w && v <= mx + w) v
-            else if (v * 86400.0 >= mn - w && v * 86400.0 <= mx + w) v * 86400.0
-            else if (v / 86400.0 >= mn - w && v / 86400.0 <= mx + w) v / 86400.0
-            else v
-          val lo = b.lo.map(align).getOrElse(mn).max(mn)
-          val hi = b.hi.map(align).getOrElse(mx).min(mx)
+          // None = the literal lands outside the padded domain in EVERY
+          // unit — treat that band edge as OPEN (fall back to mn/mx). A
+          // beyond-domain bound in the wrong unit (date '2030-01-01' as
+          // 21915 days against a seconds-profiled column, ×86400 also
+          // past mx+w) would otherwise clamp the band to ~0 and classify
+          // a full-scan query as maximally prunable (r18 ADVICE #4).
+          def align(v: Double): Option[Double] =
+            if (!kinds.get(b.column).contains("datetime")) Some(v)
+            else if (v >= mn - w && v <= mx + w) Some(v)
+            else if (v * 86400.0 >= mn - w && v * 86400.0 <= mx + w) Some(v * 86400.0)
+            else if (v / 86400.0 >= mn - w && v / 86400.0 <= mx + w) Some(v / 86400.0)
+            else None
+          val lo = b.lo.flatMap(align).getOrElse(mn).max(mn)
+          val hi = b.hi.flatMap(align).getOrElse(mx).min(mx)
           Some(((hi - lo) / w).max(0.0).min(1.0))
         }
       }

@@ -232,6 +232,16 @@ case class StrIn(col: String, values: Seq[String]) extends ZonePredicate {
   }
 }
 
+/** A prune evaluated against the manifest WITHOUT materializing the full
+  * file list (see [[ZoneMap.pruneRead]]): survivors plus the whole-table
+  * totals a scan report needs. `manifest` carries the header metadata;
+  * its `files` is the FULL list when the manifest was small enough to
+  * read whole (cache-friendly path) and EMPTY when the sidecar was
+  * streamed — callers needing every entry use [[ZoneMap.read]].
+  */
+case class PrunedView(manifest: TableManifest, kept: Seq[FileEntry],
+    filesTotal: Int, rowsTotal: Long, bytesTotal: Long)
+
 object ZoneMap {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
   val ManifestName = "_graft_manifest.json"
@@ -344,19 +354,145 @@ object ZoneMap {
 
   private val SidecarPrefix = "_graft_manifest_files."
 
-  /** Read cache: (header FileTime + size) → parsed manifest. Every
-    * planning-time prune re-reads the manifest; at sidecar scale that
-    * is seconds of parse per QUERY without this. Commits go through the
-    * atomic rename above, so a content change always moves the header's
-    * FileTime (nanosecond granularity on local filesystems) — matching
-    * (time, size) means the bytes are the ones already parsed. Entries
-    * are immutable case classes, shared safely; bounded LRU-ish at
-    * [[ReadCacheMax]] by evicting the oldest insertion.
+  /** Read cache: (header fileKey + FileTime + size) → parsed manifest.
+    * Every planning-time prune re-reads the manifest; at sidecar scale
+    * that is seconds of parse per QUERY without this. Commits go through
+    * the atomic rename above, so a content change always produces a new
+    * inode — `BasicFileAttributes.fileKey()` — even when a cross-JVM
+    * writer lands a same-size header inside one coarse mtime tick
+    * (sidecar-mode headers are routinely byte-identical in size across
+    * generations; r18 ADVICE #2). Entries are immutable case classes,
+    * shared safely. Bounded two ways (r18 ADVICE #3): at most
+    * [[ReadCacheMax]] manifests AND at most [[cacheEntryBudget]] total
+    * retained FileEntry rows (~2 KB each at manifest-scale shapes), with
+    * oldest-insertion eviction; a single manifest above the budget is
+    * never cached at all.
     */
   private val ReadCacheMax = 64
-  private val readCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (java.nio.file.attribute.FileTime, Long, TableManifest)]()
+  private def cacheEntryBudget: Long =
+    sys.props.get("graft.manifest.readCacheEntryBudget").map(_.toLong)
+      .getOrElse(1200000L) // one 10⁶-entry table stays cached (~2.5 GB
+      // ceiling at ~2 KB/entry); several large tables evict each other
+      // instead of accumulating toward OOM
+  private case class CacheVal(fileKey: AnyRef,
+      time: java.nio.file.attribute.FileTime, size: Long, m: TableManifest)
+  private val readCache = new java.util.LinkedHashMap[String, CacheVal]()
+  private var cachedEntries: Long = 0L
+
+  private def cacheLookup(key: String,
+      attrs: java.nio.file.attribute.BasicFileAttributes): TableManifest =
+    readCache.synchronized {
+      val hit = readCache.get(key)
+      if (hit != null && hit.fileKey == attrs.fileKey() &&
+          hit.time == attrs.lastModifiedTime() && hit.size == attrs.size())
+        hit.m
+      else null
+    }
+
+  private def cacheStore(key: String,
+      attrs: java.nio.file.attribute.BasicFileAttributes,
+      m: TableManifest): Unit = {
+    val n = m.files.length.toLong
+    if (n > cacheEntryBudget) return // too big to retain — stay transient
+    readCache.synchronized {
+      val prev = readCache.remove(key)
+      if (prev != null) cachedEntries -= prev.m.files.length
+      val it = readCache.entrySet().iterator()
+      while (it.hasNext &&
+          (readCache.size() >= ReadCacheMax || cachedEntries + n > cacheEntryBudget)) {
+        cachedEntries -= it.next().getValue.m.files.length
+        it.remove()
+      }
+      readCache.put(key, CacheVal(attrs.fileKey(), attrs.lastModifiedTime(),
+        attrs.size(), m))
+      cachedEntries += n
+    }
+  }
+
+  private def cacheInvalidate(key: String): Unit = readCache.synchronized {
+    val prev = readCache.remove(key)
+    if (prev != null) cachedEntries -= prev.m.files.length
+  }
+
+  /** Test/bench hook: drop every cached manifest. */
+  private[graft] def clearReadCache(): Unit = readCache.synchronized {
+    readCache.clear(); cachedEntries = 0L
+  }
+
+  // ---- fast JSONL sidecar codec --------------------------------------
+  //
+  // json4s' reflection-based per-line read measured ~17 µs/entry — the
+  // dominant cost of attaching a 10⁶-entry sidecar even parallelized.
+  // The sidecar format is OURS (written above by Serialization.write),
+  // so a jackson-streaming parser reads it ~10× faster and, crucially,
+  // lets [[pruneRead]] evaluate predicates one entry at a time without
+  // ever materializing the list (r18 VERDICT Next #2). Field order is
+  // not assumed; unknown fields are skipped (forward compatibility).
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  private[layout] def parseEntryLine(line: String): FileEntry = {
+    import com.fasterxml.jackson.core.JsonToken._
+    val p = jsonFactory.createParser(line)
+    try {
+      var path: String = null
+      var rows = 0L
+      var bytes: Option[Long] = None
+      var gen: Option[Long] = None
+      var ranges = Map.empty[String, ColRange]
+      require(p.nextToken() == START_OBJECT, s"bad sidecar line: $line")
+      while (p.nextToken() != END_OBJECT) {
+        val name = p.currentName(); p.nextToken()
+        name match {
+          case "path" => path = p.getText
+          case "rows" => rows = p.getLongValue
+          case "bytes" => bytes = Some(p.getLongValue)
+          case "gen" => gen = Some(p.getLongValue)
+          case "ranges" =>
+            while (p.nextToken() != END_OBJECT) {
+              val c = p.currentName(); p.nextToken() // at START_OBJECT
+              var mn: Option[Double] = None; var mx: Option[Double] = None
+              var mns: Option[String] = None; var mxs: Option[String] = None
+              var an = false
+              while (p.nextToken() != END_OBJECT) {
+                val f = p.currentName(); p.nextToken()
+                f match {
+                  case "min" => mn = Some(p.getDoubleValue)
+                  case "max" => mx = Some(p.getDoubleValue)
+                  case "minStr" => mns = Some(p.getText)
+                  case "maxStr" => mxs = Some(p.getText)
+                  case "allNull" => an = p.getBooleanValue
+                  case _ => p.skipChildren()
+                }
+              }
+              ranges = ranges.updated(c, ColRange(mn, mx, mns, mxs, an))
+            }
+          case _ => p.skipChildren()
+        }
+      }
+      FileEntry(path, rows, ranges, bytes, gen)
+    } finally p.close()
+  }
+
+  /** The sidecar name the CURRENT on-disk header references, extracted
+    * by token streaming (skips the inline files array, so this is cheap
+    * even on non-sidecar headers) — the GC keep-set authority.
+    */
+  private def headerFilesRef(dir: String): Option[String] = {
+    import com.fasterxml.jackson.core.JsonToken._
+    val hp = Paths.get(dir, ManifestName)
+    if (!Files.exists(hp)) return None
+    val p = jsonFactory.createParser(hp.toFile)
+    try {
+      if (p.nextToken() != START_OBJECT) return None
+      while (p.nextToken() != END_OBJECT) {
+        val name = p.currentName(); p.nextToken()
+        if (name == "filesRef") return Option(p.getText)
+        p.skipChildren()
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally p.close()
+  }
 
   def write(dir: String, m: TableManifest): TableManifest = {
     // generations start at 1, NOT 0: KeyIndex.build on a never-stamped
@@ -371,9 +507,16 @@ object ZoneMap {
       files = m.files.map(f =>
         if (f.gen.isEmpty) f.copy(gen = Some(nextGen)) else f),
       filesRef = None)
+    // gen + random suffix: two writers racing from the same base
+    // generation (or a writer re-running after a crash between sidecar
+    // and header move) must NEVER target the same sidecar name — a
+    // gen-N header pairing with another writer's gen-N sidecar is a
+    // torn manifest the single-file rename could not produce (r18
+    // ADVICE #1). GC below keys off header references, not gen math.
     val sidecar =
       if (stamped.files.length >= sidecarThreshold)
-        Some(SidecarPrefix + s"g$nextGen.jsonl")
+        Some(SidecarPrefix + s"g$nextGen-" +
+          java.util.UUID.randomUUID().toString.take(8) + ".jsonl")
       else None
     sidecar.foreach { ref =>
       // one COMPACT line per entry, serialized in PARALLEL (jackson's
@@ -397,29 +540,30 @@ object ZoneMap {
       case None => stamped
     }
     val json = Serialization.writePretty(onDisk)
+    // the sidecar the header WE ARE REPLACING references — kept through
+    // GC so a reader that loaded that header concurrently with this
+    // commit still finds its sidecar (the read side also retries
+    // through the header on a missing sidecar, covering two commits in
+    // the reader's window). Captured BEFORE the rename.
+    val prevRef = headerFilesRef(dir)
     // temp + atomic rename: a reader never observes a torn manifest,
     // and mutation paths (KeyedDelta/Upserter) can order "commit
     // manifest, then delete superseded part files" safely. The sidecar
     // lands BEFORE the header that names it, so a reader can never see
-    // a header pointing at a missing sidecar; stale gen-stamped
-    // sidecars are GCed after the header commit.
+    // a header pointing at a missing sidecar; orphaned sidecars
+    // (crashed writers, superseded generations) are GCed after the
+    // header commit by HEADER REFERENCE, never by gen arithmetic.
     val tmp = Paths.get(dir, ManifestName + ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, ManifestName),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // a commit must invalidate this JVM's read cache NOW — the (time,
-    // size) check alone can miss a same-size header rewritten inside
-    // one filesystem timestamp tick (sidecar-mode headers are routinely
-    // byte-identical in size across generations)
-    readCache.remove(canonical(dir))
+    // a commit must invalidate this JVM's read cache NOW — the cache
+    // check alone can miss a same-size header rewritten inside one
+    // filesystem timestamp tick on filesystems without stable fileKeys
+    cacheInvalidate(canonical(dir))
     try {
-      // GC sidecars, KEEPING the previous generation: a reader that
-      // loaded the gen-N header concurrently with this commit must
-      // still find gN's sidecar (the read side also retries through
-      // the header on a missing sidecar, covering two commits in the
-      // reader's window). Files.list streams hold a directory fd —
-      // close them.
+      // Files.list streams hold a directory fd — close them.
       val stream = Files.list(Paths.get(dir))
       try {
         import scala.jdk.CollectionConverters._
@@ -427,7 +571,7 @@ object ZoneMap {
           .filter { p =>
             val n = p.getFileName.toString
             n.startsWith(SidecarPrefix) && !sidecar.contains(n) &&
-              n != SidecarPrefix + s"g${nextGen - 1}.jsonl"
+              !prevRef.contains(n)
           }
           .foreach(p => Files.deleteIfExists(p))
       } finally stream.close()
@@ -458,52 +602,149 @@ object ZoneMap {
     val attrs = Files.readAttributes(hp,
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val cacheKey = canonical(dir)
-    val hit = readCache.get(cacheKey)
-    if (hit != null && hit._1 == attrs.lastModifiedTime() && hit._2 == attrs.size())
-      return hit._3
+    val hit = cacheLookup(cacheKey, attrs)
+    if (hit != null) return hit
     val json = new String(Files.readAllBytes(hp), StandardCharsets.UTF_8)
     val m0 = Serialization.read[TableManifest](json)
     val m = m0.filesRef match {
       case Some(ref) =>
-        // attach the JSONL sidecar: per-line parse in PARALLEL, order
-        // preserved (single-threaded parse measured 17 s at 10⁶ lines)
+        // attach the JSONL sidecar: jackson-streaming per-line parse in
+        // PARALLEL, order preserved (json4s reflection parse measured
+        // 17 s single-threaded at 10⁶ lines; the streaming codec is
+        // ~10× that even before parallelism)
         val lines = Files.readAllLines(Paths.get(dir, ref), StandardCharsets.UTF_8)
         val arr = new Array[FileEntry](lines.size)
         java.util.stream.IntStream.range(0, lines.size).parallel().forEach { i =>
           val l = lines.get(i)
-          if (l.nonEmpty) arr(i) = Serialization.read[FileEntry](l)
+          if (l.nonEmpty) arr(i) = parseEntryLine(l)
         }
         m0.copy(files = scala.collection.immutable.ArraySeq.unsafeWrapArray(
           arr.filter(_ != null)))
       case None => m0
     }
-    val result = m.root match {
+    val result = rebase(m, dir)
+    cacheStore(cacheKey, attrs, result)
+    result
+  }
+
+  /** If the table dir was moved/copied: rebase entry paths onto the dir
+    * actually being read so scans/prunes/mutations all see the files
+    * HERE (in memory only — the next commit persists it). Key-index
+    * sidecars self-heal separately: their meta carries the same root
+    * stamp and a mismatch makes lookups fail-safe to "no index" until
+    * the next mutation rebuilds (KeyIndex.update).
+    */
+  private def rebase(m: TableManifest, dir: String): TableManifest =
+    m.root match {
       case Some(r) if r != canonical(dir) =>
-        // the table dir was moved/copied: rebase entry paths onto the
-        // dir actually being read so scans/prunes/mutations all see the
-        // files HERE (in memory only — the next commit persists it).
-        // Key-index sidecars self-heal separately: their meta carries
-        // the same root stamp and a mismatch makes lookups fail-safe to
-        // "no index" until the next mutation rebuilds (KeyIndex.update).
         val here = canonical(dir)
         System.err.println(
           s"[graft] ZoneMap: manifest written at $r read from $here — rebasing")
-        m.copy(root = Some(here), files = m.files.map { f =>
-          val c = canonical(f.path)
-          if (c == r || c.startsWith(r + "/")) f.copy(path = here + c.stripPrefix(r))
-          else f
-        })
+        m.copy(root = Some(here), files = m.files.map(rebaseEntry(_, r, here)))
       case _ => m
     }
-    if (readCache.size() >= ReadCacheMax) {
-      // bounded: drop an arbitrary entry (cache is a latency shortcut,
-      // not a correctness structure)
-      val it = readCache.keys()
-      if (it.hasMoreElements) readCache.remove(it.nextElement())
+
+  private def rebaseEntry(f: FileEntry, from: String, to: String): FileEntry = {
+    val c = canonical(f.path)
+    if (c == from || c.startsWith(from + "/")) f.copy(path = to + c.stripPrefix(from))
+    else f
+  }
+
+  /** Sidecar byte size above which [[pruneRead]] STREAMS instead of
+    * materializing (~90k entries at manifest-scale shapes). Overridable
+    * via `graft.manifest.streamBytes` so suites exercise the streaming
+    * path at test sizes.
+    */
+  private def streamBytesThreshold: Long =
+    sys.props.get("graft.manifest.streamBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
+  private val StreamChunk = 65536 // lines parsed per parallel batch
+
+  /** Evaluate `preds` against the manifest WITHOUT materializing the
+    * full file list when it is sidecar-backed and large: the JSONL
+    * sidecar is read in bounded chunks, each chunk parsed + filtered in
+    * parallel, and only SURVIVORS are retained — driver heap is
+    * O(chunk + kept), not O(files) (r18 VERDICT Next #2: the in-memory
+    * entry vector holds ~2 GB at 10⁶ entries; a 10⁷-file table would
+    * OOM the driver on the old path). Small / cached manifests take the
+    * in-memory [[TableManifest.prune]] fast path unchanged.
+    */
+  def pruneRead(dir: String, preds: Seq[ZonePredicate]): PrunedView = {
+    var attempt = 0
+    while (true) {
+      try return pruneReadOnce(dir, preds)
+      catch {
+        case e: java.nio.file.NoSuchFileException
+            if attempt < 3 && e.getFile != null &&
+              e.getFile.contains(SidecarPrefix) =>
+          attempt += 1
+      }
     }
-    readCache.put(cacheKey,
-      (attrs.lastModifiedTime(), attrs.size(), result))
-    result
+    sys.error("unreachable")
+  }
+
+  private def pruneReadOnce(dir: String, preds: Seq[ZonePredicate]): PrunedView = {
+    val hp = Paths.get(dir, ManifestName)
+    val attrs = Files.readAttributes(hp,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val cacheKey = canonical(dir)
+    val cached = cacheLookup(cacheKey, attrs)
+    def fromFull(m: TableManifest): PrunedView =
+      PrunedView(m, m.prune(preds), m.files.length, m.files.map(_.rows).sum,
+        m.files.flatMap(_.bytes).sum)
+    if (cached != null) return fromFull(cached)
+    val json = new String(Files.readAllBytes(hp), StandardCharsets.UTF_8)
+    val m0 = Serialization.read[TableManifest](json)
+    m0.filesRef match {
+      case Some(ref) if Files.size(Paths.get(dir, ref)) > streamBytesThreshold =>
+        // STREAM: chunked parallel parse + filter, survivors only
+        val here = canonical(dir)
+        val from = m0.root.filter(_ != here)
+        val kept = scala.collection.mutable.ArrayBuffer[FileEntry]()
+        var total = 0; var rows = 0L; var bytes = 0L
+        val rd = Files.newBufferedReader(Paths.get(dir, ref), StandardCharsets.UTF_8)
+        try {
+          val chunk = new Array[String](StreamChunk)
+          var n = 0
+          var line = rd.readLine()
+          def flush(): Unit = if (n > 0) {
+            val out = new Array[FileEntry](n)
+            java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+              if (chunk(i).nonEmpty) {
+                val e = parseEntryLine(chunk(i))
+                out(i) = e // totals need every entry; filter below
+              }
+            }
+            var i = 0
+            while (i < n) {
+              val e = out(i)
+              if (e != null) {
+                total += 1; rows += e.rows; bytes += e.bytes.getOrElse(0L)
+                if (preds.forall(_.mayMatch(e)))
+                  kept += from.fold(e)(r => rebaseEntry(e, r, here))
+              }
+              i += 1
+            }
+            n = 0
+          }
+          while (line != null) {
+            chunk(n) = line; n += 1
+            if (n == StreamChunk) flush()
+            line = rd.readLine()
+          }
+          flush()
+        } finally rd.close()
+        val header = rebase(m0.copy(files = Nil), dir)
+        PrunedView(header, kept.toSeq, total, rows, bytes)
+      case Some(_) =>
+        // small sidecar: materialize via readOnce (cache-friendly)
+        fromFull(read(dir))
+      case None =>
+        val result = rebase(m0, dir)
+        cacheStore(cacheKey, attrs, result)
+        fromFull(result)
+    }
   }
 
   /** Canonical URI of a dir/file path: scheme defaulted to `file`,

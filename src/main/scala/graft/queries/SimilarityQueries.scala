@@ -396,6 +396,73 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // RESIDUAL IVF-PQ gate (round-19; Jégou et al. 2011 §IV, "IVFADC"):
+    // the full production index shape, cross-engine. Defined semantics
+    // (the oracle applies them identically, so the gate is exact):
+    //  - coarse quantizer: 4 lists, centroids = embeddings vec_id < 4,
+    //    full-vector squared-L2 argmin (tie → smaller lid);
+    //  - residual: r = x − coarse_centroid(x), element-wise in double
+    //    then rounded to FLOAT (the IEEE value both engines produce);
+    //  - PQ codebook: 16 entries = embeddings vec_id in [4, 20), sliced
+    //    per subspace (m=8 × 8 dims); codes = per-subspace L2 argmin
+    //    over the RESIDUAL (q97 encode semantics on r, not x);
+    //  - query side: probe the 2 nearest lists (full-vector L2, tie →
+    //    smaller lid); per probed list the ADC table is built from the
+    //    QUERY residual q − list_centroid — the per-list table rebuild
+    //    residual encoding costs at search time;
+    //  - ADC: Σ_j table_l[j][code_j(x)] over vectors in probed lists
+    //    only; top-5 per query (tie → smaller vid).
+    // Scale shape: corpus side is ONE map-only pass (coarseAssign +
+    // encodeWord∘residual, both codegen'd, zero shuffle — the list id
+    // becomes a hive partition at scale so probing = partition pruning);
+    // query side broadcasts (qid, list, 128-double table) rows and
+    // scores code words via the codegen PqAdcScore. The kernel sums
+    // plain doubles vs the oracle's order-independent DECIMAL sum —
+    // ≤8 quantization ulps, inside the gate's float tolerance (the q98
+    // precedent).
+    "q99_ivfpq_residual" -> ((s, d) => {
+      val e = emb(s, d)
+      def collectVecs(f: Column): IndexedSeq[Array[Float]] =
+        e.filter(f).orderBy("vec_id").select(col("embedding"))
+          .collect().map(_.getSeq[Float](0).toArray).toIndexedSeq
+      val coarse = collectVecs(col("vec_id") < 4)
+      val cb = collectVecs(col("vec_id") >= 4 && col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+      // one map-only pass: (vid, list, residual codes)
+      val codes = corpus.select(col("vid"),
+        graft.operators.Pq.coarseAssign(col("vemb"), coarse).cast("int").as("list"),
+        graft.operators.Pq.encodeWord(
+          graft.operators.Pq.residual(col("vemb"), coarse), cb).as("codes"))
+      def l2Full(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < 64) { val x = a(i).toDouble - b(i).toDouble; acc += x * x; i += 1 }
+        acc
+      }
+      val qRows = e.filter(col("vec_id") < 10).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val probeRows = qRows.toSeq.flatMap { case (qid, q) =>
+        coarse.indices.sortBy(l => (l2Full(q, coarse(l)), l)).take(2).map { l =>
+          val rq = Array.tabulate(64)(i => (q(i).toDouble - coarse(l)(i).toDouble).toFloat)
+          (qid, l, graft.operators.Pq.adcTable(rq, cb).toSeq)
+        }
+      }
+      val sp = s
+      import sp.implicits._
+      val qTabs = probeRows.toDF("qid", "list", "tab")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc_dist").asc, col("vid"))
+      codes.join(broadcast(qTabs), Seq("list"))
+        .select(col("qid"), col("vid"),
+          round(graft.operators.Pq.adcScore(col("codes"), col("tab"), 4), 6)
+            .as("adc_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vid"), col("adc_dist"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Random-hyperplane LSH: 16-bit signature from sign(dot(x, plane_j)),
     // planes = embeddings of vec_id 0..15 (deterministic, data-derived).
     // Output: the 10 most-populated buckets.
@@ -448,6 +515,16 @@ object SimilarityQueries {
     s"list_sum(list_transform(generate_series($j*8+1, $j*8+8), " +
       s"i -> (CAST($x[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
       s"(CAST($x[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"
+  // full-vector squared L2 (coarse assignment) — same double ops,
+  // ascending index, as the PqEncodeWord m=1 kernel
+  private val fullL2Sql = (x: String, c: String) =>
+    s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> (CAST($x[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * " +
+      s"(CAST($x[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"
+  // coarse residual rounded to FLOAT — the IEEE value PqResidual produces
+  private val residualSql = (x: String, c: String) =>
+    s"list_transform(generate_series(1, 64), " +
+      s"i -> CAST(CAST($x[i] AS DOUBLE) - CAST($c[i] AS DOUBLE) AS FLOAT))"
   private val normSql = (x: String) =>
     s"sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
   private val cosSql = (x: String, p: String) =>
@@ -637,6 +714,54 @@ object SimilarityQueries {
          |    round(CAST(sum(CAST(qd.qd AS DECIMAL(27,12))) AS DOUBLE), 6)
          |      AS adc_dist
          |  FROM codes JOIN qd ON codes.j = qd.j AND codes.cid = qd.cid
+         |  GROUP BY qd.qid, codes.vid)
+         |SELECT qid, rank, vid, adc_dist FROM (
+         |  SELECT qid, vid, adc_dist,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_dist, vid) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q99_ivfpq_residual" ->
+      s"""WITH coarse AS (
+         |  SELECT vec_id AS lid, embedding AS lemb
+         |  FROM embeddings WHERE vec_id < 4),
+         |cb AS (
+         |  SELECT vec_id - 4 AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id >= 4 AND vec_id < 20),
+         |sub AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j),
+         |assigned AS (
+         |  SELECT vid, lid, remb FROM (
+         |    SELECT v.vec_id AS vid, l.lid,
+         |      ${residualSql("v.embedding", "l.lemb")} AS remb,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${fullL2Sql("v.embedding", "l.lemb")}, l.lid) AS rn
+         |    FROM embeddings v CROSS JOIN coarse l WHERE v.vec_id >= 20)
+         |  WHERE rn = 1),
+         |codes AS (
+         |  SELECT vid, lid, j, cid FROM (
+         |    SELECT a.vid, a.lid, s.j, c.cid,
+         |      row_number() OVER (PARTITION BY a.vid, s.j
+         |        ORDER BY ${subL2Sql("a.remb", "c.cemb", "s.j")}, c.cid) AS rn
+         |    FROM assigned a CROSS JOIN cb c CROSS JOIN sub s)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, lid, qremb FROM (
+         |    SELECT q.vec_id AS qid, l.lid,
+         |      ${residualSql("q.embedding", "l.lemb")} AS qremb,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${fullL2Sql("q.embedding", "l.lemb")}, l.lid) AS prn
+         |    FROM embeddings q CROSS JOIN coarse l WHERE q.vec_id < 10)
+         |  WHERE prn <= 2),
+         |qd AS (
+         |  SELECT p.qid, p.lid, s.j, c.cid,
+         |    ${subL2Sql("p.qremb", "c.cemb", "s.j")} AS qd
+         |  FROM probes p CROSS JOIN cb c CROSS JOIN sub s),
+         |adc AS (
+         |  SELECT qd.qid, codes.vid,
+         |    round(CAST(sum(CAST(qd.qd AS DECIMAL(27,12))) AS DOUBLE), 6)
+         |      AS adc_dist
+         |  FROM codes JOIN qd ON codes.lid = qd.lid AND codes.j = qd.j
+         |    AND codes.cid = qd.cid
          |  GROUP BY qd.qid, codes.vid)
          |SELECT qid, rank, vid, adc_dist FROM (
          |  SELECT qid, vid, adc_dist,

@@ -111,7 +111,11 @@ object Calibration {
         .readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.find(_.startsWith("cpu ")).get
         .trim.split("\\s+").drop(1).map(_.toLong)
-      (if (l.length > 7) l(7) else 0L, l.sum)
+      // total = user..steal (first 8 fields) ONLY: the kernel already
+      // accounts guest/guest_nice (fields 9-10) inside user/nice, so
+      // summing them double-counts guest time on virtualization hosts
+      // and deflates steal_pct (r18 ADVICE #5)
+      (if (l.length > 7) l(7) else 0L, l.take(8).sum)
     } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
   // ---- self-relative drift (round-17 VERDICT Next #3) -----------------

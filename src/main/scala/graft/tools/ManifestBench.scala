@@ -66,6 +66,17 @@ object ManifestBench {
         val (_, secW) = time(ZoneMap.write(dir, m))
         val bytes = java.nio.file.Files.size(
           java.nio.file.Paths.get(dir, ZoneMap.ManifestName))
+        // STREAMING prune (r18 VERDICT Next #2): survivors without the
+        // manifest in memory — retained heap is O(kept), measured
+        // against its own baseline while the synth manifest stays live
+        ZoneMap.clearReadCache()
+        val b0 = usedMb()
+        var (view, secPS) = time(
+          ZoneMap.pruneRead(dir, Seq(NumBetween("l_shipdate", 1000.0, 6000.0))))
+        val heapStreamMb = usedMb() - b0
+        val keptStream = view.kept.length
+        val streamed = view.manifest.files.isEmpty && view.filesTotal > 0
+        view = null
         // second write with the read manifest = the keyed-commit shape
         val (r1, secR) = time(ZoneMap.read(dir))
         // repeat read = the per-query planning cost with the read cache
@@ -80,14 +91,19 @@ object ManifestBench {
         val sidecarBytes = Option(new java.io.File(dir).listFiles).toSeq.flatten
           .filter(_.getName.startsWith("_graft_manifest_files."))
           .map(_.length).sum
+        assert(keptStream == kept.length,
+          s"stream prune kept $keptStream, in-memory kept ${kept.length}")
         println(f"[manifest] n=$n%7d  write=${secW}%7.3fs  read=${secR}%7.3fs" +
           f"  read_cached=${secRC}%8.5fs  prune=${secP}%6.3fs" +
-          f"  rewrite=${secW2}%7.3fs" +
+          f"  prune_stream=${secPS}%6.3fs (streamed=$streamed," +
+          f" heap=${heapStreamMb}%4d MB)  rewrite=${secW2}%7.3fs" +
           f"  size=${(bytes + sidecarBytes) / 1048576.0}%8.1f MB" +
           f"  heap=${heapMb}%5d MB  kept=${kept.length}")
         s"""{"n":$n,"write_sec":${f3(secW)},"read_sec":${f3(secR)},""" +
           s""""read_cached_sec":${"%.5f".formatLocal(java.util.Locale.ROOT, secRC)},""" +
-          s""""prune_sec":${f3(secP)},"rewrite_sec":${f3(secW2)},""" +
+          s""""prune_sec":${f3(secP)},"prune_stream_sec":${f3(secPS)},""" +
+          s""""prune_streamed":$streamed,"heap_stream_mb":$heapStreamMb,""" +
+          s""""rewrite_sec":${f3(secW2)},""" +
           s""""header_bytes":$bytes,"sidecar_bytes":$sidecarBytes,""" +
           s""""heap_mb":$heapMb,"files_kept":${kept.length}}"""
       } finally {

@@ -242,6 +242,16 @@ class AdvisorSuite extends SparkTestBase {
       "SELECT sum(l_orderkey) FROM lineitem WHERE l_shipdate <= date '1998-09-02'"),
       ranges, kinds)
     assert(q1.layout == "baseline" && q1.pruneCoverage == 0.0, q1.toString)
+    // a literal BEYOND the domain in EVERY unit (date '2030-01-01' =
+    // 21915 days is under the seconds domain's lo, and ×86400 overshoots
+    // mx+w): the band edge is OPEN, so this full-scan query must NOT be
+    // classified maximally prunable (r18 ADVICE #4 — the raw mis-unit
+    // value used to clamp the band to ~0)
+    val beyond = Advisor.recommendLayout(spark, Seq(
+      "SELECT sum(l_orderkey) FROM lineitem WHERE l_shipdate <= date '2030-01-01'"),
+      ranges, kinds)
+    assert(beyond.layout == "baseline" && beyond.pruneCoverage == 0.0,
+      beyond.toString)
   }
 
   test("layout advice: out-of-scope tables' predicates don't count when kinds are supplied") {

@@ -216,6 +216,54 @@ class PqSuite extends SparkTestBase {
     }
   }
 
+  test("PqResidual: residual floats + residual codes match driver refs; map-only") {
+    import graft.operators.Pq
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val coarse = (0L until 4L).map(rows)
+    val cb = (4L until 20L).map(rows)
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("vid"), col("embedding").as("vemb"))
+    def assignOf(v: Array[Float]): Int =
+      coarse.indices.minBy(c => (refSubL2(v, coarse(c), 0, 64), c))
+    def residOf(v: Array[Float]): Array[Float] = {
+      val c = coarse(assignOf(v))
+      Array.tabulate(64)(i => (v(i).toDouble - c(i).toDouble).toFloat)
+    }
+    // residual floats: exact IEEE double-subtract-then-round-to-float
+    val gotResid = corpus
+      .select(col("vid"), Pq.residual(col("vemb"), coarse).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.keys.filter(_ >= 20).foreach { vid =>
+      assert(gotResid(vid).sameElements(residOf(rows(vid))),
+        s"residual differs for vid=$vid")
+    }
+    // residual codes (the q99 IVFADC corpus side) == driver reference
+    def codeOf(v: Array[Float], j: Int): Int = {
+      val r = residOf(v)
+      cb.indices.minBy(c => (refSubL2(r, cb(c), j * 8, 8), c))
+    }
+    val gotCodes = corpus.select(col("vid"),
+        Pq.encodeWord(Pq.residual(col("vemb"), coarse), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.keys.filter(_ >= 20).foreach { vid =>
+      var expected = 0L
+      (0 until 8).foreach(j => expected |= codeOf(rows(vid), j).toLong << (4 * j))
+      assert(gotCodes(vid) == expected, s"residual codes differ for vid=$vid")
+    }
+    // the composed (list, residual codes) build stays shuffle-free —
+    // the one-pass index-build shape q99's scaladoc claims
+    val plan = corpus.select(col("vid"),
+        Pq.coarseAssign(col("vemb"), coarse).cast("int").as("list"),
+        Pq.encodeWord(Pq.residual(col("vemb"), coarse), cb).as("codes"))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+    }.isEmpty, "residual index build should not shuffle")
+  }
+
   test("Lloyd codebook training decreases the quantization objective") {
     import graft.operators.Pq
     val d = "/root/testdata/sf0.001"
