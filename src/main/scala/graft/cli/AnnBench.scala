@@ -269,9 +269,7 @@ object AnnBench {
     val curveS = Seq(50, 100, 200, 500, 1000, 2000) ++
       (if (n >= 16000000L) Seq(5000) else Nil)
     case class Curve(recall: Map[Int, Double], planted: Map[Int, Double])
-    def recallCurve(tab: DataFrame, cents: IndexedSeq[Array[Float]],
-        bits: Int): Curve = {
-      val ranked = adcTopK(tab, cents, bits, curveS.max) // qid -> ADC-ordered vids
+    def curveFrom(ranked: Map[Long, Seq[Long]]): Curve = {
       val wanted = ranked.valuesIterator.flatten.toSet
       val fetched = corpus
         .join(broadcast(wanted.toSeq.toDF("vid")), Seq("vid"))
@@ -289,6 +287,9 @@ object AnnBench {
       }
       Curve(pairs.map(_._1).toMap, pairs.map(_._2).toMap)
     }
+    def recallCurve(tab: DataFrame, cents: IndexedSeq[Array[Float]],
+        bits: Int): Curve =
+      curveFrom(adcTopK(tab, cents, bits, curveS.max))
     val curve16 = recallCurve(codes, centRows, 4)
     val curve256 = recallCurve(codes256, centRows256, 8)
     // the judge-facing cost point: smallest shortlist reaching
@@ -391,6 +392,79 @@ object AnnBench {
     val recallIvfRr = (bruteSet & ivfRrRanked.map(t => (t._1, t._3)).toSet)
       .size.toDouble / bruteSet.size
 
+    // ---- RESIDUAL IVF-PQ (r18 VERDICT Next #1; Jégou et al. 2011 §IV,
+    // the IVFADC formulation): codes quantize x − coarse-centroid, NOT
+    // the raw vector — at fixed code width the error budget covers only
+    // the within-list displacement (max ~ cluster noise), not absolute
+    // position across the whole space, which is what collapsed rerank
+    // recall to 0.26 at S=500 at 64M on raw codes. Build cost is
+    // unchanged (the residual subtract rides inside the same map-only
+    // codegen pass); search swaps the single query table for one table
+    // PER PROBED LIST (q − list_centroid vs the residual codebook),
+    // carried into the scan as a small literal map keyed by list id.
+    def residOf(v: Array[Float]): Array[Float] = {
+      val l = centRows.indices.minBy(c => (l2(v, centRows(c)), c))
+      Array.tabulate(64)(i => (v(i).toDouble - centRows(l)(i).toDouble).toFloat)
+    }
+    var centsRes: IndexedSeq[Array[Float]] = null
+    val secTrainRes = time {
+      centsRes = Pq.trainResidualCodebooks(trainSample, centRows,
+        init256.map(residOf), iters = 3)
+    }
+    val ivfResDir = s"$work/ivfpq_res"
+    val secIvfResBuild = time {
+      corpus.select(col("vid"),
+          Pq.encodeWord(Pq.residual(col("vemb"), centRows), centsRes).as("codes"),
+          Pq.coarseAssign(col("vemb"), centRows).cast("int").as("list"))
+        .write.partitionBy("list").parquet(ivfResDir)
+    }
+    val ivfRes = spark.read.parquet(ivfResDir)
+    def resTables(q: Array[Float], lists: Seq[Int]): org.apache.spark.sql.Column =
+      map(lists.flatMap { l =>
+        val rq = Array.tabulate(64)(i =>
+          (q(i).toDouble - centRows(l)(i).toDouble).toFloat)
+        Seq(lit(l), typedLit(Pq.adcTable(rq, centsRes).toSeq))
+      }: _*)
+    // ADC ranking within probed lists (partition-pruned scan; per-list
+    // query tables resolved per row by a 4/16-entry literal-map lookup)
+    def resRank(nProbe: Int, s: Int): Map[Long, Seq[Long]] =
+      qRows.map { case (qid, q) =>
+        val lists = nearestLists(q, nProbe)
+        val top = ivfRes.filter(col("list").isin(lists: _*))
+          .agg(TopKAgg.topKByScore(
+            negate(Pq.adcScore(col("codes"),
+              element_at(resTables(q, lists), col("list")), 8)),
+            col("vid").cast("string"), s))
+          .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        qid -> top.map(_.getString(0).toLong).toSeq
+      }.toMap
+    // probe4 = production; probe16 = scan-everything (isolates coarse
+    // probe loss from quantization loss)
+    val curveRes4 = curveFrom(resRank(4, curveS.max))
+    val curveRes16 = curveFrom(resRank(16, curveS.max))
+    // the full production residual query path, timed end to end
+    def resRerankAt(nProbe: Int, s: Int): Array[(Long, Long, Long)] = {
+      val short = resRank(nProbe, s).toSeq
+        .flatMap { case (q, vs) => vs.map(q -> _) }.toDF("qid", "vid")
+      val fetched = corpus.join(broadcast(short), Seq("vid"))
+      topk(fetched.join(broadcast(queriesDf), Seq("qid"))
+          .select(col("qid"), col("vid"),
+            negate(graft.text.VectorExpressions.vecSubL2(
+              col("qemb"), col("vemb"), 0, 64)).as("score")), 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    }
+    var resRr: Array[(Long, Long, Long)] = null
+    val secResRr = minOf2 { resRr = resRerankAt(4, IvfShortlist) } / qRows.length
+    val resRrTop1 = resRr.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val plantedResRr = qRows.count { case (q, _) => resRrTop1.get(q).contains(q) }
+      .toDouble / qRows.length
+    val recallResRr = (bruteSet & resRr.map(t => (t._1, t._3)).toSet)
+      .size.toDouble / bruteSet.size
+    // the judge-facing cost point on the residual curve: smallest
+    // shortlist reaching rerank recall@5 >= 0.8 under production probe4
+    val sRes = chosenS(curveRes4)
+    val secResRrS = minOf2 { resRerankAt(4, sRes) } / qRows.length
+
     // partition-pruning proof, in-artifact: files a probe READS vs the
     // whole index (planning-time pruning on the hive `list` column;
     // counted via input_file_name over executed rows — DataFrame
@@ -440,6 +514,15 @@ object AnnBench {
       s""""sec_ivfpq_rr_1q":${f3(secIvfRr)},""" +
       s""""planted_at1_ivfpq_rr":${f3(plantedIvfRr)},""" +
       s""""recall_ivfpq_rr_at5":${f3(recallIvfRr)},""" +
+      s""""sec_train_res":${f3(secTrainRes)},""" +
+      s""""sec_ivf_res_build":${f3(secIvfResBuild)},""" +
+      s""""sec_ivfpq_res_rr_1q":${f3(secResRr)},""" +
+      s""""planted_at1_ivfpq_res_rr":${f3(plantedResRr)},""" +
+      s""""recall_ivfpq_res_rr_at5":${f3(recallResRr)},""" +
+      s""""rerank_s_res":$sRes,"sec_ivfpq_res_rr_1q_chosen":${f3(secResRrS)},""" +
+      s""""recall_curve_res_probe4":${curveJson(curveRes4.recall)},""" +
+      s""""recall_curve_res_probe16":${curveJson(curveRes16.recall)},""" +
+      s""""planted_rerank_curve_res_probe4":${curveJson(curveRes4.planted)},""" +
       probeSecs.map { case (p, s) => s""""sec_ivfpq_1q_probe$p":${f3(s)}""" }
         .mkString("", ",", ",") +
       probePlanted.map { case (p, v) => s""""planted_at1_ivfpq_probe$p":${f3(v)}""" }

@@ -294,7 +294,16 @@ object Compactor {
     // commit order matches KeyedDelta/Upserter (round-11 ADVICE):
     // manifest first, superseded files after — never a manifest that
     // references deleted files
-    val committed = ZoneMap.write(dir, updated)
+    // writeCas (round-19 OCC): abort rather than clobber a racing commit
+    val committed =
+      try ZoneMap.writeCas(dir, updated)
+      catch {
+        case e: ConcurrentCommitException =>
+          moved.foreach(p => fs.delete(
+            new org.apache.hadoop.fs.Path(new java.net.URI(p)), false))
+          spark.catalog.refreshByPath(dir)
+          throw e
+      } finally StagedRewrite.release(moved)
     StagedRewrite.deleteFiles(fs, affected)
     spark.catalog.refreshByPath(dir)
     // scoped rewrites keep every key-index sidecar current (whole-table

@@ -109,7 +109,18 @@ object KeyedDelta {
     // ZoneMap.write stamps the commit generation; propagate ITS result
     // so a caller passing the manifest to KeyIndex.affectedPaths sees
     // the stamped gens, not gen=None files read as 0 (r15 ADVICE).
-    val committed = ZoneMap.write(dir, updated)
+    // writeCas (round-19 OCC): a commit racing another mutation fails
+    // loudly instead of silently dropping the other writer's file set;
+    // the caller re-runs against the fresh manifest
+    val committed =
+      try ZoneMap.writeCas(dir, updated)
+      catch {
+        case e: ConcurrentCommitException =>
+          // loser cleanup: our uuid-unique moved files come back out
+          moved.foreach(p => fs.delete(new Path(new java.net.URI(p)), false))
+          spark.catalog.refreshByPath(dir)
+          throw e
+      } finally StagedRewrite.release(moved)
     StagedRewrite.deleteFiles(fs, affected)
     // manual file moves bypass Spark's write-path invalidation — stale
     // listings would read deleted part files on the next dir-level scan

@@ -27,11 +27,31 @@ object StagedRewrite {
     (if (partitioned) r.option("basePath", dir) else r).parquet(paths: _*)
   }
 
+  /** Part files an IN-FLIGHT mutation has moved into a table dir but not
+    * yet committed: [[reconcile]] must not purge them as orphans — a
+    * concurrent mutation on the same table runs reconcile at entry, and
+    * without this registry it would delete the other writer's staged
+    * rewrite out from under its commit (round-19 OCC work). Keyed by
+    * filesystem path component. [[writeAndMove]] registers; mutators
+    * [[release]] in a finally after commit or abort (an aborting writer
+    * deletes its own moved files first — see Upserter). Same-JVM only,
+    * matching the driver-side writer topology writeCas serializes.
+    */
+  private val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def pathKey(uri: String): String = new java.net.URI(uri).getPath
+
+  /** Deregister moved files once their manifest commit landed (or their
+    * abort cleanup deleted them).
+    */
+  def release(paths: Seq[String]): Unit = paths.foreach(p => inFlight.remove(pathKey(p)))
+
   /** Write `df` to `staging` (partitionBy when the table is partitioned),
     * then move every part file into `dir` PRESERVING its
     * partition-relative subpath (`p=1/part-xxx.parquet` stays under
     * `dir/p=1/`). Part names are UUID-unique, so moves cannot collide
-    * with surviving files. Returns the moved files' URIs.
+    * with surviving files. Returns the moved files' URIs (registered
+    * in-flight until [[release]]).
     */
   def writeAndMove(
       spark: SparkSession,
@@ -57,6 +77,7 @@ object StagedRewrite {
       val dst = new Path(dir, rel)
       fs.mkdirs(dst.getParent)
       fs.rename(src, dst)
+      inFlight.add(dst.toUri.getPath)
       dst.toUri.toString
     }
     fs.delete(stagingPath, true)
@@ -97,7 +118,10 @@ object StagedRewrite {
       }
       else if (s.getPath.getName.startsWith("part-")) {
         if (referenced.contains(s.getPath.toUri.getPath)) anyReferenced = true
-        else candidates += s.getPath
+        // in-flight files belong to a concurrent mutation that has not
+        // committed yet — not crash debris
+        else if (!inFlight.contains(s.getPath.toUri.getPath))
+          candidates += s.getPath
       }
     }
     walk(new Path(dir))

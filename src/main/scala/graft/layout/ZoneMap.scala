@@ -242,6 +242,15 @@ case class StrIn(col: String, values: Seq[String]) extends ZonePredicate {
 case class PrunedView(manifest: TableManifest, kept: Seq[FileEntry],
     filesTotal: Int, rowsTotal: Long, bytesTotal: Long)
 
+/** A commit raced another writer: the manifest generation on disk is no
+  * longer the one the mutation was computed against. Mutators either
+  * rebase and retry (Upserter: disjoint rewrites merge cleanly) or
+  * propagate (compaction/delta flows: the caller re-runs against the
+  * fresh state). `onDisk`/`expected` are the conflicting generations.
+  */
+class ConcurrentCommitException(msg: String, val onDisk: Long, val expected: Long)
+  extends RuntimeException(msg)
+
 object ZoneMap {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
   val ManifestName = "_graft_manifest.json"
@@ -473,6 +482,26 @@ object ZoneMap {
     } finally p.close()
   }
 
+  /** The generation stamped on the CURRENT on-disk header, by token
+    * streaming (cheap even on non-sidecar headers). None = no header.
+    */
+  def headerGeneration(dir: String): Option[Long] = {
+    import com.fasterxml.jackson.core.JsonToken._
+    val hp = Paths.get(dir, ManifestName)
+    if (!Files.exists(hp)) return None
+    val p = jsonFactory.createParser(hp.toFile)
+    try {
+      if (p.nextToken() != START_OBJECT) return None
+      while (p.nextToken() != END_OBJECT) {
+        val name = p.currentName(); p.nextToken()
+        if (name == "generation") return Some(p.getLongValue)
+        p.skipChildren()
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally p.close()
+  }
+
   /** The sidecar name the CURRENT on-disk header references, extracted
     * by token streaming (skips the inline files array, so this is cheap
     * even on non-sidecar headers) — the GC keep-set authority.
@@ -494,7 +523,39 @@ object ZoneMap {
     finally p.close()
   }
 
-  def write(dir: String, m: TableManifest): TableManifest = {
+  // one lock object per canonical table dir: same-JVM commits serialize,
+  // so writeCas's generation check-and-publish is atomic within the
+  // driver (the only writer topology this engine runs — mutations are
+  // driver-side). Cross-JVM writers get best-effort detection: the gen
+  // re-read inside the lock narrows the race to the rename window, the
+  // same storage-dependent guarantee Delta on non-locking object stores
+  // documents.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    commitLocks.computeIfAbsent(canonical(dir), _ => new Object)
+
+  /** Check-and-swap commit: publish `m` ONLY if the on-disk generation
+    * still equals the one `m` was read at (missing header = 0) — throws
+    * [[ConcurrentCommitException]] otherwise. Mutators of EXISTING
+    * tables (upsert, delta, compaction, index append) commit through
+    * this; fresh-table writers keep plain [[write]] (a re-layout
+    * legitimately replaces whatever generation is there).
+    */
+  def writeCas(dir: String, m: TableManifest): TableManifest =
+    lockFor(dir).synchronized {
+      val onDisk = headerGeneration(dir).getOrElse(0L)
+      val expected = m.generation.getOrElse(0L)
+      if (onDisk != expected)
+        throw new ConcurrentCommitException(
+          s"concurrent commit on $dir: manifest is at generation $onDisk, " +
+            s"this mutation was computed against $expected — re-read and " +
+            "rebase (disjoint file sets) or re-run (overlapping)",
+          onDisk, expected)
+      write(dir, m)
+    }
+
+  def write(dir: String, m: TableManifest): TableManifest = lockFor(dir).synchronized {
     // generations start at 1, NOT 0: KeyIndex.build on a never-stamped
     // manifest records indexedGen = generation.getOrElse(0) = 0, so a
     // first commit at gen 0 that crashed before KeyIndex.update would

@@ -78,7 +78,10 @@ object SearchIndex {
     if (fresh.nonEmpty) {
       val entries = graft.layout.ZoneMap.collectStatsDf(
         spark.read.parquet(fresh.toIndexedSeq: _*), before.statsCols)
-      graft.layout.ZoneMap.write(pdir, before.copy(files = before.files ++ entries))
+      // writeCas (round-19 OCC): appends rebase trivially, but a racing
+      // optimize() rewrites the whole postings set - fail loudly instead
+      graft.layout.ZoneMap.writeCas(pdir,
+        before.copy(files = before.files ++ entries))
       InvertedIndex.docLengths(batch, idCol, textCol)
         .write.mode("append").parquet(s"$dir/doclen")
     }

@@ -43,6 +43,13 @@ object Upserter {
     */
   case class UpsertResult(manifest: TableManifest, reclustered: Boolean)
 
+  /** Test seam: runs after the rewrite is staged and BEFORE the CAS
+    * commit loop — a suite can run a whole competing upsert here to
+    * exercise the rebase/abort paths deterministically (a thread race
+    * would make which writer rebases nondeterministic).
+    */
+  private[table] var testHookBeforeCommit: () => Unit = () => ()
+
   /** Upsert `batch` into the layout table at `dir`. Returns the refreshed
     * manifest. Record key tuple (single or composite) and precombine
     * column come from the manifest.
@@ -249,10 +256,57 @@ object Upserter {
     // publish the manifest FIRST, delete superseded files after — a
     // crash in between leaves orphan old files a manifest-driven reader
     // never sees, never a manifest referencing deleted files.
-    // ZoneMap.write stamps the commit generation; propagate ITS result.
-    val updated = ZoneMap.write(dir, manifest.copy(
-      files = untouched ++ newEntries,
-      commitsSinceCluster = Some(manifest.commitsSinceCluster.getOrElse(0) + 1)))
+    //
+    // OPTIMISTIC CONCURRENCY (round-19, the Delta/Hudi/Iceberg OCC
+    // analog): the commit goes through ZoneMap.writeCas — if another
+    // writer committed since our read, re-read the FRESH manifest and
+    // rebase: our untouched set is recomputed from the fresh file list
+    // (which now carries the other writer's files), our new entries are
+    // appended, and the CAS retries. Sound ONLY when the file sets are
+    // disjoint: if any file WE rewrote (and are about to delete) was
+    // already replaced by the other commit, the two upserts touched
+    // overlapping key ranges and a merge would silently drop one side's
+    // rows — abort loudly instead (our staged part files are left
+    // manifest-unreferenced; the next mutation's reconcile purges them).
+    val affectedPaths = affected.map(f => ZoneMap.canonical(f.path)).toSet
+    var base = manifest
+    var updated: TableManifest = null
+    var attempt = 0
+    try {
+      testHookBeforeCommit()
+      while (updated == null) {
+        val untouchedNow =
+          if (base eq manifest) untouched
+          else base.files.filterNot(f => affectedPaths(ZoneMap.canonical(f.path)))
+        try updated = ZoneMap.writeCas(dir, base.copy(
+          files = untouchedNow ++ newEntries,
+          commitsSinceCluster = Some(base.commitsSinceCluster.getOrElse(0) + 1)))
+        catch {
+          case e: ConcurrentCommitException =>
+            if (attempt >= 5) throw e
+            attempt += 1
+            val fresh = ZoneMap.read(dir)
+            val freshPaths = fresh.files.map(f => ZoneMap.canonical(f.path)).toSet
+            val gone = affectedPaths -- freshPaths
+            if (gone.nonEmpty)
+              throw new ConcurrentCommitException(
+                s"overlapping concurrent upserts on $dir: " +
+                  s"${gone.size} file(s) this upsert rewrote were already " +
+                  s"replaced by another commit (e.g. ${gone.head}) — " +
+                  "the key ranges overlap; re-run this upsert against the " +
+                  "fresh table", e.onDisk, e.expected)
+            base = fresh
+        }
+      }
+    } catch {
+      case e: ConcurrentCommitException =>
+        // abort cleanly: OUR moved-but-uncommitted part files come back
+        // out of the table dir (they are ours alone — part names are
+        // uuid-unique), so the loser leaves no orphans at all
+        moved.foreach(p => fs.delete(new Path(new java.net.URI(p)), false))
+        spark.catalog.refreshByPath(dir)
+        throw e
+    } finally StagedRewrite.release(moved)
     StagedRewrite.deleteFiles(fs, affected)
     spark.catalog.refreshByPath(dir)
     // index maintenance AFTER the commit: a crash in between leaves
