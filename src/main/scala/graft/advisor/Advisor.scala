@@ -279,6 +279,12 @@ object Advisor {
             org.apache.spark.sql.types.TimestampNTZType) =>
           Some(n.doubleValue() / 1e6)
         case (n: Number, _) => Some(n.doubleValue())
+        // fractional literals (BETWEEN 35.81 AND 37.37) parse as
+        // Decimal, which is NOT a java.lang.Number — without this arm
+        // every decimal band vanished and a fully-prunable workload
+        // read as "no prunable predicate" (round-19; the same gap
+        // ZoneTranslator closed in round 3)
+        case (d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
         case _ => None
       }
       case Cast(c, _, _, _) => litNum(c)

@@ -402,34 +402,63 @@ object AnnBench {
     // codegen pass); search swaps the single query table for one table
     // PER PROBED LIST (q − list_centroid vs the residual codebook),
     // carried into the scan as a small literal map keyed by list id.
+    // the residual arm's coarse quantizer is CLUSTER-RESOLUTION: 1024
+    // lists (vs the flat IVF arm's 16) — with 16 lists a residual still
+    // spans ~256 synthetic clusters and the quantization budget barely
+    // improves (measured at 8M: 0.62@S500 residual vs 0.52 raw); with
+    // k' ≈ √N lists the residual is one neighborhood's displacement and
+    // the SAME 8-byte code resolves within-cluster order. Probing is
+    // still partition pruning — 16 of 1024 lists = 1.6 % of the corpus
+    // per query (the 16-list arm's probe4 reads 25 %).
+    val CoarseRes = 1024
+    val NProbeRes = 16
+    val initCoarse = corpusAll
+      .filter(col("vec_id") >= 1000 && col("vec_id") < 1000L + CoarseRes)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray).toIndexedSeq
+    var coarseRes: IndexedSeq[Array[Float]] = null
+    val secTrainCoarse = time {
+      coarseRes = Pq.trainCoarse(trainSample, initCoarse, iters = 2)
+    }
     def residOf(v: Array[Float]): Array[Float] = {
-      val l = centRows.indices.minBy(c => (l2(v, centRows(c)), c))
-      Array.tabulate(64)(i => (v(i).toDouble - centRows(l)(i).toDouble).toFloat)
+      val l = coarseRes.indices.minBy(c => (l2(v, coarseRes(c)), c))
+      Array.tabulate(64)(i => (v(i).toDouble - coarseRes(l)(i).toDouble).toFloat)
     }
     var centsRes: IndexedSeq[Array[Float]] = null
     val secTrainRes = time {
-      centsRes = Pq.trainResidualCodebooks(trainSample, centRows,
+      centsRes = Pq.trainResidualCodebooks(trainSample, coarseRes,
         init256.map(residOf), iters = 3)
     }
     val ivfResDir = s"$work/ivfpq_res"
+    // repartition by list BEFORE the partitioned write: without it every
+    // task writes a sliver into every touched list dir (32 tasks × 1024
+    // lists ≈ 33k tiny files); with it each list is one file
+    // two-step select: the k'×dim coarse argmin runs ONCE per row (its
+    // own projection), the residual is then a plain subtraction against
+    // the assigned centroid (PqResidualAt) — still one map-only pass
     val secIvfResBuild = time {
-      corpus.select(col("vid"),
-          Pq.encodeWord(Pq.residual(col("vemb"), centRows), centsRes).as("codes"),
-          Pq.coarseAssign(col("vemb"), centRows).cast("int").as("list"))
+      corpus.select(col("vid"), col("vemb"),
+          Pq.coarseAssign(col("vemb"), coarseRes).cast("int").as("list"))
+        .select(col("vid"), col("list"),
+          Pq.encodeWord(Pq.residualAt(col("vemb"), col("list"), coarseRes),
+            centsRes).as("codes"))
+        .repartition(CoarseRes, col("list"))
         .write.partitionBy("list").parquet(ivfResDir)
     }
     val ivfRes = spark.read.parquet(ivfResDir)
+    def nearestResLists(q: Array[Float], nProbe: Int): Seq[Int] =
+      coarseRes.indices.sortBy(c => (l2(q, coarseRes(c)), c)).take(nProbe)
     def resTables(q: Array[Float], lists: Seq[Int]): org.apache.spark.sql.Column =
       map(lists.flatMap { l =>
         val rq = Array.tabulate(64)(i =>
-          (q(i).toDouble - centRows(l)(i).toDouble).toFloat)
+          (q(i).toDouble - coarseRes(l)(i).toDouble).toFloat)
         Seq(lit(l), typedLit(Pq.adcTable(rq, centsRes).toSeq))
       }: _*)
     // ADC ranking within probed lists (partition-pruned scan; per-list
-    // query tables resolved per row by a 4/16-entry literal-map lookup)
+    // query tables resolved per row by an nProbe-entry literal-map lookup)
     def resRank(nProbe: Int, s: Int): Map[Long, Seq[Long]] =
       qRows.map { case (qid, q) =>
-        val lists = nearestLists(q, nProbe)
+        val lists = nearestResLists(q, nProbe)
         val top = ivfRes.filter(col("list").isin(lists: _*))
           .agg(TopKAgg.topKByScore(
             negate(Pq.adcScore(col("codes"),
@@ -438,10 +467,10 @@ object AnnBench {
           .collect()(0).getSeq[org.apache.spark.sql.Row](0)
         qid -> top.map(_.getString(0).toLong).toSeq
       }.toMap
-    // probe4 = production; probe16 = scan-everything (isolates coarse
-    // probe loss from quantization loss)
-    val curveRes4 = curveFrom(resRank(4, curveS.max))
-    val curveRes16 = curveFrom(resRank(16, curveS.max))
+    // probe16 = production; probe64 isolates coarse probe loss from
+    // quantization loss (4× the lists, same codes)
+    val curveRes4 = curveFrom(resRank(NProbeRes, curveS.max))
+    val curveRes16 = curveFrom(resRank(NProbeRes * 4, curveS.max))
     // the full production residual query path, timed end to end
     def resRerankAt(nProbe: Int, s: Int): Array[(Long, Long, Long)] = {
       val short = resRank(nProbe, s).toSeq
@@ -454,16 +483,16 @@ object AnnBench {
         .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
     }
     var resRr: Array[(Long, Long, Long)] = null
-    val secResRr = minOf2 { resRr = resRerankAt(4, IvfShortlist) } / qRows.length
+    val secResRr = minOf2 { resRr = resRerankAt(NProbeRes, IvfShortlist) } / qRows.length
     val resRrTop1 = resRr.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
     val plantedResRr = qRows.count { case (q, _) => resRrTop1.get(q).contains(q) }
       .toDouble / qRows.length
     val recallResRr = (bruteSet & resRr.map(t => (t._1, t._3)).toSet)
       .size.toDouble / bruteSet.size
     // the judge-facing cost point on the residual curve: smallest
-    // shortlist reaching rerank recall@5 >= 0.8 under production probe4
+    // shortlist reaching rerank recall@5 >= 0.8 under production probing
     val sRes = chosenS(curveRes4)
-    val secResRrS = minOf2 { resRerankAt(4, sRes) } / qRows.length
+    val secResRrS = minOf2 { resRerankAt(NProbeRes, sRes) } / qRows.length
 
     // partition-pruning proof, in-artifact: files a probe READS vs the
     // whole index (planning-time pruning on the hive `list` column;
@@ -514,15 +543,17 @@ object AnnBench {
       s""""sec_ivfpq_rr_1q":${f3(secIvfRr)},""" +
       s""""planted_at1_ivfpq_rr":${f3(plantedIvfRr)},""" +
       s""""recall_ivfpq_rr_at5":${f3(recallIvfRr)},""" +
+      s""""coarse_res":$CoarseRes,"nprobe_res":$NProbeRes,""" +
+      s""""sec_train_coarse":${f3(secTrainCoarse)},""" +
       s""""sec_train_res":${f3(secTrainRes)},""" +
       s""""sec_ivf_res_build":${f3(secIvfResBuild)},""" +
       s""""sec_ivfpq_res_rr_1q":${f3(secResRr)},""" +
       s""""planted_at1_ivfpq_res_rr":${f3(plantedResRr)},""" +
       s""""recall_ivfpq_res_rr_at5":${f3(recallResRr)},""" +
       s""""rerank_s_res":$sRes,"sec_ivfpq_res_rr_1q_chosen":${f3(secResRrS)},""" +
-      s""""recall_curve_res_probe4":${curveJson(curveRes4.recall)},""" +
-      s""""recall_curve_res_probe16":${curveJson(curveRes16.recall)},""" +
-      s""""planted_rerank_curve_res_probe4":${curveJson(curveRes4.planted)},""" +
+      s""""recall_curve_res_probe$NProbeRes":${curveJson(curveRes4.recall)},""" +
+      s""""recall_curve_res_probe${NProbeRes * 4}":${curveJson(curveRes16.recall)},""" +
+      s""""planted_rerank_curve_res_probe$NProbeRes":${curveJson(curveRes4.planted)},""" +
       probeSecs.map { case (p, s) => s""""sec_ivfpq_1q_probe$p":${f3(s)}""" }
         .mkString("", ",", ",") +
       probePlanted.map { case (p, v) => s""""planted_at1_ivfpq_probe$p":${f3(v)}""" }

@@ -69,12 +69,24 @@ object Scenario {
     * by construction (same WHERE); what the matrix measures is whether
     * the layout SPEEDUP survives post-scan aggregation/sort work.
     */
+  /** `advise` (round-19, VERDICT Next #7): close the advisor loop
+    * end-to-end — the generated workload's SQL texts go through
+    * [[graft.advisor.Advisor.recommendLayout]] (profiled kinds /
+    * cardinalities / ranges included), the RECOMMENDED spec is
+    * materialized as an extra `advised(<family>)` arm, and the matrix
+    * measures it against every fixed arm. The artifact then shows the
+    * advice beating the default (baseline) and matching the best fixed
+    * family, instead of the advice being a text-only verdict
+    * (results/advise_rq6 reproduced RQ6 from texts; this materializes).
+    */
   def runMatrix(spark: SparkSession, sfDir: String,
       nPerBand: Int = 6, numFiles: Int = 16,
       bands: Seq[(String, Double)] = Bands,
       bits: Option[Int] = None,
       cols: Seq[String] = Seq("l_quantity", "l_extendedprice"),
-      shape: String = "plain"): Seq[Cell] = {
+      shape: String = "plain",
+      advise: Boolean = false,
+      adviceOut: Option[String] = None): Seq[Cell] = {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -110,19 +122,58 @@ object Scenario {
             "ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 1000"
         case other => throw new IllegalArgumentException(s"unknown shape $other")
       }
+      val instances: Seq[(String, Seq[(graft.wlg.WorkloadGen.QueryInstance, Int)])] =
+        bands.map { case (band, selOverall) =>
+          val selDim = math.pow(selOverall, 1.0 / cols.length)
+          val spec = TemplateSpec(
+            name = s"rq_$band",
+            sql = shapeSql,
+            params = cols.zipWithIndex.map { case (c, i) =>
+              RangeParam(s"p$i", c, selDim)
+            },
+            constraints = cols.indices.map(i => s"p${i}_hi >= p${i}_lo"),
+            n = nPerBand)
+          band -> WorkloadGen.fill(spec, stats, "{{tbl}}").zipWithIndex
+        }
+
+      // the advised arm: recommend from the workload texts + profile,
+      // materialize the recommendation, measure it like any fixed arm
+      val advisedArm: Option[(String, String)] = if (!advise) None else {
+        import graft.advisor.Advisor
+        val sqls = instances.flatMap(_._2)
+          .map(_._1.sql.replace("{{tbl}}", "lineitem"))
+        val kinds = stats.columns.map(c => c.name.toLowerCase -> c.kind).toMap
+        val uniqueRatio = stats.columns.map(c =>
+          c.name.toLowerCase -> (if (stats.rows == 0) 0.0
+            else c.cardinality.toDouble / stats.rows)).toMap
+        val colRanges = stats.columns.flatMap(c =>
+          for { mn <- c.min; mx <- c.max } yield
+            c.name.toLowerCase -> (mn, mx)).toMap
+        val advice = Advisor.recommendLayout(
+          spark, sqls, colRanges, kinds, uniqueRatio, k = cols.length)
+        val advCols = if (advice.cols.nonEmpty) advice.cols else cols
+        val dir = java.nio.file.Files.createTempDirectory("graft_rq_adv").toString
+        LayoutWriter.write(li, dir, LayoutSpec(advice.layout,
+          if (advice.layout == "baseline") Nil else advCols,
+          bits = bits, numFiles = Some(numFiles)))
+        adviceOut.foreach { out =>
+          val op = java.nio.file.Paths.get(out)
+          if (op.getParent != null) java.nio.file.Files.createDirectories(op.getParent)
+          def jStr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+          java.nio.file.Files.writeString(op,
+            s"""{"family":${jStr(advice.layout)},""" +
+              s""""cols":[${advCols.map(jStr).mkString(",")}],""" +
+              s""""prune_coverage":${advice.pruneCoverage},""" +
+              s""""reason":${jStr(advice.reason)}}""" + "\n")
+        }
+        Some(s"advised(${advice.layout})" -> dir)
+      }
+      val arms = layoutDirs ++ advisedArm.toSeq
+
       val cells = for {
-        (band, selOverall) <- bands
-        selDim = math.pow(selOverall, 1.0 / cols.length)
-        spec = TemplateSpec(
-          name = s"rq_$band",
-          sql = shapeSql,
-          params = cols.zipWithIndex.map { case (c, i) =>
-            RangeParam(s"p$i", c, selDim)
-          },
-          constraints = cols.indices.map(i => s"p${i}_hi >= p${i}_lo"),
-          n = nPerBand)
-        (inst, qi) <- WorkloadGen.fill(spec, stats, "{{tbl}}").zipWithIndex
-        (layout, dir) <- layoutDirs
+        (band, insts) <- instances
+        (inst, qi) <- insts
+        (layout, dir) <- arms
       } yield {
         val preds = cols.zipWithIndex.map { case (c, i) =>
           NumBetween(c,
@@ -143,7 +194,8 @@ object Scenario {
           scan.filesKept, scan.filesTotal, m.bytesScanned,
           scan.bytesKept, scan.bytesTotal, m.recordsRead)
       }
-      layoutDirs.foreach { case (_, d) => deleteRec(new java.io.File(d)) }
+      (layoutDirs ++ advisedArm.toSeq)
+        .foreach { case (_, d) => deleteRec(new java.io.File(d)) }
       cells
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -261,17 +313,21 @@ object Scenario {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = args.lift(1).getOrElse("/tmp/graft_rq1")
+    val advise0 = args.contains("--advise")
+    val pos = args.filterNot(_ == "--advise")
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = pos.lift(1).getOrElse("/tmp/graft_rq1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.runner.Sessions
       .tuned(SparkSession.builder().master(s"local[$cpus]"), cpus, sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cells = runMatrix(spark, sfDir,
-      nPerBand = args.lift(2).map(_.toInt).getOrElse(6),
-      numFiles = args.lift(3).map(_.toInt).getOrElse(16),
-      bits = args.lift(4).map(_.toInt))
+      nPerBand = pos.lift(2).map(_.toInt).getOrElse(6),
+      numFiles = pos.lift(3).map(_.toInt).getOrElse(16),
+      bits = pos.lift(4).map(_.toInt),
+      advise = advise0,
+      adviceOut = if (advise0) Some(s"$outDir/advice.json") else None)
     val geo = geomeans(cells)
     writeCsvs(outDir, cells, geo)
     println(f"${"band"}%-5s ${"layout"}%-10s ${"gmSpeedup"}%10s ${"gmFiles"}%8s ${"kept/total"}%12s")

@@ -253,6 +253,18 @@ class PqSuite extends SparkTestBase {
       (0 until 8).foreach(j => expected |= codeOf(rows(vid), j).toLong << (4 * j))
       assert(gotCodes(vid) == expected, s"residual codes differ for vid=$vid")
     }
+    // residualAt (argmin precomputed as a column) is bit-identical to
+    // residual (internal argmin) — the index-build fast path
+    val viaAt = corpus
+      .select(col("vid"), col("vemb"),
+        Pq.coarseAssign(col("vemb"), coarse).cast("int").as("list"))
+      .select(col("vid"),
+        Pq.residualAt(col("vemb"), col("list"), coarse).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.keys.filter(_ >= 20).foreach { vid =>
+      assert(viaAt(vid).sameElements(gotResid(vid)),
+        s"residualAt drifted from residual for vid=$vid")
+    }
     // the composed (list, residual codes) build stays shuffle-free —
     // the one-pass index-build shape q99's scaladoc claims
     val plan = corpus.select(col("vid"),
