@@ -410,7 +410,11 @@ object AnnBench {
     // the SAME 8-byte code resolves within-cluster order. Probing is
     // still partition pruning — 16 of 1024 lists = 1.6 % of the corpus
     // per query (the 16-list arm's probe4 reads 25 %).
-    val CoarseRes = 1024
+    // k' grows with the corpus (the √N sizing): 1024 lists resolve ~4
+    // synthetic clusters each; at ≥32M the shortlist needed for
+    // recall@5 ≥ 0.8 tracks CLUSTER POPULATION (2M→S200, 8M→S500
+    // measured), so the 64M point gets cluster-resolution 4096 lists
+    val CoarseRes = if (n >= 32000000L) 4096 else 1024
     val NProbeRes = 16
     val initCoarse = corpusAll
       .filter(col("vec_id") >= 1000 && col("vec_id") < 1000L + CoarseRes)

@@ -46,7 +46,11 @@ object ScaleUp {
       }.drop("__copy")
     }
 
-    for (t <- graft.Tables.all) {
+    // optional 4th arg: comma-separated table subset (e.g. the rq1 sf64
+    // rung scales the TPC-H relational tables and skips the text/vector
+    // corpora whose 640× copies would exhaust the disk for no reader)
+    val only = args.lift(3).map(_.split(",").toSet)
+    for (t <- graft.Tables.all if only.forall(_.contains(t))) {
       val df = spark.read.parquet(s"$src/$t.parquet")
       val out = t match {
         case "customer" => replicate(df, Seq("c_custkey" -> bases("customer")))

@@ -225,6 +225,8 @@ def main(out="results/figs"):
     pts = []
     for f, n in (("results/ann_scale.json", "2M"),
                  ("results/ann_scale_8m.json", "8M"),
+                 ("results/ann_scale_16m.json", "16M"),
+                 ("results/ann_scale_32m.json", "32M"),
                  ("results/ann_scale_64m.json", "64M")):
         if os.path.exists(f):
             pts.append((n, json.load(open(f))))
@@ -247,6 +249,35 @@ def main(out="results/figs"):
                      [n for n, _ in pts], list(vals), vals,
                      unit="seconds per query", ref=None,
                      note="IVF probes 4/16 hive partitions (planning-time pruning); data: ann_scale*.json")
+
+        # residual IVFADC (r19): recall curves + the scaling law "shortlist
+        # needed for recall@5 >= 0.8 as a function of corpus size"
+        res_key = "recall_curve_res_probe16"
+        if any(res_key in d for _, d in pts):
+            xs = sorted({int(s) for _, d in pts for s in d.get(res_key, {})})
+            series = [(n, {int(s): v for s, v in d[res_key].items()})
+                      for n, d in pts if res_key in d]
+            lines(f"{out}/fig_ann_recall_residual.svg",
+                  "Residual IVFADC: re-rank recall@5 vs shortlist size",
+                  xs, series, logx=True, xlabel="shortlist S (log)",
+                  ylabel="recall@5 vs exact",
+                  note="codes quantize x - coarse centroid (k'=1024/4096 lists, probe16); data: ann_scale*.json")
+
+            def s_for(d, key):
+                c = {int(s): v for s, v in d.get(key, {}).items()}
+                hits = [s for s in sorted(c) if c[s] >= 0.8]
+                return hits[0] if hits else None
+            law = {"raw k256 codes": {}, "residual codes": {}}
+            for n, d in pts:
+                s_raw = s_for(d, "recall_curve_k256")
+                s_res = s_for(d, res_key)
+                if s_raw: law["raw k256 codes"][n] = s_raw
+                if s_res: law["residual codes"][n] = s_res
+            grouped_bars(f"{out}/fig_ann_scaling_law.svg",
+                         "Shortlist needed for re-rank recall@5 >= 0.8",
+                         [n for n, _ in pts], list(law), law,
+                         unit="shortlist S", ref=None,
+                         note="missing bar = 0.8 never reached on the measured S grid; data: ann_scale*.json")
 
     # manifest scaling
     p = "results/manifest_scale.json"
