@@ -90,31 +90,56 @@ object Rq6Routed {
       val rows = Seq.newBuilder[String]
       def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val armTotals = scala.collection.mutable.LinkedHashMap[String, Double]()
+      var routeSec = 0.0
+      // the routed arm's per-query registration, shared by the warm and
+      // measured loops so the warm pass heats the SAME variants the
+      // measured streams will read (warming a fixed variant instead
+      // hands the routed arm a cold page cache for every query routed
+      // elsewhere). Routing time is accounted separately (route_sec).
+      // per-table routing decision + every variant's estimate, so the
+      // artifact shows WHY each choice was made (est = kept bytes/files
+      // per variant keyed by the arm's layout name)
+      case class Routed(layout: String,
+          est: Seq[(String, LayoutRouter.Choice)])
+      def routeAndRegister(script: String, timed: Boolean): Map[String, Routed] =
+        cfgs.map { cfg =>
+          val variants = layouts.map(l => dirs((cfg.table, l)))
+          val t0 = System.nanoTime()
+          val schema = spark.read.parquet(variants.head).schema
+          val preds = LayoutRouter.zonePreds(spark, script, schema)
+          val est = LayoutRouter.choices(variants, preds)
+          val c = LayoutRouter.pick(est)
+          if (timed) routeSec += (System.nanoTime() - t0) / 1e9
+          SfcTable.open(spark, c.dir).createOrReplaceTempView(cfg.table)
+          cfg.table -> Routed(c.layout, layouts.zip(est))
+        }.toMap
       for (arm <- arms) {
         // warm pass: JIT + page cache, one per arm so the first measured
         // stream isn't structurally slower
-        if (arm != "routed") registerArm(arm) else registerArm(layouts.head)
+        if (arm != "routed") registerArm(arm)
         if (warm) for (q <- 1 to 22)
-          try SqlScript.run(spark, TpchQueries.streamScripts(q)).count()
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            val script = TpchQueries.streamScripts(q)
+            if (arm == "routed") routeAndRegister(script, timed = false)
+            SqlScript.run(spark, script).count()
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[rq6r] warm q$q failed: ${e.getMessage}") }
         var armTotal = 0.0
         for (i <- 1 to math.min(nStreams, Rq6.StreamOrders.length)) {
           for (q <- Rq6.StreamOrders(i - 1)) {
             val script = TpchQueries.streamScripts(q)
-            val chosen: Map[String, String] =
+            val chosen: Map[String, Routed] =
               if (arm != "routed") Map.empty
-              else cfgs.map { cfg =>
-                val variants = layouts.map(l => dirs((cfg.table, l)))
-                val c = LayoutRouter.route(spark, variants, script)
-                SfcTable.open(spark, c.dir).createOrReplaceTempView(cfg.table)
-                cfg.table -> c.layout
-              }.toMap
+              else routeAndRegister(script, timed = true)
             val m = QueryRunner.run(spark, SqlScript.run(spark, script),
               s"$arm-s$i-q$q", listener = Some(listener), action = "count")
             armTotal += m.wallSec
-            val chosenJson = chosen.map { case (t, l) => s""""$t":"$l"""" }
-              .mkString("{", ",", "}")
+            val chosenJson = chosen.map { case (t, r) =>
+              val est = r.est.map { case (l, c) =>
+                s""""$l":[${c.bytesKept},${c.filesKept}]"""
+              }.mkString("{", ",", "}")
+              s""""$t":{"layout":"${r.layout}","est_bytes_files":$est}"""
+            }.mkString("{", ",", "}")
             rows += s"""{"arm":"$arm","stream":$i,"q":$q,""" +
               s""""sec":${f3(m.wallSec)},"files":${m.filesScanned},""" +
               s""""bytes":${m.bytesScanned},"routed":$chosenJson}"""
@@ -128,6 +153,7 @@ object Rq6Routed {
       val json = s"""{"scenario":"$scenarioName","sf_dir":"$sfDir",""" +
         s""""streams":${math.min(nStreams, Rq6.StreamOrders.length)},""" +
         s""""files_per_table":$filesPerTable,"arm_totals":$totalsJson,""" +
+        s""""route_sec":${f3(routeSec)},""" +
         s""""queries":[${rows.result().mkString(",")}]}"""
       val op = java.nio.file.Paths.get(out, "summary.json")
       java.nio.file.Files.createDirectories(op.getParent)

@@ -86,18 +86,21 @@ object Scenario {
       cols: Seq[String] = Seq("l_quantity", "l_extendedprice"),
       shape: String = "plain",
       advise: Boolean = false,
-      adviceOut: Option[String] = None): Seq[Cell] = {
+      adviceOut: Option[String] = None,
+      perArm: Boolean = false): Seq[Cell] = {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
     try {
       val li = Tables.load(spark, sfDir, "lineitem")
       val stats = Profiler.profile(li.select(cols.head, cols.tail: _*))
 
-      val layoutDirs = Layouts.map { l =>
+      def buildArm(l: String, spec: LayoutSpec): String = {
         val dir = java.nio.file.Files.createTempDirectory(s"graft_rq_$l").toString
-        LayoutWriter.write(li, dir,
-          LayoutSpec(l, cols, bits = bits, numFiles = Some(numFiles)))
-        l -> dir
+        LayoutWriter.write(li, dir, spec)
+        dir
+      }
+      val armSpecs0: Seq[(String, LayoutSpec)] = Layouts.map { l =>
+        l -> LayoutSpec(l, cols, bits = bits, numFiles = Some(numFiles))
       }
 
       val where = cols.zipWithIndex
@@ -138,7 +141,7 @@ object Scenario {
 
       // the advised arm: recommend from the workload texts + profile,
       // materialize the recommendation, measure it like any fixed arm
-      val advisedArm: Option[(String, String)] = if (!advise) None else {
+      val advisedArm: Option[(String, LayoutSpec)] = if (!advise) None else {
         import graft.advisor.Advisor
         val sqls = instances.flatMap(_._2)
           .map(_._1.sql.replace("{{tbl}}", "lineitem"))
@@ -152,10 +155,6 @@ object Scenario {
         val advice = Advisor.recommendLayout(
           spark, sqls, colRanges, kinds, uniqueRatio, k = cols.length)
         val advCols = if (advice.cols.nonEmpty) advice.cols else cols
-        val dir = java.nio.file.Files.createTempDirectory("graft_rq_adv").toString
-        LayoutWriter.write(li, dir, LayoutSpec(advice.layout,
-          if (advice.layout == "baseline") Nil else advCols,
-          bits = bits, numFiles = Some(numFiles)))
         adviceOut.foreach { out =>
           val op = java.nio.file.Paths.get(out)
           if (op.getParent != null) java.nio.file.Files.createDirectories(op.getParent)
@@ -166,15 +165,14 @@ object Scenario {
               s""""prune_coverage":${advice.pruneCoverage},""" +
               s""""reason":${jStr(advice.reason)}}""" + "\n")
         }
-        Some(s"advised(${advice.layout})" -> dir)
+        Some(s"advised(${advice.layout})" -> LayoutSpec(advice.layout,
+          if (advice.layout == "baseline") Nil else advCols,
+          bits = bits, numFiles = Some(numFiles)))
       }
-      val arms = layoutDirs ++ advisedArm.toSeq
+      val armSpecs = armSpecs0 ++ advisedArm.toSeq
 
-      val cells = for {
-        (band, insts) <- instances
-        (inst, qi) <- insts
-        (layout, dir) <- arms
-      } yield {
+      def measureCell(band: String, inst: graft.wlg.WorkloadGen.QueryInstance,
+          qi: Int, layout: String, dir: String): Cell = {
         val preds = cols.zipWithIndex.map { case (c, i) =>
           NumBetween(c,
             inst.params(s"p${i}_lo").toDouble, inst.params(s"p${i}_hi").toDouble)
@@ -194,8 +192,37 @@ object Scenario {
           scan.filesKept, scan.filesTotal, m.bytesScanned,
           scan.bytesKept, scan.bytesTotal, m.recordsRead)
       }
-      (layoutDirs ++ advisedArm.toSeq)
-        .foreach { case (_, d) => deleteRec(new java.io.File(d)) }
+
+      // Two arm schedules with identical cells, different peak DISK:
+      //  - interleaved (default): every variant on disk at once, each
+      //    query measured across all arms back-to-back — host drift
+      //    lands evenly across layouts (the rq1 ladder's protocol);
+      //  - per-arm (--per-arm): build → measure → delete one variant at
+      //    a time, peak disk one variant instead of all — the only way
+      //    a 4-variant × ~12 GB rung (sf64) fits the sandbox disk. Same
+      //    query instances, so cells stay comparable; drift between
+      //    arms is the accepted trade and min-of-2 + files-ratio (the
+      //    deterministic dimension) stay the cross-host signals.
+      val cells = if (perArm) {
+        armSpecs.flatMap { case (layout, spec) =>
+          val dir = buildArm(layout, spec)
+          val cs = for {
+            (band, insts) <- instances
+            (inst, qi) <- insts
+          } yield measureCell(band, inst, qi, layout, dir)
+          deleteRec(new java.io.File(dir))
+          cs
+        }
+      } else {
+        val arms = armSpecs.map { case (l, spec) => l -> buildArm(l, spec) }
+        val cs = for {
+          (band, insts) <- instances
+          (inst, qi) <- insts
+          (layout, dir) <- arms
+        } yield measureCell(band, inst, qi, layout, dir)
+        arms.foreach { case (_, d) => deleteRec(new java.io.File(d)) }
+        cs
+      }
       cells
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -314,7 +341,8 @@ object Scenario {
 
   def main(args: Array[String]): Unit = {
     val advise0 = args.contains("--advise")
-    val pos = args.filterNot(_ == "--advise")
+    val perArm0 = args.contains("--per-arm")
+    val pos = args.filterNot(a => a == "--advise" || a == "--per-arm")
     val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = pos.lift(1).getOrElse("/tmp/graft_rq1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -327,7 +355,8 @@ object Scenario {
       numFiles = pos.lift(3).map(_.toInt).getOrElse(16),
       bits = pos.lift(4).map(_.toInt),
       advise = advise0,
-      adviceOut = if (advise0) Some(s"$outDir/advice.json") else None)
+      adviceOut = if (advise0) Some(s"$outDir/advice.json") else None,
+      perArm = perArm0)
     val geo = geomeans(cells)
     writeCsvs(outDir, cells, geo)
     println(f"${"band"}%-5s ${"layout"}%-10s ${"gmSpeedup"}%10s ${"gmFiles"}%8s ${"kept/total"}%12s")

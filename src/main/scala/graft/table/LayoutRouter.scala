@@ -32,14 +32,10 @@ object LayoutRouter {
   /** One variant's pruning estimate for a query. */
   case class Choice(dir: String, layout: String, filesKept: Int,
       filesTotal: Int, bytesKept: Long, bytesTotal: Long) {
-    /** Fraction of the variant's bytes a manifest-driven scan reads —
-      * the routing metric. FRACTIONS, not absolute bytes: sorted
-      * variants compress differently, so absolute bytes would break
-      * the deliberate no-predicate tie (a full scan must fall to the
-      * FIRST variant — baseline by convention — which also avoids a
-      * sorted layout's full-scan costs: byte skew, page locality;
-      * rq6_sf10 measured Q1 0.70× on hilbert). Size-less legacy
-      * manifests fall back to the file-count fraction.
+    /** Legacy routing metric for manifests without byte stats: the
+      * fraction of the variant's files a manifest-driven scan reads.
+      * Only comparable within one variant, so it is used only when
+      * some variant in the set cannot report bytes.
       */
     def keptFraction: Double =
       if (bytesTotal > 0) bytesKept.toDouble / bytesTotal
@@ -76,15 +72,46 @@ object LayoutRouter {
     }
   }
 
-  /** Estimate every variant and pick the one keeping the fewest bytes
-    * (ties: fewest files, then variant order — so a stable baseline-
-    * first ordering falls back to baseline when nothing prunes).
+  /** Estimate every variant and pick by [[pick]]: fewest ABSOLUTE kept
+    * bytes, file count deciding near-ties. Absolute bytes, not
+    * fractions: the quantity a scan pays is bytes read, and the
+    * variants genuinely differ on it even for a full scan — a curve
+    * variant delta-encodes its sort columns into FEWER total bytes and
+    * (byte-balanced since r18) packs them into fewer equal-size files,
+    * which rq6 measured as faster full scans (TPC-H Q1 1.08× on
+    * balanced hilbert, results/rq6_sf10_bb). A fraction metric would
+    * tie every variant at 1.0 there and misroute to the fattest table.
     */
   def route(spark: SparkSession, variants: Seq[String], sql: String): Choice = {
     require(variants.nonEmpty, "no layout variants to route over")
     val schema = spark.read.parquet(variants.head).schema
     val preds = zonePreds(spark, sql, schema)
-    choices(variants, preds).minBy(_.keptFraction)
+    pick(choices(variants, preds))
+  }
+
+  /** Byte-tolerance inside which the estimates are considered tied and
+    * file COUNT decides: sorted variants land within a percent or two
+    * of each other on a full scan (different columns win the delta
+    * encoding), and at that margin the real cost difference is opens/
+    * footers/sequential-IO — i.e. file count — not the byte delta.
+    */
+  private val ByteTieFraction = 0.02
+
+  /** The routing rule over a set of per-variant estimates: fewest kept
+    * bytes; estimates within [[ByteTieFraction]] of the minimum count
+    * as tied and the fewest kept FILES wins among them (then bytes,
+    * then variant order — stable, so baseline-first conventions hold on
+    * exact ties). Falls back to kept-fraction (then files) when any
+    * variant has a size-less legacy manifest, where absolute bytes are
+    * not comparable across the set.
+    */
+  def pick(cs: Seq[Choice]): Choice = {
+    require(cs.nonEmpty, "no layout variants to route over")
+    if (cs.forall(_.bytesTotal > 0)) {
+      val minB = cs.map(_.bytesKept).min
+      val cutoff = minB + math.max((minB * ByteTieFraction).toLong, 1L)
+      cs.filter(_.bytesKept <= cutoff).minBy(c => (c.filesKept, c.bytesKept))
+    } else cs.minBy(c => (c.keptFraction, c.filesKept))
   }
 
   /** The per-variant estimates (exposed for artifacts/suites). */

@@ -38,6 +38,23 @@ class ScenarioMatrixSuite extends SparkTestBase {
     }
   }
 
+  test("per-arm schedule yields the same cells as interleaved") {
+    // --per-arm builds/measures/deletes one variant at a time (peak
+    // disk = one variant — how the sf64 rung fits the sandbox); the
+    // cells must be IDENTICAL to the interleaved schedule on every
+    // deterministic dimension (rows, files, manifest bytes)
+    val bands = Seq("S1" -> 0.0005)
+    def key(cs: Seq[Scenario.Cell]) = cs.map(c =>
+      (c.band, c.query, c.layout, c.rows, c.filesKept, c.filesTotal,
+        c.fileBytesKept, c.fileBytesTotal)).toSet
+    val inter = Scenario.runMatrix(spark, "/root/testdata/sf0.001",
+      nPerBand = 2, numFiles = 8, bands = bands)
+    val seq = Scenario.runMatrix(spark, "/root/testdata/sf0.001",
+      nPerBand = 2, numFiles = 8, bands = bands, perArm = true)
+    assert(key(inter) == key(seq),
+      s"schedules diverge:\n${key(inter) -- key(seq)}\n${key(seq) -- key(inter)}")
+  }
+
   test("RQ2 mini-matrix: N=3 layout ordering — curves prune, hilbert leads") {
     val cells = Scenario.runMatrix(spark, "/root/testdata/sf0.001",
       nPerBand = 4, numFiles = 16, bands = Seq("S1" -> 0.0005, "S2" -> 0.005),

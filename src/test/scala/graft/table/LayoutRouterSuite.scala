@@ -5,10 +5,11 @@ import graft.layout.LayoutWriter
 import graft.layout.LayoutWriter.LayoutSpec
 
 /** Per-query layout routing (round-19): each query goes to the variant
-  * whose zone maps prune the most bytes — pinned on a Q6-shaped query
-  * (tight range on the sort column → the matching curve variant wins)
-  * and a Q16/Q1-shaped one (no prunable predicate → ties → first
-  * variant, by convention the baseline).
+  * whose zone maps keep the fewest ABSOLUTE bytes — pinned on a
+  * Q6-shaped query (tight range on the sort column → the matching
+  * curve variant wins) and a Q16/Q1-shaped one (no prunable predicate
+  * → all files kept → the byte-cheapest variant wins; exact ties fall
+  * to the first variant).
   */
 class LayoutRouterSuite extends SparkTestBase {
 
@@ -59,12 +60,35 @@ class LayoutRouterSuite extends SparkTestBase {
     assert(c.filesKept == 1 && c.filesTotal == 8, c.toString)
   }
 
-  test("no prunable predicate ties every variant and falls to the first") {
+  test("no prunable predicate keeps all files and routes to fewest bytes") {
     register()
-    // Q1/Q16-shape: aggregate-only, nothing for zone maps to cut
+    // Q1/Q16-shape: aggregate-only, nothing for zone maps to cut — the
+    // router follows ABSOLUTE bytes (sorted variants delta-encode their
+    // sort columns into genuinely fewer bytes; a fraction metric would
+    // tie all variants at 1.0 and misroute full scans to the fattest)
     val c = LayoutRouter.route(spark, dirs, "SELECT count(*) AS n FROM rt")
-    assert(c.dir == dirs.head, s"ties must fall to the first variant: $c")
     assert(c.filesKept == c.filesTotal)
+    val cs = LayoutRouter.choices(dirs, Nil)
+    assert(cs.forall(_.bytesTotal > 0), cs.toString)
+    // semantic pin of the rule: the choice is within the 2% byte band
+    // of the minimum, and no in-band variant has fewer files
+    val minB = cs.map(_.bytesKept).min
+    assert(c.bytesKept <= minB + math.max(minB / 50, 1L),
+      s"routed outside the byte band: $c vs min $minB")
+    val band = cs.filter(_.bytesKept <= minB + math.max(minB / 50, 1L))
+    assert(band.forall(_.filesKept >= c.filesKept),
+      s"an in-band variant has fewer files than the choice: $band vs $c")
+  }
+
+  test("identical estimates fall to the first variant (stable ordering)") {
+    register()
+    val c = LayoutRouter.route(spark, Seq(dirs.head, dirs.head, dirs(1)),
+      "SELECT count(*) AS n FROM rt")
+    // the duplicated head ties itself exactly; minBy keeps the first,
+    // so a baseline-first variant ordering is a real convention
+    assert(c.dir == dirs.head || c.dir == dirs(1))
+    val csDup = LayoutRouter.choices(Seq(dirs.head, dirs.head), Nil)
+    assert(csDup(0).bytesKept == csDup(1).bytesKept)
   }
 
   test("script statements that cannot plan contribute no predicates") {
