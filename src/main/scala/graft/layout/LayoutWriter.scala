@@ -12,8 +12,11 @@ import graft.curve.{Curves, CurveExpressions}
   *
   * Layouts:
   *  - `baseline`: write as-loaded (delta_write_layout.py:107,253)
-  *  - `linear`:   repartitionByRange + sortWithinPartitions on the layout
-  *                columns (delta_write_layout.py:165-181)
+  *  - `linear`:   sortWithinPartitions on the layout columns across
+  *                deterministic quantile-cut files (delta_write_layout
+  *                .py:165-181); the cuts come from the concatenated
+  *                per-column codes, not sampled range bounds, so the
+  *                build is reproducible (see the "linear" case below)
   *  - `zorder`:   Morton curve key; repartitionByRange + sort on the key
   *                (delegated in the reference: delta OPTIMIZE ZORDER BY)
   *  - `hilbert`:  Hilbert curve key (Hudi-only in the reference)
@@ -80,10 +83,47 @@ object LayoutWriter {
         spec.numFiles.map(df.repartition).getOrElse(df)
       case "linear" =>
         val cs = spec.cols.map(col)
-        val parted = spec.numFiles
-          .map(n => df.repartitionByRange(n, cs: _*))
-          .getOrElse(df.repartitionByRange(cs: _*))
-        parted.sortWithinPartitions(cs: _*)
+        spec.numFiles match {
+          case Some(n) if n > 1 && spec.cols.nonEmpty =>
+            // Deterministic file cuts, same machinery as the curves: a
+            // bare repartitionByRange(cs) samples range bounds with a
+            // seed derived from the shuffle RDD's id (RangePartitioner.
+            // sketch — session-history-dependent), so two builds of the
+            // SAME spec land file boundaries differently and the layout
+            // isn't reproducible (the per-arm sf64 schedule diverged
+            // from the interleaved one on exactly this). Instead:
+            // concatenate the per-column codes into a lexicographic key
+            // (linear IS the k=1-interleave degenerate curve), place
+            // cuts at its quantiles, and range-partition on the bucket
+            // id alone — equal buckets never split across files, and
+            // contiguous key ranges are contiguous lexicographic ranges,
+            // so arbitrary cuts need no quadrant snapping (hilbert's
+            // property, not zorder's). Rows still sort by the RAW
+            // columns within each file; manifest min/max come from file
+            // contents, so quantization fuzz at bucket edges cannot
+            // affect pruning soundness.
+            val bLin = math.min(bits, 52 / spec.cols.length)
+            val (key, offs) =
+              curveKeyAndOffsets(df, spec.cols, bLin, "linear", spec.norm)
+            strOffsets = offs
+            val keyed = df.withColumn("__graft_ck", key)
+            val probes = (1 until n).map(_.toDouble / n).toArray
+            val cuts = keyed.select(col("__graft_ck").cast("double").as("__d"))
+              .stat.approxQuantile("__d", probes, 1.0 / (8 * n))
+              .distinct.sorted
+            val fid = CurveExpressions
+              .bucketIndexCol(col("__graft_ck").cast("double"), cuts)
+            exactPartition(keyed, fid, cuts.length + 1)
+              .sortWithinPartitions(cs: _*)
+              .drop("__graft_ck")
+          case Some(n) if n > 1 =>
+            df.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+          case _ =>
+            val parted = spec.numFiles
+              .map(nf => df.repartitionByRange(nf, cs: _*))
+              .getOrElse(df.repartitionByRange(cs: _*))
+            parted.sortWithinPartitions(cs: _*)
+        }
       case curve @ ("zorder" | "hilbert") =>
         val (key, offs) = curveKeyAndOffsets(df, spec.cols, bits, curve, spec.norm)
         strOffsets = offs
@@ -239,9 +279,16 @@ object LayoutWriter {
           CurveExpressions.normalizedCol(doubleView(df, c, strSkips), lo, hi, bits)
         }
       }
-    val key =
-      if (curve == "hilbert") CurveExpressions.hilbertvalue(bits, norms: _*)
-      else CurveExpressions.zvalue(bits, norms: _*)
+    val key = curve match {
+      case "hilbert" => CurveExpressions.hilbertvalue(bits, norms: _*)
+      case "linear" =>
+        // lexicographic concatenation: code(0) in the high bits, ties
+        // broken by code(1), ... — linear as the degenerate curve whose
+        // "interleave" is per-column blocks (caller caps bits so the
+        // total stays double-exact for the quantile/bucket casts)
+        norms.reduceLeft((hi, lo) => hi * lit(1L << bits) + lo)
+      case _ => CurveExpressions.zvalue(bits, norms: _*)
+    }
     (key, strSkips)
   }
 
@@ -275,6 +322,41 @@ object LayoutWriter {
     * integer-adjacent cuts may still collide; the final distinct only
     * fires then.
     */
+  /** Shuffle each row to EXACTLY partition `fid` (0 <= fid < n).
+    *
+    * `repartitionByRange(n, fid)` on a discrete bucket id cannot do
+    * this: RangePartitioner's boundary placement over n equal-mass
+    * values is a per-cut coin flip on its sample (buckets merge, file
+    * counts fall short), and the sample seed folds in the shuffle RDD's
+    * id, so the outcome is session-history-dependent. Instead, hash-
+    * partition on a driver-computed remap value v(p) chosen so that
+    * pmod(murmur3(v), n) == p — HashPartitioning's own routing function
+    * (functions.hash is the same Murmur3/seed-42) then sends bucket p
+    * precisely to partition p. One bounded probe job computes the remap;
+    * expected coverage is n·ln n candidates (coupon collector), batched.
+    */
+  private[layout] def exactPartition(df: DataFrame, fid: Column, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val remap = new Array[Long](n)
+    val seen = new Array[Boolean](n)
+    var found = 0
+    var from = 0L
+    while (found < n) {
+      val batch = math.max(16L * n, 1024L)
+      val probe = spark.range(from, from + batch)
+        .select(col("id"), pmod(hash(col("id")), lit(n)).as("p"))
+        .collect()
+      probe.foreach { r =>
+        val p = r.getInt(1)
+        if (!seen(p)) { seen(p) = true; remap(p) = r.getLong(0); found += 1 }
+      }
+      from += batch
+    }
+    val route = element_at(
+      array(remap.map(lit(_)).toIndexedSeq: _*), (fid + 1).cast("int"))
+    df.repartition(n, route)
+  }
+
   private[layout] def snapCuts(raw: Array[Long], totalBits: Int): Array[Long] = {
     val sorted = raw.sorted.distinct
     val domainHi = if (totalBits >= 63) Long.MaxValue else 1L << totalBits
