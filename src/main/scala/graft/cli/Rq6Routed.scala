@@ -113,27 +113,37 @@ object Rq6Routed {
           SfcTable.open(spark, c.dir).createOrReplaceTempView(cfg.table)
           cfg.table -> Routed(c.layout, layouts.zip(est))
         }.toMap
-      for (arm <- arms) {
-        // warm pass: JIT + page cache, one per arm so the first measured
-        // stream isn't structurally slower
-        if (arm != "routed") registerArm(arm)
-        if (warm) for (q <- 1 to 22)
-          try {
-            val script = TpchQueries.streamScripts(q)
-            if (arm == "routed") routeAndRegister(script, timed = false)
-            SqlScript.run(spark, script).count()
-          } catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[rq6r] warm q$q failed: ${e.getMessage}") }
-        var armTotal = 0.0
-        for (i <- 1 to math.min(nStreams, Rq6.StreamOrders.length)) {
-          for (q <- Rq6.StreamOrders(i - 1)) {
-            val script = TpchQueries.streamScripts(q)
+      // warm pass: JIT + page cache, every arm up front so no measured
+      // run sees cold codegen or cold files
+      if (warm) for (arm <- arms; q <- 1 to 22)
+        try {
+          val script = TpchQueries.streamScripts(q)
+          if (arm == "routed") routeAndRegister(script, timed = false)
+          else registerArm(arm)
+          SqlScript.run(spark, script).count()
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[rq6r] warm $arm q$q failed: ${e.getMessage}") }
+      // measured loop: arms INTERLEAVED per query, not arm-sequential.
+      // The first artifact ran each arm as a 90+-second block an hour
+      // apart and host drift (±30 % on identical no_layout streams)
+      // buried the routing signal; running all four arms back-to-back
+      // per (stream, query) makes every comparison paired — drift at
+      // time T hits each arm of that pair equally. Arm order rotates
+      // by query index so no arm systematically runs first or last.
+      arms.foreach(armTotals(_) = 0.0)
+      var qIdx = 0
+      for (i <- 1 to math.min(nStreams, Rq6.StreamOrders.length)) {
+        for (q <- Rq6.StreamOrders(i - 1)) {
+          val script = TpchQueries.streamScripts(q)
+          val rot = qIdx % arms.length
+          qIdx += 1
+          for (arm <- arms.drop(rot) ++ arms.take(rot)) {
             val chosen: Map[String, Routed] =
-              if (arm != "routed") Map.empty
+              if (arm != "routed") { registerArm(arm); Map.empty }
               else routeAndRegister(script, timed = true)
             val m = QueryRunner.run(spark, SqlScript.run(spark, script),
               s"$arm-s$i-q$q", listener = Some(listener), action = "count")
-            armTotal += m.wallSec
+            armTotals(arm) += m.wallSec
             val chosenJson = chosen.map { case (t, r) =>
               val est = r.est.map { case (l, c) =>
                 s""""$l":[${c.bytesKept},${c.filesKept}]"""
@@ -145,9 +155,9 @@ object Rq6Routed {
               s""""bytes":${m.bytesScanned},"routed":$chosenJson}"""
           }
         }
-        armTotals(arm) = armTotal
-        println(f"[rq6r] arm $arm%-10s total ${armTotal}%8.2f s")
       }
+      for (arm <- arms)
+        println(f"[rq6r] arm $arm%-10s total ${armTotals(arm)}%8.2f s")
       val totalsJson = armTotals.map { case (a, t) => s""""$a":${f3(t)}""" }
         .mkString("{", ",", "}")
       val json = s"""{"scenario":"$scenarioName","sf_dir":"$sfDir",""" +
