@@ -13,7 +13,7 @@ Usage: python3 tools/fig_results.py [outDir]
 """
 import csv, json, math, os, sys, glob, statistics
 
-PAL = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+PAL = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#8a5cd6", "#d64a78"]
 INK, MUT, GRID = "#333333", "#666666", "#e5e5e0"
 SURF = "#fcfcfb"
 
