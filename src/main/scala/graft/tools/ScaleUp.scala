@@ -39,7 +39,13 @@ object ScaleUp {
       "part" -> base("part", "p_partkey"),
       "orders" -> base("orders", "o_orderkey"))
 
-    def replicate(df: DataFrame, shifts: Seq[(String, Long)]): DataFrame = {
+    def replicate(df0: DataFrame, shifts: Seq[(String, Long)]): DataFrame = {
+      // spread the source across the box FIRST: a small-SF table is one
+      // parquet file, and crossJoin keeps the left side's partitioning,
+      // so without this the factor-N row explosion (and the repartition
+      // shuffle's map side) runs as ONE task — a 640x build measured
+      // 100% of one core with a 23 GB single-task shuffle write
+      val df = df0.repartition(32)
       val copies = spark.range(factor).toDF("__copy")
       shifts.foldLeft(df.crossJoin(copies)) { case (d, (c, b)) =>
         d.withColumn(c, col(c) + col("__copy") * lit(b))
@@ -122,7 +128,13 @@ object ScaleUp {
         case _ => df // region, nation: constant-size, as-is
       }
       val parts = math.max(1, (out.inputFiles.length * factor) min 32)
-      out.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // replicate() already spread the pre-explosion source 32 ways —
+      // re-shuffling the EXPANDED rows here would move factor x the
+      // bytes for the same file count, so only shuffle when the plan
+      // hasn't already produced the target partitioning
+      val shaped =
+        if (out.rdd.getNumPartitions >= parts) out else out.repartition(parts)
+      shaped.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t -> $dst/$t.parquet")
     }
     spark.stop()
