@@ -175,7 +175,7 @@ def main(out="results/figs"):
     os.makedirs(out, exist_ok=True)
 
     # rq1 sf16: band x layout geomean speedup
-    for sf in ("rq1_sf16", "rq1_sf10"):
+    for sf in ("rq1_sf16", "rq1_sf10", "rq1_sf32", "rq1_sf64"):
         p = f"results/{sf}/geomean_speedup.csv"
         if not os.path.exists(p):
             continue
@@ -191,6 +191,24 @@ def main(out="results/figs"):
                      bands, [l for l in ("linear", "zorder", "hilbert") if l in vals],
                      vals, ref=1.0,
                      note="bands S1 (finest) - S4; dashed line = baseline parity; data: geomean_speedup.csv")
+
+    # rq1 ladder: S1 speedup and files-ratio vs scale (the 100 TB trend:
+    # kept-file count is ~constant, so speedup grows with the corpus)
+    ladder = {}
+    for sfn, sfv in (("rq1_sf16", 16), ("rq1_sf32", 32), ("rq1_sf64", 64)):
+        p = f"results/{sfn}/geomean_speedup.csv"
+        if not os.path.exists(p):
+            continue
+        for r in csv.DictReader(open(p)):
+            if r["band"] == "S1" and r["layout"] != "baseline" and r["geomean_speedup"]:
+                ladder.setdefault(r["layout"], {})[sfv] = float(r["geomean_speedup"])
+    if ladder and all(len(d) >= 3 for d in ladder.values()):
+        xs = sorted({x for d in ladder.values() for x in d})
+        lines(f"{out}/fig_rq1_ladder.svg",
+              "RQ1 S1 wall speedup vs scale factor (sf16 - sf64)",
+              xs, sorted(ladder.items()), logx=True, xlabel="scale factor (log)",
+              ylabel="geomean speedup vs baseline", yfmt="{:.0f}",
+              note="fixed-selectivity band keeps ~constant files while the table grows; data: rq1_sf*/geomean_speedup.csv")
 
     # rq6 sf10 byte-balanced: per-query hilbert speedup
     def med(layout):
