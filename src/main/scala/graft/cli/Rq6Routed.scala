@@ -111,7 +111,10 @@ object Rq6Routed {
           val c = LayoutRouter.pick(est)
           if (timed) routeSec += (System.nanoTime() - t0) / 1e9
           SfcTable.open(spark, c.dir).createOrReplaceTempView(cfg.table)
-          cfg.table -> Routed(c.layout, layouts.zip(est))
+          // record the ARM name (no_layout/zorder/hilbert) — the manifest
+          // layout name of the baseline variant is "baseline", which
+          // would leave the artifact keyed two different ways
+          cfg.table -> Routed(layouts(variants.indexOf(c.dir)), layouts.zip(est))
         }.toMap
       // warm pass: JIT + page cache, every arm up front so no measured
       // run sees cold codegen or cold files
