@@ -50,11 +50,21 @@ object InvertedIndex {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = postings(df, idCol, textCol)
-      .filter(col("term").isin(terms: _*))
-    // tracked: dl (two longs per doc) feeds the scalar stats AND the
-    // score join — untracked, each reference re-scans the corpus text
-    val dl = graft.runner.Materialize.track(docLengths(df, idCol, textCol))
+    // ONE tokenize pass (r19, guide §2.3/§1.2): the old formulation ran
+    // the regex tokenizer twice — a full positional posexplode for tf
+    // (filtered to the query terms only afterwards) plus a second
+    // words() pass for doc lengths. BM25 never uses positions, so one
+    // narrow pass computes (doc_id, dl, query-term multiset) directly;
+    // the cached frame is two longs + a few terms per doc, and both the
+    // scalar stats and the tf branch read it. Plan effect at sf0.1: 2
+    // corpus Generates -> 1 tiny explode, 2 corpus scans -> 1.
+    val ws = words(col(textCol))
+    val base = graft.runner.Materialize.trackLazy(
+      df.select(col(idCol).as("doc_id"), ws.as("__ws"))
+        .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
+          filter(col("__ws"), w => w.isin(terms: _*)).as("qws")))
+    val dl = base.select(col("doc_id"), col("dl"))
+    val post = base.select(col("doc_id"), explode(col("qws")).as("term"))
     bm25FromPostings(post, dl, k1, b)
   }
 
@@ -133,6 +143,31 @@ object InvertedIndex {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 
+  /** Token pairs WITH a per-token sentinel: every token w of every doc
+    * yields exactly one row (doc_id, w1 = w, w2 = next token or NULL for
+    * the doc's last token). Consequences that make one corpus pass serve
+    * every n-gram statistic at once (r19, guide §2.3 "aggregate before
+    * you shuffle" / §1.2 "remove passes"):
+    *   - rows with w2 IS NOT NULL are exactly [[bigrams]];
+    *   - count by w1 (sentinels included) is the exact unigram count;
+    *   - distinct w1 (sentinels included) is the exact vocabulary.
+    * An empty token array contributes one (null, null) row (zip_with
+    * pads the shorter side), which every consumer ignores: w2-filtered
+    * frames drop it, and countDistinct/count-by-w1 of NULL never joins
+    * a real word.
+    */
+  def pairsWithSentinel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    df.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(zip_with(
+        col("ws"),
+        concat(slice(col("ws"), lit(2),
+          greatest(size(col("ws")) - 1, lit(0))),
+          array(lit(null).cast("string"))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
   /** Per-doc cross-entropy (bits/bigram) under an add-k smoothed bigram
     * LM trained on the corpus itself — the CCNet/FineWeb-style
     * perplexity quality filter, self-trained so it needs no external
@@ -147,15 +182,24 @@ object InvertedIndex {
     */
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
-    // tracked: the frame feeds BOTH the LM counts and the scoring join —
-    // Spark re-executes common subtrees, so without the persist the
-    // corpus would be scanned+exploded twice (runner releases it)
-    val bg = graft.runner.Materialize.track(bigrams(df, idCol, textCol))
-    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // r19 single-tokenize formulation (guide §1.2/§2.3). Before: THREE
+    // corpus tokenizations (bigrams for counting, bigrams for scoring —
+    // shared via cache — plus a separate words() explode for the
+    // vocabulary) and TWO corpus-sized shuffles off the cached bigrams
+    // (cbg for the join, cbg again under cw). Now: ONE tokenize pass
+    // (pairs with sentinel), ONE corpus-sized shuffle (the (w1,w2)
+    // count); vocabulary and C(w1·) are vocab-sized re-aggregates of
+    // that count — the sentinel row per token makes count-by-w1 the
+    // exact unigram count and distinct-w1 the exact vocabulary.
+    val ps = graft.runner.Materialize.trackLazy(
+      pairsWithSentinel(df, idCol, textCol))
+    val cAll = graft.runner.Materialize.trackLazy(
+      ps.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+    val cbg = cAll.filter(col("w2").isNotNull)
     val cw = cbg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val voc = df.select(explode(words(col(textCol))).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
-    bg.join(cbg, Seq("w1", "w2"))
+    val voc = cAll.agg(countDistinct(col("w1")).as("v"))
+    ps.filter(col("w2").isNotNull)
+      .join(cbg, Seq("w1", "w2"))
       .join(cw, Seq("w1"))
       .crossJoin(broadcast(voc)) // single-row frame
       .groupBy(col("doc_id"))

@@ -117,15 +117,22 @@ object SearchQueries {
     // tokenizer/vocabulary pipeline uses. Two hash aggs (bigram +
     // unigram counts) and a vocabulary-sized join; nothing corpus².
     "q91_collocations" -> ((s, d) => {
-      val bg = InvertedIndex.bigrams(docs(s, d), "doc_id", "text")
-      // tracked: both count frames feed two+ consumers (the PMI join and
-      // their totals) — one corpus pass each, vocab-sized afterwards
-      val c2 = graft.runner.Materialize.track(
-        bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
-      val uni = docs(s, d)
-        .select(explode(graft.text.TextFunctions.words(col("text"))).as("w"))
-      val c1 = graft.runner.Materialize.track(
-        uni.groupBy(col("w")).agg(count(lit(1)).as("c1")))
+      // r19 single-pass formulation (guide §1.2/§2.3): the old query
+      // tokenized the corpus TWICE (bigram pass + separate unigram
+      // explode) and paid two corpus-sized shuffles. The sentinel-pair
+      // frame (InvertedIndex.pairsWithSentinel: one row per token,
+      // w2 = next-or-NULL) makes ONE (w1,w2) count aggregate serve both:
+      // bigram counts are the w2-NOT-NULL rows, exact unigram counts are
+      // the vocab-sized re-aggregate by w1 (sentinels included).
+      val cAll = graft.runner.Materialize.track(
+        InvertedIndex.pairsWithSentinel(docs(s, d), "doc_id", "text")
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+      val c2 = cAll.filter(col("w2").isNotNull)
+      // w1-notnull guard: an empty token array yields a (null, null)
+      // sentinel row; the old explode-based unigram pass never emitted
+      // null words, so t1 must not count them either
+      val c1 = cAll.filter(col("w1").isNotNull)
+        .groupBy(col("w1").as("w")).agg(sum(col("c2")).as("c1"))
       val t2 = c2.agg(sum(col("c2")).as("t2"))
       val t1 = c1.agg(sum(col("c1")).as("t1"))
       c2.filter(col("c2") >= 20)

@@ -31,6 +31,17 @@ object PlanDump {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"== $name @ $sfDir — $sec%.3f s ==")
     println(df.queryExecution.executedPlan.toString)
+    // optional args(2): ALSO write the post-execution formatted explain
+    // (the AQE final plan) to a file — the optimization rounds' committed
+    // plan evidence (plans/r19/<query>_{before,after}.txt)
+    if (args.length > 2) {
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val p = java.nio.file.Paths.get(args(2))
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        f"== $name @ $sfDir — $sec%.3f s ==%n" + fmt + "\n")
+    }
     graft.runner.Materialize.releaseAll()
     spark.stop()
   }
